@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query on sf0.001.
+``queries()`` / ``oracle_sql()`` — operator registry; implementations
+live in tgdigest_spark/driver_queries.py (Spark) with matching DuckDB
+oracle SQL strings.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-event-type t-digest quantiles of events.value next to
+    the exact percentiles — the engine's sketch path and its oracle in
+    one result frame."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.agg import sketch_by_key, with_quantiles
+    from tgdigest_spark.pyfiles import ensure_shipped
+    from tgdigest_spark.sketches.tdigest import TDigest
+
+    ensure_shipped(spark)
+
+    events = spark.read.parquet(f"{SF0001}/events.parquet")
+    factory = lambda: TDigest(200)  # noqa: E731
+    blobs = sketch_by_key(events, ["event_type"], "value", factory)
+    approx = with_quantiles(blobs, factory, [0.5, 0.95, 0.99])
+    exact = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.99)").alias("exact_p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return approx.join(exact, "event_type").orderBy("event_type")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tgdigest_spark.driver_queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tgdigest_spark.driver_queries import oracle_sql as _o
+
+    return _o()

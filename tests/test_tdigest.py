@@ -1,0 +1,146 @@
+"""t-digest core: accuracy bound, merge associativity, serialization.
+
+Bound tested: rank error of quantile estimates <= C*q(1-q) with
+C = 8/delta slack over the published q(1-q)*c/delta (merging digest,
+Dunning & Ertl 2019), plus an absolute floor for tiny samples.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pytest
+
+from tgdigest_spark.sketches.tdigest import TDigest
+
+QS = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+DELTA = 200
+
+
+def rank_error(data_sorted: np.ndarray, estimate: float, q: float) -> float:
+    lo = np.searchsorted(data_sorted, estimate, side="left")
+    hi = np.searchsorted(data_sorted, estimate, side="right")
+    qhat_lo, qhat_hi = lo / len(data_sorted), hi / len(data_sorted)
+    if qhat_lo <= q <= qhat_hi:
+        return 0.0
+    return min(abs(qhat_lo - q), abs(qhat_hi - q))
+
+
+def bound(q: float, delta: int = DELTA) -> float:
+    return max(8.0 * q * (1 - q) / delta, 1e-3)
+
+
+@pytest.mark.parametrize(
+    "dist",
+    ["uniform", "lognormal", "bimodal", "integers", "constant"],
+)
+def test_accuracy_bound(dist):
+    rng = np.random.default_rng(7)
+    n = 100_000
+    data = {
+        "uniform": lambda: rng.uniform(0, 1, n),
+        "lognormal": lambda: rng.lognormal(5, 1, n),
+        "bimodal": lambda: np.concatenate(
+            [rng.normal(0, 1, n // 2), rng.normal(100, 5, n // 2)]
+        ),
+        "integers": lambda: rng.integers(0, 50, n).astype(float),
+        "constant": lambda: np.full(n, 42.0),
+    }[dist]()
+    td = TDigest(DELTA)
+    for chunk in np.array_split(data, 13):
+        td.update(chunk)
+    s = np.sort(data)
+    for q in QS:
+        est = td.quantile(q)
+        if dist == "integers":
+            # discrete atoms (mass 0.02 each) exceed centroid capacity, so
+            # rank error is floored at half an atom for ANY interpolating
+            # quantile (incl. exact percentile); assert value error <= 1 atom.
+            assert abs(est - np.quantile(data, q)) <= 1.0, (q, est)
+        else:
+            assert rank_error(s, est, q) <= bound(q), (dist, q, est)
+
+
+def test_exact_endpoints():
+    data = np.arange(1000.0)
+    td = TDigest(100).update(data)
+    assert td.quantile(0.0) == 0.0
+    assert td.quantile(1.0) == 999.0
+    assert td.min == 0.0 and td.max == 999.0
+
+
+def test_nulls_skipped():
+    import pandas as pd
+
+    s = pd.Series([1.0, None, 3.0, np.nan, 5.0])
+    td = TDigest(100).update(s)
+    assert td.count == 3
+
+
+def test_empty():
+    td = TDigest(100)
+    assert np.isnan(td.quantile(0.5))
+    rt = TDigest.deserialize(td.serialize())
+    assert rt.count == 0
+
+
+def test_serialization_roundtrip():
+    rng = np.random.default_rng(3)
+    td = TDigest(150).update(rng.normal(0, 1, 50_000))
+    rt = TDigest.deserialize(td.serialize())
+    assert rt.delta == td.delta
+    assert np.allclose(rt.quantile(QS), td.quantile(QS))
+    assert rt.count == td.count and rt.min == td.min and rt.max == td.max
+
+
+def test_merge_matches_single_build_within_bound():
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(5, 1, 120_000)
+    s = np.sort(data)
+    parts = [TDigest(DELTA).update(c) for c in np.array_split(data, 16)]
+    merged = functools.reduce(lambda a, b: a.merge(b), parts)
+    for q in QS:
+        assert rank_error(s, merged.quantile(q), q) <= bound(q)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_merge_order_insensitive_within_bound(seed):
+    """north_rule: shuffled-partition permutations land within bound."""
+    rng = np.random.default_rng(seed)
+    data = rng.lognormal(5, 1, 80_000)
+    s = np.sort(data)
+    chunks = np.array_split(data, 12)
+    order = rng.permutation(len(chunks))
+    parts = [TDigest(DELTA).update(chunks[i]) for i in order]
+    # random binary merge tree
+    nodes = parts[:]
+    while len(nodes) > 1:
+        i = int(rng.integers(0, len(nodes) - 1))
+        a = nodes.pop(i)
+        b = nodes.pop(int(rng.integers(0, len(nodes))) % len(nodes) if len(nodes) else 0)
+        nodes.append(a.merge(b))
+    tree = nodes[0]
+    for q in QS:
+        assert rank_error(s, tree.quantile(q), q) <= bound(q), (seed, q)
+
+
+def test_deep_vs_shallow_merge_trees():
+    """SURVEY §7.4 risk 1: deep merge trees must not degrade the bound."""
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(5, 1, 100_000)
+    s = np.sort(data)
+    chunks = np.array_split(data, 100)
+    deep = TDigest(DELTA)
+    for c in chunks:  # left-deep chain of 100 merges
+        deep.merge(TDigest(DELTA).update(c))
+    for q in QS:
+        assert rank_error(s, deep.quantile(q), q) <= bound(q)
+
+
+def test_centroid_count_bounded():
+    rng = np.random.default_rng(9)
+    td = TDigest(DELTA)
+    for c in np.array_split(rng.uniform(0, 1, 500_000), 50):
+        td.update(c)
+    assert td.means.size <= DELTA  # delta/2 clusters + straddle slack

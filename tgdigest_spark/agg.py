@@ -1,0 +1,241 @@
+"""Spark-side sketch aggregation: partial build → shuffle blobs → merge.
+
+Topology (designed for 10^12-row tables on 1000-executor clusters,
+exercised locally on local[N]):
+
+* **Global sketch** (one sketch for the whole column):
+  ``mapInPandas`` builds ONE partial sketch per input partition — no
+  shuffle of raw rows, pure map-side combine. Partials (KB-sized blobs)
+  are then tree-merged: Spark-side merge rounds of fan-in ``fanout``
+  while the partial count is large, final pairwise merge on the driver.
+  Driver memory stays flat at any scale (log-depth merges, per
+  SURVEY.md §4).
+
+* **Per-key sketch** (one sketch per group, e.g. per conv_id):
+  - ``method='combine'`` (default): map-side partial per (partition,
+    key) via pandas groupby inside ``mapInPandas``, then ONE shuffle of
+    small blobs + ``applyInPandas`` merge per key. Conversation-length
+    skew is absorbed map-side: a hot key's rows are pre-reduced to one
+    blob per partition before the shuffle.
+  - ``method='salted'``: explicit two-stage salted repartitioning
+    (north_rule): groupBy(key, salt=pmod(xxhash64(salt_col), S)) →
+    partial → groupBy(key) → merge. Use when per-partition key
+    cardinality is so high that map-side dicts would blow memory.
+
+All data movement is Arrow-batched; sketch updates are numpy-vectorized
+(see sketches/). No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+from .sketches.base import Sketch
+
+SketchFactory = Callable[[], Sketch]
+
+_BLOB_SCHEMA = StructType([StructField("sketch", BinaryType(), False)])
+
+
+def _deser(factory: SketchFactory):
+    return type(factory()).deserialize
+
+
+def _merge_blobs(factory: SketchFactory, blobs) -> Sketch:
+    deser = _deser(factory)
+    it = iter(blobs)
+    first = deser(next(it))
+    for b in it:
+        first.merge(deser(b))
+    return first
+
+
+# ---------------------------------------------------------------------------
+# global sketch
+# ---------------------------------------------------------------------------
+
+def sketch_column(
+    df: DataFrame,
+    value: Column | str,
+    factory: SketchFactory,
+    fanout: int = 64,
+) -> Sketch:
+    """Build one sketch over ``value`` across the whole DataFrame."""
+    col = F.col(value) if isinstance(value, str) else value
+    vals = df.select(col.alias("v"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = factory()
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                sk.update(pdf["v"])
+                seen = True
+        if seen:
+            yield pd.DataFrame({"sketch": [sk.serialize()]})
+
+    partials = vals.mapInPandas(build, schema=_BLOB_SCHEMA)
+    return _tree_merge(partials, factory, fanout)
+
+
+def _tree_merge(partials: DataFrame, factory: SketchFactory, fanout: int) -> Sketch:
+    """Log-depth reduction of a DataFrame of sketch blobs to one sketch.
+
+    Spark-side rounds keep the driver's inbox <= ``fanout`` blobs
+    regardless of cluster size (a 100k-partition scan never sends 100k
+    blobs to the driver).
+    """
+
+    def merge_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blobs = []
+        for pdf in batches:
+            blobs.extend(pdf["sketch"])
+        if blobs:
+            yield pd.DataFrame({"sketch": [_merge_blobs(factory, blobs).serialize()]})
+
+    # one Spark-side round whenever the partial count can exceed fanout;
+    # partition count is a plan-time proxy for it (no extra action).
+    if partials.rdd.getNumPartitions() > fanout:
+        partials = partials.repartition(max(2, fanout // 8)).mapInPandas(
+            merge_part, schema=_BLOB_SCHEMA
+        )
+    blobs = [r["sketch"] for r in partials.collect()]
+    if not blobs:
+        return factory()
+    return _merge_blobs(factory, blobs)
+
+
+# ---------------------------------------------------------------------------
+# per-key sketches
+# ---------------------------------------------------------------------------
+
+def sketch_by_key(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    factory: SketchFactory,
+    method: str = "combine",
+    salt_partitions: int = 16,
+    salt_col: Column | None = None,
+    out_col: str = "sketch",
+) -> DataFrame:
+    """One serialized sketch per distinct ``keys`` tuple.
+
+    Returns DataFrame[keys..., out_col binary]. See module docstring for
+    the two shuffle topologies.
+    """
+    col = F.col(value) if isinstance(value, str) else value
+    proj = df.select(*keys, col.alias("v"))
+    out_schema = StructType(
+        [proj.schema[k] for k in keys] + [StructField(out_col, BinaryType(), False)]
+    )
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = factory().update(pdf["v"])
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row[out_col] = [sk.serialize()]
+        return pd.DataFrame(row)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = _merge_blobs(factory, list(pdf[out_col]))
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row[out_col] = [merged.serialize()]
+        return pd.DataFrame(row)
+
+    if method == "combine":
+        def combine_partition(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            # one partial sketch per key per input partition (map-side
+            # combine); vectorized per group via pandas groupby.
+            acc: dict[tuple, Sketch] = {}
+            for pdf in batches:
+                for key, grp in pdf.groupby(keys, sort=False, dropna=False):
+                    k = key if isinstance(key, tuple) else (key,)
+                    sk = acc.get(k)
+                    if sk is None:
+                        acc[k] = factory().update(grp["v"])
+                    else:
+                        sk.update(grp["v"])
+            if acc:
+                ks = list(acc.keys())
+                data = {k: [t[i] for t in ks] for i, k in enumerate(keys)}
+                data[out_col] = [s.serialize() for s in acc.values()]
+                yield pd.DataFrame(data)
+
+        partials = proj.mapInPandas(combine_partition, schema=out_schema)
+        return partials.groupBy(*keys).applyInPandas(merge_group, schema=out_schema)
+
+    if method == "salted":
+        salt = salt_col if salt_col is not None else F.xxhash64(*keys, F.col("v"))
+        salted = proj.withColumn("_salt", F.pmod(salt, F.lit(salt_partitions)))
+        partials = salted.groupBy(*keys, "_salt").applyInPandas(
+            lambda pdf: build_group(pdf.drop(columns=["_salt"])),
+            schema=out_schema,
+        )
+        return partials.groupBy(*keys).applyInPandas(merge_group, schema=out_schema)
+
+    raise ValueError(f"unknown method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# estimate extraction
+# ---------------------------------------------------------------------------
+
+def with_quantiles(
+    blob_df: DataFrame,
+    factory: SketchFactory,
+    qs: list[float],
+    blob_col: str = "sketch",
+    prefix: str = "p",
+) -> DataFrame:
+    """blob column → one double column per requested quantile."""
+    deser = _deser(factory)
+    names = [f"{prefix}{int(q * 100) if (q * 100).is_integer() else q}" for q in qs]
+
+    fields = [f for f in blob_df.schema.fields if f.name != blob_col]
+    out_schema = StructType(fields + [StructField(n, _double(), True) for n in names])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ests = [deser(b).quantile(qs) for b in pdf[blob_col]]
+            out = pdf.drop(columns=[blob_col])
+            for i, n in enumerate(names):
+                out[n] = [e[i] for e in ests]
+            yield out
+
+    return blob_df.mapInPandas(extract, schema=out_schema)
+
+
+def _double():
+    from pyspark.sql.types import DoubleType
+
+    return DoubleType()
+
+
+def merge_blob_tree(blobs: list[bytes], factory: SketchFactory, depth_chunk: int = 2):
+    """Driver-side pairwise (log-depth) merge of serialized sketches."""
+    deser = _deser(factory)
+    layer = [deser(b) for b in blobs]
+    while len(layer) > 1:
+        nxt = []
+        for i in range(0, len(layer), 2):
+            if i + 1 < len(layer):
+                nxt.append(layer[i].merge(layer[i + 1]))
+            else:
+                nxt.append(layer[i])
+        layer = nxt
+    return layer[0] if layer else factory()
+
+
+__all__ = [
+    "sketch_column",
+    "sketch_by_key",
+    "with_quantiles",
+    "merge_blob_tree",
+]

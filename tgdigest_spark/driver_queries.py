@@ -1,0 +1,236 @@
+"""Registry of driver-contract queries: Spark callable + DuckDB oracle SQL.
+
+Each entry implements one operator family from SURVEY.md §2 over the
+driver-provided tables (/root/testdata/sf*). Column names are aliased
+identically in the Spark plan and the oracle SQL (driver hashes values
+after sorting columns by name).
+
+Float-safety policy for oracle comparison: any aggregated double is
+computed as an exact DECIMAL sum first and cast to DOUBLE at the end, so
+Spark's partition-order-dependent double summation can never flip a bit
+vs DuckDB. Raw (unaggregated) doubles pass through untouched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # make the package importable on executors no matter the
+            # driver's cwd (UDF closures unpickle by module name)
+            from .pyfiles import ensure_shipped
+
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = (wrapped, oracle)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# T1/T2/P5 — the reference's flagship: independent top-k per metric
+# (tgdigest ranks the same rows 4x by views/forwards/replies/reactions,
+#  /root/reference/src/post.rs:76-90). Expressed Spark-first as ONE
+#  unpivot + ONE window shuffle instead of four sorts.
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_per_metric",
+    """
+    WITH unpiv AS (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY metric
+            ORDER BY value DESC NULLS LAST, l_orderkey, l_linenumber
+        ) AS rank
+        FROM unpiv
+    )
+    SELECT metric, rank, l_orderkey, l_linenumber, value
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def topk_per_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    unpiv = li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount, 'tax', l_tax) as (metric, value)",
+    )
+    w = Window.partitionBy("metric").orderBy(
+        F.desc_nulls_last("value"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        unpiv.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("metric", "rank", "l_orderkey", "l_linenumber", "value")
+    )
+
+
+# P1 + T1 — closed-interval date-range filter + top-k per group
+@register(
+    "events_range_topk",
+    """
+    WITH ranked AS (
+        SELECT event_type, event_id, user_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC NULLS LAST, event_id
+               ) AS rank
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00' AND TIMESTAMP '2024-01-21 23:59:59'
+    )
+    SELECT event_type, rank, event_id, user_id, value FROM ranked WHERE rank <= 5
+    """,
+)
+def events_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    filtered = ev.where(
+        F.col("ts").between("2024-01-08 00:00:00", "2024-01-21 23:59:59")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc_nulls_last("value"), F.asc("event_id")
+    )
+    return (
+        filtered.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("event_type", "rank", "event_id", "user_id", "value")
+    )
+
+
+# A1-analog + heavy hitters: exact oracle for the count-min path
+@register(
+    "heavy_hitters_exact",
+    """
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    LIMIT 5
+    """,
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+# exact distinct counts: oracle for the HLL path
+@register(
+    "distinct_exact",
+    """
+    SELECT COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(DISTINCT event_type) AS distinct_types
+    FROM events
+    """,
+)
+def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.countDistinct("event_type").alias("distinct_types"),
+    )
+
+
+# D2 — first-per-group dedup (reference: first-seen row per grouped_id,
+# /root/reference/src/cache.rs:205-211)
+@register(
+    "first_event_per_user",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+    FROM ranked WHERE rn = 1
+    """,
+)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("event_type").alias("first_event_type"),
+        )
+    )
+
+
+# A-family — TPC-H Q1-shaped pricing summary with decimal-exact sums
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "2024-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec[0] for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec[1] for name, spec in REGISTRY.items() if spec[1] is not None
+    }

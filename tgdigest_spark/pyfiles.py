@@ -1,0 +1,52 @@
+"""Ship the tgdigest_spark package to executors at runtime.
+
+Production path is ``spark-submit --py-files tgdigest_spark.zip``
+(north_rule); for sessions we didn't launch (the driver harness,
+notebooks) ``ensure_shipped(spark)`` builds the same zip and registers
+it via ``SparkContext.addPyFile`` so Python workers can unpickle UDF
+closures that reference the package, regardless of the driver's cwd.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SENT = "_tgdigest_pyfiles_shipped"
+
+
+def build_zip(out_path: str | None = None) -> str:
+    """Zip the package (source only) for --py-files / addPyFile."""
+    if out_path is None:
+        out_path = os.path.join(tempfile.gettempdir(), "tgdigest_spark.zip")
+    src_mtime = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(_PKG_DIR)
+        for f in files
+        if f.endswith(".py")
+    )
+    if os.path.exists(out_path) and os.path.getmtime(out_path) >= src_mtime:
+        return out_path
+    tmp = out_path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _, files in os.walk(_PKG_DIR):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "tgdigest_spark", os.path.relpath(full, _PKG_DIR)
+                    )
+                    zf.write(full, rel)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def ensure_shipped(spark) -> None:
+    """Idempotently make the package importable on executors."""
+    sc = spark.sparkContext
+    if getattr(sc, _SENT, False):
+        return
+    sc.addPyFile(build_zip())
+    setattr(sc, _SENT, True)
