@@ -1,0 +1,101 @@
+"""Sketch query APIs on Spark vs exact answers, at published bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tgdigest_spark.api import (
+    build_membership,
+    distinct_count,
+    grouped_distinct_count,
+    heavy_hitters,
+    membership_prune,
+    quantiles_kll,
+)
+
+
+def test_distinct_count_vs_exact(spark, transcripts):
+    est = distinct_count(transcripts, "conv_id", p=14)
+    exact = transcripts.select("conv_id").distinct().count()
+    assert abs(est - exact) / exact <= 4 * 1.04 / np.sqrt(1 << 14) + 0.01
+
+
+def test_distinct_tools_vs_exact(spark, transcripts):
+    est = distinct_count(
+        transcripts, "tool", p=14, where=F.col("tool").isNotNull()
+    )
+    exact = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select("tool")
+        .distinct()
+        .count()
+    )
+    assert abs(est - exact) <= max(2, 0.05 * exact)
+
+
+def test_grouped_distinct(spark, transcripts):
+    out = {
+        r["role"]: r["distinct_est"]
+        for r in grouped_distinct_count(
+            transcripts, ["role"], "conv_id", p=12
+        ).collect()
+    }
+    exact = {
+        r["role"]: r["d"]
+        for r in transcripts.groupBy("role")
+        .agg(F.countDistinct("conv_id").alias("d"))
+        .collect()
+    }
+    for role, d in exact.items():
+        assert abs(out[role] - d) / max(d, 1) <= 0.1, (role, out[role], d)
+
+
+def test_heavy_hitters_vs_exact(spark, transcripts):
+    tools = transcripts.where(F.col("tool").isNotNull())
+    hh = heavy_hitters(tools, "tool", k=5, eps=0.001, delta=0.01)
+    got = {r["item"]: r["est_count"] for r in hh.collect()}
+    exact = {
+        r["tool"]: r["cnt"]
+        for r in tools.groupBy("tool")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"))
+        .limit(5)
+        .collect()
+    }
+    n = tools.count()
+    # CM one-sided bound: est >= true, est - true <= eps*N
+    for item, est in got.items():
+        true = (
+            tools.where(F.col("tool") == item).count()
+        )
+        assert est >= true and est - true <= 0.001 * n + 1
+    # top sets agree on the heaviest items (Zipf separation)
+    assert set(list(got)[:3]) & set(exact) != set()
+
+
+def test_membership_prune(spark, transcripts):
+    sample_ids = [r["conv_id"] for r in transcripts.select("conv_id").distinct().limit(50).collect()]
+    members = transcripts.where(F.col("conv_id").isin(sample_ids))
+    bloom = build_membership(members, "conv_id", capacity=1000, fpr=0.01)
+    pruned = membership_prune(transcripts, "conv_id", bloom)
+    kept_ids = {r["conv_id"] for r in pruned.select("conv_id").distinct().collect()}
+    # no false negatives
+    assert set(sample_ids) <= kept_ids
+    # few false positives
+    total_ids = transcripts.select("conv_id").distinct().count()
+    assert len(kept_ids) - len(sample_ids) <= 0.05 * total_ids + 2
+
+
+def test_kll_on_spark_vs_exact(spark, transcripts):
+    est = quantiles_kll(transcripts, F.length("text").cast("double"), [0.5, 0.95], k=200)
+    exact = transcripts.select(
+        F.expr("percentile(length(text), array(0.5, 0.95))").alias("p")
+    ).collect()[0]["p"]
+    vals = np.sort(
+        np.array([r[0] for r in transcripts.select(F.length("text")).collect()])
+    )
+    n = len(vals)
+    for q, e in est.items():
+        qhat = np.searchsorted(vals, e, "right") / n
+        assert abs(qhat - q) <= 0.035, (q, e, qhat)

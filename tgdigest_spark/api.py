@@ -6,9 +6,15 @@ side; the exact paths double as oracles in tests.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .agg import sketch_by_key, sketch_column, with_quantiles
+from .sketches.bloom import Bloom
+from .sketches.countmin import CountMin
+from .sketches.hll import HLL
+from .sketches.kll import KLL
 from .sketches.tdigest import TDigest
 
 
@@ -89,3 +95,168 @@ def turns_per_conversation_quantiles(
         F.count(F.lit(1)).alias("n_turns")
     )
     return quantiles(per_conv, F.col("n_turns").cast("double"), list(qs), delta=delta)
+
+
+# ---------------------------------------------------------------------------
+# distinct count (HLL) — exact counterpart: countDistinct
+# ---------------------------------------------------------------------------
+
+def distinct_count(
+    df: DataFrame, value: Column | str, p: int = 14, where: Column | None = None
+) -> float:
+    """Approximate COUNT(DISTINCT value) via our HLL (std err 1.04/sqrt(2^p)).
+
+    Exact anchors: countDistinct and the reference's HashSet membership
+    (/root/reference/src/cache.rs:181).
+    """
+    if where is not None:
+        df = df.where(where)
+    sk = sketch_column(df, value, lambda: HLL(p))
+    return sk.estimate()
+
+
+def grouped_distinct_count(
+    df: DataFrame, keys: list[str], value: Column | str, p: int = 12
+) -> DataFrame:
+    """Per-group approximate distinct counts → DataFrame[keys..., distinct_est]."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    blobs = sketch_by_key(df, keys, value, lambda: HLL(p))
+    fields = [f for f in blobs.schema.fields if f.name != "sketch"]
+    out_schema = StructType(fields + [StructField("distinct_est", DoubleType())])
+
+    def extract(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["sketch"])
+            out["distinct_est"] = [HLL.deserialize(b).estimate() for b in pdf["sketch"]]
+            yield out
+
+    return blobs.mapInPandas(extract, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (count-min) — exact counterpart: groupBy().count() top-k
+# ---------------------------------------------------------------------------
+
+def heavy_hitters(
+    df: DataFrame,
+    value: Column | str,
+    k: int = 10,
+    eps: float = 0.001,
+    delta: float = 0.01,
+    candidates_per_partition: int = 64,
+) -> DataFrame:
+    """Top-k frequent items with count-min frequency estimates.
+
+    Two passes over one cached projection: (1) a global CountMin built
+    map-side (no raw-row shuffle); (2) a candidate set = union of
+    per-partition local top-m (any global heavy hitter is a local top-m
+    item in at least one partition for m >= k). Candidates get their CM
+    estimates (guaranteed >= true count) and the global top-k by
+    estimate is returned. Scale: shuffles only candidate keys
+    (partitions x m rows), never the fact table.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    col = F.col(value) if isinstance(value, str) else value
+    vals = df.select(col.cast("string").alias("v")).where(F.col("v").isNotNull())
+    vals = vals.persist()
+    try:
+        cm = sketch_column(vals, "v", lambda: CountMin.from_error(eps, delta))
+
+        m = max(k, candidates_per_partition)
+
+        def local_top(batches):
+            counts: dict[str, int] = {}
+            for pdf in batches:
+                vc = pdf["v"].value_counts()
+                head = vc.iloc[: 4 * m]
+                for key, c in head.items():
+                    counts[key] = counts.get(key, 0) + int(c)
+            if counts:
+                top = sorted(counts.items(), key=lambda kv: -kv[1])[:m]
+                yield pd.DataFrame({"v": [t[0] for t in top]})
+
+        cand = [
+            r["v"]
+            for r in vals.mapInPandas(
+                local_top, schema=StructType([StructField("v", StringType())])
+            )
+            .distinct()
+            .collect()
+        ]
+    finally:
+        vals.unpersist()
+    if not cand:
+        return df.sparkSession.createDataFrame(
+            [], "item string, est_count long"
+        )
+    ests = cm.estimate(np.array(cand))
+    order = np.argsort(-ests, kind="stable")[:k]
+    rows = [(cand[i], int(ests[i])) for i in order]
+    return df.sparkSession.createDataFrame(rows, "item string, est_count long")
+
+
+# ---------------------------------------------------------------------------
+# membership (Bloom) — exact counterpart: semi join / HashSet
+# ---------------------------------------------------------------------------
+
+def build_membership(
+    df: DataFrame,
+    value: Column | str,
+    capacity: int | None = None,
+    fpr: float = 0.01,
+) -> Bloom:
+    """Bloom filter over a column (e.g. conv_id universe)."""
+    if capacity is None:
+        capacity = max(1024, df.select(value).distinct().count())
+    col = F.col(value) if isinstance(value, str) else value
+    return sketch_column(
+        df.select(col.cast("string").alias("v")),
+        "v",
+        lambda: Bloom.from_capacity(capacity, fpr),
+    )
+
+
+def membership_prune(df: DataFrame, value: Column | str, bloom: Bloom) -> DataFrame:
+    """Filter df to rows whose value is (probably) in the Bloom filter.
+
+    At scale this is a shuffle-free semi-join: the serialized filter
+    ships once per executor inside the UDF closure; no false negatives,
+    <= fpr false positives pass through.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    blob = bloom.serialize()
+
+    @pandas_udf(BooleanType())
+    def probably_member(s: pd.Series) -> pd.Series:
+        b = Bloom.deserialize(blob)
+        mask = s.notna().to_numpy()
+        out = np.zeros(len(s), dtype=bool)
+        if mask.any():
+            out[mask] = b.contains(s[mask])
+        return pd.Series(out)
+
+    col = F.col(value) if isinstance(value, str) else value
+    return df.where(probably_member(col.cast("string")))
+
+
+# ---------------------------------------------------------------------------
+# KLL variants of the quantile queries
+# ---------------------------------------------------------------------------
+
+def quantiles_kll(
+    df: DataFrame,
+    value: Column | str,
+    qs: list[float],
+    k: int = 200,
+    where: Column | None = None,
+) -> dict[float, float]:
+    """Rank-error-flavor quantiles via KLL (same API as ``quantiles``)."""
+    if where is not None:
+        df = df.where(where)
+    sk = sketch_column(df, value, lambda: KLL(k))
+    est = sk.quantile(list(qs))
+    return dict(zip(qs, [float(e) for e in est]))

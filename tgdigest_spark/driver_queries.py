@@ -226,6 +226,87 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sketch paths (§2.10) — approximate results, no SQL oracle by design;
+# accuracy is asserted against exact answers at published bounds in
+# tests/test_sketch_api_spark.py and tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+
+@register("sketch_tdigest_quantiles", None)
+def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global p50/p95/p99 of events.value via the merging t-digest."""
+    from .api import quantiles
+
+    ev = load(spark, sf_dir, "events")
+    est = quantiles(ev, "value", [0.5, 0.95, 0.99], delta=200)
+    return spark.createDataFrame(
+        [(est[0.5], est[0.95], est[0.99])], "p50 double, p95 double, p99 double"
+    )
+
+
+@register("sketch_kll_quantiles", None)
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same quantiles via KLL (rank-error flavor)."""
+    from .api import quantiles_kll
+
+    ev = load(spark, sf_dir, "events")
+    est = quantiles_kll(ev, "value", [0.5, 0.95, 0.99], k=200)
+    return spark.createDataFrame(
+        [(est[0.5], est[0.95], est[0.99])], "p50 double, p95 double, p99 double"
+    )
+
+
+@register("sketch_hll_distinct", None)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct user_id via our HLL, next to Spark's HLL++."""
+    from .api import distinct_count
+
+    ev = load(spark, sf_dir, "events")
+    ours = distinct_count(ev, F.col("user_id").cast("string"), p=14)
+    spark_hll = ev.agg(
+        F.approx_count_distinct("user_id").alias("a")
+    ).collect()[0]["a"]
+    return spark.createDataFrame(
+        [(float(ours), int(spark_hll))], "hll_est double, spark_hllpp long"
+    )
+
+
+@register("sketch_cm_heavy_hitters", None)
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 event types by count-min estimated frequency."""
+    from .api import heavy_hitters
+
+    ev = load(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", k=5, eps=0.001, delta=0.01)
+
+
+@register("sketch_bloom_membership", None)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prune events to users seen in the first week (semi-join
+    without a shuffle); returns kept-row count + filter fill ratio."""
+    from .api import build_membership, membership_prune
+
+    ev = load(spark, sf_dir, "events")
+    week1 = ev.where(F.col("ts") < "2024-01-08 00:00:00")
+    bloom = build_membership(week1, F.col("user_id").cast("string"), fpr=0.01)
+    kept = membership_prune(ev, F.col("user_id").cast("string"), bloom).count()
+    return spark.createDataFrame(
+        [(int(kept), float(bloom.fill_ratio()))],
+        "kept_rows long, fill_ratio double",
+    )
+
+
+@register("sketch_grouped_tdigest", None)
+def sketch_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type t-digest quantiles (salted two-stage merge)."""
+    from .api import grouped_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    return grouped_quantiles(
+        ev, ["event_type"], "value", [0.5, 0.95], method="salted"
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec[0] for name, spec in REGISTRY.items()}
 

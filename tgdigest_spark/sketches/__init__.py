@@ -1,6 +1,10 @@
 """Pure-numpy mergeable sketch cores (no Spark imports here)."""
 
 from .base import Sketch
+from .bloom import Bloom
+from .countmin import CountMin
+from .hll import HLL
+from .kll import KLL
 from .tdigest import TDigest
 
-__all__ = ["Sketch", "TDigest"]
+__all__ = ["Sketch", "TDigest", "KLL", "HLL", "CountMin", "Bloom"]

@@ -1,0 +1,174 @@
+"""KLL quantile sketch (Karnin, Lang, Liberty 2016), from scratch.
+
+Rank-error flavor complementing the t-digest: additive eps rank error
+with space O((1/eps) sqrt(log 1/delta)). Practical layout follows the
+paper's compactor hierarchy: level i holds items of weight 2^i; level
+capacities shrink geometrically (c = 2/3) from k at the top; a full
+level sorts itself and promotes every other item to the next level.
+
+Determinism: compaction offset alternates 0/1 per level (instead of a
+coin flip) → identical inputs give identical sketches, and merge order
+affects estimates only within the error bound (property-tested).
+
+Quantile query: inclusive-rank select over the weighted union of all
+levels (smallest value whose cumulative weight >= q*n) — matching the
+reference's exact full-sort rank semantics
+(/root/reference/src/post.rs:76-80).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import Sketch, clean_numeric
+
+_C = 2.0 / 3.0
+_MIN_CAP = 8
+
+
+class KLL(Sketch):
+    MAGIC = b"KLL1"
+
+    def __init__(self, k: int = 200):
+        if k < 8:
+            raise ValueError("k too small")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0)]
+        self.n = 0
+        self.min = np.inf
+        self.max = -np.inf
+        self._flip = 0
+
+    # -- capacities -----------------------------------------------------
+    def _cap(self, level: int) -> int:
+        depth = len(self.levels)
+        return max(_MIN_CAP, int(np.ceil(self.k * _C ** (depth - 1 - level))))
+
+    def _total_cap(self) -> int:
+        return sum(self._cap(i) for i in range(len(self.levels)))
+
+    def _size(self) -> int:
+        return sum(a.size for a in self.levels)
+
+    # -- compaction -----------------------------------------------------
+    def _compress(self) -> None:
+        while self._size() > self._total_cap():
+            for i in range(len(self.levels)):
+                if self.levels[i].size > self._cap(i):
+                    buf = np.sort(self.levels[i])
+                    off = self._flip
+                    self._flip ^= 1
+                    promoted = buf[off::2]
+                    self.levels[i] = np.empty(0)
+                    if i + 1 == len(self.levels):
+                        self.levels.append(np.empty(0))
+                    self.levels[i + 1] = np.concatenate(
+                        [self.levels[i + 1], promoted]
+                    )
+                    break
+            else:
+                break
+
+    # -- protocol --------------------------------------------------------
+    def update(self, values) -> "KLL":
+        arr = clean_numeric(values)
+        if arr.size == 0:
+            return self
+        self.min = min(self.min, float(arr.min()))
+        self.max = max(self.max, float(arr.max()))
+        self.n += arr.size
+        self.levels[0] = np.concatenate([self.levels[0], arr])
+        self._compress()
+        return self
+
+    def merge(self, other: "KLL") -> "KLL":
+        if other.k != self.k:
+            raise ValueError("k mismatch")
+        if other.n == 0:
+            return self
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        self.n += other.n
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0))
+        for i, lv in enumerate(other.levels):
+            if lv.size:
+                self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compress()
+        return self
+
+    # -- queries ---------------------------------------------------------
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = []
+        wts = []
+        for i, lv in enumerate(self.levels):
+            if lv.size:
+                vals.append(lv)
+                wts.append(np.full(lv.size, 1 << i, dtype=np.float64))
+        if not vals:
+            return np.empty(0), np.empty(0)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="mergesort")
+        return v[order], w[order]
+
+    def quantile(self, q) -> float | np.ndarray:
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        v, w = self._weighted_items()
+        if v.size == 0:
+            out = np.full(qs.shape, np.nan)
+            return float(out[0]) if np.isscalar(q) else out
+        cum = np.cumsum(w)
+        total = cum[-1]
+        targets = np.clip(qs, 0.0, 1.0) * total
+        idx = np.searchsorted(cum, targets, side="left")
+        idx = np.minimum(idx, v.size - 1)
+        out = v[idx]
+        out = np.where(qs <= 0.0, self.min, np.where(qs >= 1.0, self.max, out))
+        return float(out[0]) if np.isscalar(q) else out
+
+    def rank(self, x) -> float | np.ndarray:
+        xs = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        v, w = self._weighted_items()
+        if v.size == 0:
+            out = np.full(xs.shape, np.nan)
+            return float(out[0]) if np.isscalar(x) else out
+        cum = np.concatenate([[0.0], np.cumsum(w)])
+        idx = np.searchsorted(v, xs, side="right")
+        out = cum[idx] / cum[-1]
+        return float(out[0]) if np.isscalar(x) else out
+
+    # -- serialization ----------------------------------------------------
+    def serialize(self) -> bytes:
+        head = struct.pack(
+            "<4sHIQddBB",
+            self.MAGIC,
+            self.VERSION,
+            self.k,
+            self.n,
+            self.min,
+            self.max,
+            len(self.levels),
+            self._flip,
+        )
+        sizes = struct.pack(f"<{len(self.levels)}Q", *(a.size for a in self.levels))
+        return head + sizes + b"".join(np.ascontiguousarray(a).tobytes() for a in self.levels)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "KLL":
+        (k, n, mn, mx, n_levels, flip), off = cls._check_header(data, "IQddBB")
+        sizes = struct.unpack_from(f"<{n_levels}Q", data, off)
+        off += 8 * n_levels
+        kll = cls(k)
+        kll.n, kll.min, kll.max, kll._flip = n, mn, mx, flip
+        kll.levels = []
+        for sz in sizes:
+            kll.levels.append(
+                np.frombuffer(data, dtype=np.float64, count=sz, offset=off).copy()
+            )
+            off += 8 * sz
+        if not kll.levels:
+            kll.levels = [np.empty(0)]
+        return kll
