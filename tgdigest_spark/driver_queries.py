@@ -226,6 +226,141 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F1-F3 — calendar bucketing incl. the reference's non-standard
+# week-of-month rule (main.rs:387-412), as pure built-in expressions
+@register(
+    "calendar_buckets",
+    """
+    WITH b AS (
+        SELECT ts,
+               DATE_TRUNC('month', ts) AS first,
+               DAYOFMONTH(ts) AS dom,
+               1 + ISODOW(DATE_TRUNC('month', ts)) AS bd,
+               DATE_TRUNC('month', ts) - INTERVAL 1 MONTH AS pfirst
+        FROM events
+    ), c AS (
+        SELECT *,
+               1 + ISODOW(pfirst) AS pbd,
+               DAYOFMONTH(LAST_DAY(pfirst)) AS pdays
+        FROM b
+    )
+    SELECT CAST(CASE WHEN dom >= bd THEN YEAR(first) ELSE YEAR(pfirst) END AS INT) AS wm_year,
+           CAST(CASE WHEN dom >= bd THEN MONTH(first) ELSE MONTH(pfirst) END AS INT) AS wm_month,
+           CAST(CASE WHEN dom >= bd THEN FLOOR((dom - bd) / 7) + 1
+                     ELSE FLOOR((dom + pdays - pbd) / 7) + 1 END AS INT) AS wm_week,
+           COUNT(*) AS cnt
+    FROM c
+    GROUP BY 1, 2, 3
+    """,
+)
+def calendar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.calendar import week_of_month_cols
+
+    ev = load(spark, sf_dir, "events")
+    y, m, w = week_of_month_cols(F.col("ts"))
+    return ev.select(y, m, w).groupBy("wm_year", "wm_month", "wm_week").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# A8 — running-sum cutoff (the reference's LRU eviction selection,
+# cache.rs:449-471): cumulative sum in (ts, event_id) order, keep rows
+# until the running total passes a budget. Decimal accumulation keeps
+# the oracle comparison bit-exact.
+@register(
+    "running_sum_cutoff",
+    """
+    WITH c AS (
+        SELECT event_id, ts, value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cum_value
+        FROM events
+    )
+    SELECT event_id, cum_value FROM c WHERE cum_value <= 5000.0
+    """,
+)
+def running_sum_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "cum_value",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+        )
+        .where(F.col("cum_value") <= 5000.0)
+        .select("event_id", "cum_value")
+    )
+
+
+# A6 — bounded tail-frame min (the reference's staleness check: min
+# fetched_at over the 200 newest rows, cache.rs:227-236) — here: min
+# value over each user's 5 newest events.
+@register(
+    "tail_window_min",
+    """
+    WITH t AS (
+        SELECT user_id, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+               MIN(value) OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING
+               ) AS tail_min
+        FROM events
+    )
+    SELECT user_id, tail_min FROM t WHERE rn = 1
+    """,
+)
+def tail_window_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("tail_min", F.min("value").over(w.rowsBetween(0, 4)))
+        .where(F.col("rn") == 1)
+        .select("user_id", "tail_min")
+    )
+
+
+# S4 — point lookup + neighbor window (reference fetches id±10 for album
+# expansion, workers/tg.rs:213-218)
+@register(
+    "point_lookup_neighbors",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id BETWEEN 4990 AND 5010 OR event_id IN (42, 4242)
+    """,
+)
+def point_lookup_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.where(
+        F.col("event_id").between(4990, 5010) | F.col("event_id").isin(42, 4242)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# D1/D4 — exact dedup accounting by content hash (exact counterpart of
+# the Bloom/minhash approximate paths)
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT MD5(text)) AS distinct_docs
+    FROM documents
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("distinct_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sketch paths (§2.10) — approximate results, no SQL oracle by design;
 # accuracy is asserted against exact answers at published bounds in
