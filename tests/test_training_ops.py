@@ -1,0 +1,233 @@
+"""Training-data pipeline operators: dedup family (minhash/simhash vs
+exact Jaccard oracle), similarity search (LSH vs brute force), text
+analysis, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tgdigest_spark.operators.dedup_text import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from tgdigest_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from tgdigest_spark.operators.text_analysis import annotate
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """60 base docs + near-duplicates with small mutations + exact dups."""
+    rng = np.random.default_rng(23)
+    vocab = np.array(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega".split()
+    )
+    rows = []
+    doc_id = 0
+    for base in range(60):
+        words = vocab[rng.integers(0, len(vocab), 60)].tolist()
+        rows.append((doc_id, " ".join(words)))
+        base_id = doc_id
+        doc_id += 1
+        if base < 20:  # near-dup: mutate 3 of 60 words (~95% shingle overlap)
+            mutated = words[:]
+            for pos in rng.integers(0, 60, 3):
+                mutated[pos] = str(vocab[rng.integers(0, len(vocab))])
+            rows.append((doc_id, " ".join(mutated)))
+            doc_id += 1
+        if base < 5:  # exact dup
+            rows.append((doc_id, " ".join(words)))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_estimates_match_exact_jaccard(spark, dup_corpus):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_corpus, min_jaccard=0.3).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in lsh_candidate_pairs(dup_corpus, num_perm=128).collect()
+    }
+    # every high-similarity pair must be found by LSH (32 bands of 4:
+    # P(miss | j=0.8) = (1-0.8^4)^32 ≈ 5e-9)
+    for pair, j in exact.items():
+        if j >= 0.7:
+            assert pair in est, (pair, j)
+            # minhash estimator: std err = sqrt(j(1-j)/128) ≈ 0.04
+            assert abs(est[pair] - j) <= 0.15, (pair, est[pair], j)
+
+
+def test_exact_duplicates_have_jaccard_one(spark, dup_corpus):
+    pairs = lsh_candidate_pairs(dup_corpus, num_perm=64)
+    perfect = pairs.where(F.col("est_jaccard") >= 0.9999).count()
+    assert perfect >= 5  # the 5 exact dups
+
+
+def test_minhash_signature_stability(spark, dup_corpus):
+    a = minhash_signatures(dup_corpus).orderBy("doc_id").collect()
+    b = minhash_signatures(dup_corpus.repartition(7)).orderBy("doc_id").collect()
+    assert [r["sig"] for r in a] == [r["sig"] for r in b]
+
+
+def test_simhash_near_pairs(spark, dup_corpus):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(dup_corpus).collect()}
+    assert len(sigs) == dup_corpus.count()
+    pairs = simhash_near_pairs(dup_corpus, max_hamming=10).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups have identical simhash → hamming 0 → must be found
+    exact_dup_pairs = [
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(dup_corpus, min_jaccard=0.999).collect()
+    ]
+    assert len(exact_dup_pairs) >= 5
+    for p in exact_dup_pairs:
+        assert p in found, p
+    mask = (1 << 64) - 1
+    for r in pairs:
+        assert (
+            bin((sigs[r["id_a"]] ^ sigs[r["id_b"]]) & mask).count("1")
+            == r["hamming"]
+        )
+
+
+def test_empty_and_tiny_docs_dont_crash(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "one two"), (4, None)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df).collect()
+    assert len(sigs) == 5
+    empty = {r["doc_id"]: len(r["sig"]) for r in sigs}
+    assert empty[0] == 0 and empty[4] == 0 and empty[2] > 0
+    assert lsh_candidate_pairs(df).count() >= 0
+    assert simhash_signatures(df).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _load_emb(spark, sf001_dir):
+    return spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+
+
+def test_cosine_topk_vs_numpy(spark, sf001_dir):
+    emb = _load_emb(spark, sf001_dir)
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    queries = mat[:3]
+    qids = ids[:3]
+    got = cosine_topk(emb, queries, qids, k=5).collect()
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    for qi, qid in enumerate(qids):
+        s = sims[:, qi].copy()
+        s[ids == qid] = -np.inf
+        expect = ids[np.argsort(-s, kind="stable")[:5]]
+        mine = [r["vec_id"] for r in got if r["query_id"] == qid]
+        assert mine == expect.tolist(), (qid, mine, expect)
+
+
+def test_ann_lsh_recall(spark, sf001_dir):
+    emb = _load_emb(spark, sf001_dir)
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    queries, qids = mat[:5], ids[:5]
+    exact = cosine_topk(emb, queries, qids, k=10).collect()
+    approx = ann_lsh_topk(emb, queries, qids, k=10, n_bits=8, n_tables=16).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # 8-bit x 16 tables + multiprobe gives ~0.8 recall on these
+    # near-uniform 64-dim embeddings (tuned offline vs numpy oracle)
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_text_analysis_columns(spark, sf001_dir):
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = annotate(docs).limit(50).toPandas()
+    assert (out["token_cnt"] >= 0).all()
+    assert out["alpha_ratio"].between(0, 1).all()
+    assert out["quality"].between(0, 1).all()
+    assert out["lang_pred"].isin(["en", "de", "fr", "es", "und"]).all()
+    # fingerprint: identical normalized text → identical fingerprint
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "other")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in annotate(df).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "  "), (2, "a"), (3, " a  b "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["token_cnt"] for r in annotate(df).collect()}
+    assert out[0] == 0 and out[1] == 0 and out[2] == 1 and out[3] == 2
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features(spark):
+    from tgdigest_spark.operators.multimodal import (
+        extract_features,
+        resize_plan,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=32)
+    feats = extract_features(media).collect()
+    assert len(feats) == 32
+    for r in feats:
+        assert len(r["feature"]) == 16 and r["n_bytes"] > 0
+    # deterministic across partitionings
+    feats2 = extract_features(media.repartition(5)).collect()
+    a = {r["asset_id"]: r["feature"] for r in feats}
+    b = {r["asset_id"]: r["feature"] for r in feats2}
+    assert a == b
+
+    frames = sample_frames(media, fps=1.0, max_frames=8)
+    per = frames.groupBy("asset_id").count().collect()
+    assert all(1 <= r["count"] <= 8 for r in per)
+
+    rp = resize_plan(media, target=224).collect()
+    for r in rp:
+        assert min(r["out_width"], r["out_height"]) in (224, 225)
+
+
+def test_strict_decode_raises(spark):
+    from tgdigest_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=2)
+    with pytest.raises(Exception, match="NotImplemented|decode"):
+        multimodal.extract_features(
+            media, decode_fn=multimodal.real_decode
+        ).collect()

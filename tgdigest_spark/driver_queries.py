@@ -442,6 +442,176 @@ def sketch_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    """
+    WITH t AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(text, '\\S+')) AS token_cnt,
+               LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               LENGTH(regexp_replace(text, '\\s', '', 'g')) AS nonws_chars,
+               len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+                                  ['the','and','of','to','is'])) AS en_hits,
+               len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+                                  ['der','und','die','ist','nicht'])) AS de_hits,
+               len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+                                  ['le','et','les','est','que'])) AS fr_hits,
+               len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+                                  ['el','que','los','es','una'])) AS es_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           token_cnt,
+           CASE WHEN LENGTH(text) > 0
+                THEN CAST(alpha_chars AS DOUBLE) / LENGTH(text) ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN token_cnt > 0
+                THEN CAST(nonws_chars AS DOUBLE) / token_cnt ELSE 0.0 END AS mean_word_len,
+           CASE
+               WHEN en_hits > 0 AND en_hits >= GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+               WHEN de_hits > 0 AND de_hits >= GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+               WHEN fr_hits > 0 AND fr_hits >= GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+               WHEN es_hits > 0 AND es_hits >= GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'es'
+               ELSE 'und'
+           END AS lang_pred
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality metrics over documents, built-ins only
+    (whole-stage codegen; the SQL oracle mirrors every expression)."""
+    from .operators.text_analysis import (
+        alpha_ratio,
+        lang_id,
+        mean_word_len,
+        token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id", token_count(t), alpha_ratio(t), mean_word_len(t), lang_id(t)
+    )
+
+
+@register(
+    "ngram_jaccard_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard, top-20 most similar doc pairs —
+    the exact-oracle tier of the dedup family."""
+    from .operators.dedup_text import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    return ngram_jaccard_pairs(docs, top_n=20)
+
+
+@register("minhash_lsh_neardup", None)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: top-20 by estimated Jaccard
+    (approximate tier; bound vs the exact tier tested in pytest)."""
+    from .operators.dedup_text import lsh_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        lsh_candidate_pairs(docs, num_perm=128, bands=32, rows=4)
+        .orderBy(F.desc("est_jaccard"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@register("simhash_summary", None)
+def simhash_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate summary: pair counts by Hamming distance band
+    (always one row; documents corpus has few true near-dups)."""
+    from .operators.dedup_text import simhash_near_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(docs, max_hamming=16)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_h16"),
+        F.sum((F.col("hamming") <= 8).cast("long")).alias("n_pairs_h8"),
+        F.sum((F.col("hamming") == 0).cast("long")).alias("n_exact"),
+    )
+
+
+@register("ann_cosine_topk", None)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 3 query vectors."""
+    import numpy as np
+
+    from .operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qpdf = emb.where(F.col("vec_id") < 3).toPandas().sort_values("vec_id")
+    queries = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+    return cosine_topk(emb, queries, qpdf["vec_id"].to_numpy(), k=5).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
+@register("ann_lsh_recall", None)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN: LSH top-10 recall vs brute force per query."""
+    import numpy as np
+
+    from .operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qpdf = emb.where(F.col("vec_id") < 5).toPandas().sort_values("vec_id")
+    queries = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+    qids = qpdf["vec_id"].to_numpy()
+    exact = cosine_topk(emb, queries, qids, k=10).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    approx = ann_lsh_topk(emb, queries, qids, k=10, n_bits=8, n_tables=16).select(
+        "query_id", F.col("vec_id").alias("approx_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (F.col("exact_id") == F.col("approx_id")),
+    ).groupBy(exact.query_id.alias("qid")).agg(F.count(F.lit(1)).alias("hits"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(hits, F.col("query_id") == F.col("qid"), "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("n")).alias("recall"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec[0] for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,418 @@
+"""Text deduplication family for training-data pipelines.
+
+Five tiers, each a standard large-corpus technique:
+
+* exact           — content-hash groupBy (driver_queries.exact_dedup_docs)
+* n-gram Jaccard  — exact pairwise set similarity (explode + equi-join);
+                    the oracle for the approximate tiers
+* MinHash + LSH   — Broder-style minhash signatures, banded LSH
+                    bucketing; candidate pairs via equi-join on
+                    (band, band_hash) — never a cross join
+* SimHash         — Charikar 64-bit fingerprints; near-dup = small
+                    Hamming distance; candidates via 16-bit bands
+* embedding cosine— see operators/similarity.py
+
+Vectorization: signatures are computed batch-at-a-time inside
+``mapInPandas`` — all tokens of a batch are flattened into one numpy
+array, hashed once (pandas' vectorized hasher), shingled with uint64
+mixing, and reduced per-document with ``np.minimum.reduceat`` /
+``np.add.reduceat``. No per-token or per-document Python in the hot
+loop.
+
+Scale notes: the LSH join shuffles (doc_id, band_hash) pairs only —
+`num_perm * 8`-byte signatures stay columnar; candidate verification
+joins signatures for candidate pairs only. Skewed buckets (a band hash
+shared by thousands of near-identical docs) are the classic hazard:
+``max_bucket`` caps them (dropping a bucket loses candidates only
+within an already-huge duplicate cluster, which stays connected through
+its other bands).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sketches.hashing import splitmix64
+
+_P61 = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' token hashes flattened + doc offsets (vectorized)."""
+    tokens = texts.fillna("").str.split()
+    counts = tokens.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = pd.Series(
+        np.concatenate([np.asarray(t, dtype=object) for t in tokens])
+        if counts.sum()
+        else np.empty(0, dtype=object)
+    )
+    h = pd.util.hash_pandas_object(
+        flat, index=False, hash_key="tgdigest_minhash"
+    ).to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return h, offsets, counts
+
+
+def _shingle_hashes(
+    h: np.ndarray, offsets: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """k-token shingle hashes per doc from flattened token hashes.
+
+    Shingle hash = mix chain over a sliding window; windows crossing doc
+    boundaries are dropped. Docs with < k tokens contribute their full
+    (short) token sequence as one shingle so they are not empty.
+    """
+    n = h.size
+    if n == 0:
+        return h, offsets, counts
+    with np.errstate(over="ignore"):
+        acc = h.copy()
+        for i in range(1, k):
+            nxt = np.empty_like(h)
+            nxt[: n - i] = h[i:]
+            nxt[n - i :] = 0
+            acc = splitmix64(acc ^ (nxt * np.uint64(0x9E3779B97F4A7C15)))
+    ends = offsets + counts
+    sh_counts = np.maximum(counts - k + 1, np.minimum(counts, 1)).astype(np.int64)
+    keep = np.zeros(n, dtype=bool)
+    for_start = offsets
+    # vectorized mask: index within doc < sh_count
+    doc_idx = np.repeat(np.arange(counts.size), counts)
+    pos_in_doc = np.arange(n) - np.repeat(for_start, counts)
+    keep = pos_in_doc < np.repeat(sh_counts, counts)
+    sh = acc[keep]
+    sh_offsets = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
+    return sh, sh_offsets, sh_counts
+
+
+def _minhash_matrix(
+    sh: np.ndarray, sh_offsets: np.ndarray, num_perm: int, seed: int = 7
+) -> np.ndarray:
+    """(num_perm, n_docs) minhash signature matrix via reduceat."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _P61, size=num_perm, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        m = a[:, None] * sh[None, :] + b[:, None]
+    return np.minimum.reduceat(m, sh_offsets, axis=1)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """→ DataFrame[id_col, sig: array<long>] (uint64 minhashes viewed as
+    int64; empty docs get an empty signature and never pair)."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("sig", ArrayType(LongType()), False),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h, off, cnt = _token_hashes(pdf[text_col])
+            sh, soff, scnt = _shingle_hashes(h, off, cnt, shingle_k)
+            out_sigs: list[list[int]] = []
+            if sh.size:
+                # reduceat gives one column per doc; clip offsets so
+                # trailing empty docs don't index past the end, then
+                # blank empty docs explicitly.
+                safe_off = np.minimum(soff, sh.size - 1)
+                sig = _minhash_matrix(sh, safe_off, num_perm).astype(np.int64)
+                for i in range(len(pdf)):
+                    out_sigs.append(sig[:, i].tolist() if scnt[i] > 0 else [])
+            else:
+                out_sigs = [[] for _ in range(len(pdf))]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": out_sigs})
+
+    return df.select(id_col, text_col).mapInPandas(build, schema=schema)
+
+
+def lsh_bands(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 32, rows: int = 4
+) -> DataFrame:
+    """signature → (id, band, band_hash) rows; band_hash mixes the
+    band's ``rows`` minhash values."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("band", LongType(), False),
+            StructField("band_hash", LongType(), False),
+        ]
+    )
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf["sig"].str.len() >= bands * rows
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            sig = (
+                np.array(pdf["sig"].tolist(), dtype=np.int64)
+                .astype(np.uint64)[:, : bands * rows]
+                .reshape(len(pdf), bands, rows)
+            )
+            acc = sig[:, :, 0]
+            with np.errstate(over="ignore"):
+                for r in range(1, rows):
+                    acc = splitmix64(acc ^ sig[:, :, r])
+            ids = np.repeat(pdf[id_col].to_numpy(), bands)
+            band_idx = np.tile(np.arange(bands), len(pdf))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "band": band_idx,
+                    "band_hash": acc.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return sigs.mapInPandas(explode, schema=schema)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """→ DataFrame[id_a, id_b, est_jaccard] — near-dup candidates.
+
+    est_jaccard = fraction of equal minhash components (unbiased
+    estimator of true Jaccard). Pairs are generated ONLY within LSH
+    buckets (equi-join on (band, band_hash)); giant buckets are capped.
+    """
+    if bands * rows > num_perm:
+        bands = num_perm // rows  # fit banding to the signature length
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    sigs = sigs.persist()
+    bands_df = lsh_bands(sigs, id_col, bands, rows)
+
+    # cap pathological buckets (see module docstring)
+    bucket_sizes = bands_df.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bands_df = bands_df.join(
+        bucket_sizes.where(F.col("_n") <= max_bucket), ["band", "band_hash"]
+    ).drop("_n")
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sig_a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    sig_b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+
+    est = F.when(
+        F.size("sig_a") > 0,
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.size("sig_a"),
+    ).otherwise(F.lit(0.0))
+    return joined.select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ DataFrame[id_col, simhash: long] — Charikar 64-bit fingerprint
+    over token hashes (bit-majority vote, batch-vectorized)."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h, off, cnt = _token_hashes(pdf[text_col])
+            if h.size:
+                bits = (
+                    (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.int32)
+                signs = 2 * bits - 1  # (n_tokens, 64)
+                safe_off = np.minimum(off, h.size - 1)
+                sums = np.add.reduceat(signs, safe_off, axis=0)
+                # reduceat repeats segments for empty docs; fix by zeroing
+                empty = cnt == 0
+                if empty.any():
+                    sums[empty] = 0
+                fp = (sums > 0).astype(np.uint64)
+                packed = np.zeros(len(pdf), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    for bit in range(64):
+                        packed |= fp[:, bit] << np.uint64(bit)
+            else:
+                packed = np.zeros(len(pdf), dtype=np.uint64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "simhash": packed.astype(np.int64)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(build, schema=schema)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """→ DataFrame[id_a, id_b, hamming] — pairs within Hamming distance.
+
+    Candidates via 4x16-bit band equi-join (a pair within distance 3 is
+    guaranteed to agree on >=1 band; larger distances probabilistically).
+    """
+    sigs = simhash_signatures(df, id_col, text_col).persist()
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (oracle tier)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_jaccard: float = 0.0,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Exact k-token-shingle Jaccard for all pairs sharing >=1 shingle.
+
+    Built-ins only: tokenize → sliding shingles via transform over
+    index array → explode distinct → self-equi-join on shingle →
+    inter/union arithmetic. The exact oracle for minhash estimates.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_sh = F.greatest(F.size(toks) - F.lit(k - 1), F.least(F.size(toks), F.lit(1)))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            "\x1f", F.slice(toks, i + 1, k)
+        ),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles)).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+    )
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+    if top_n is not None:
+        out = out.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(top_n)
+    return out

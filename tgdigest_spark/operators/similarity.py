@@ -1,0 +1,239 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* ``cosine_topk`` — exact brute-force top-k per query. The scoring is a
+  vectorized pandas UDF (one numpy matmul per Arrow batch); ranking is
+  a window top-k (Catalyst: WindowGroupLimit, no full sort). Baseline
+  and oracle for the approximate tier.
+* ``ann_lsh_topk`` — random-hyperplane LSH (Charikar): b-bit signatures
+  via one matmul, candidates = equi-join on signature bucket (optionally
+  multi-probe over all 1-bit flips), exact re-rank within candidates.
+  At 100 TB the bucket join shuffles only (id, bucket) pairs; the
+  embedding matrix never cross-joins.
+
+Normalization note: queries are broadcast inside the UDF closure
+(numpy array, KBs for k-NN workloads); for very large query sets use
+``ann_lsh_topk`` whose probe side is a DataFrame join, not a closure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _scores_schema() -> StructType:
+    return StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+
+def cosine_scores(
+    embeddings: DataFrame,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, vector) cosine scores — one matmul per Arrow batch."""
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = mn @ qn.T  # (batch, n_queries)
+            n, nq = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), nq),
+                    "cosine": sims.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema=_scores_schema()
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    exclude_self: bool = True,
+    **kw,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity."""
+    scores = cosine_scores(embeddings, queries, query_ids, **kw)
+    if exclude_self:
+        scores = scores.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH tier
+# ---------------------------------------------------------------------------
+
+def _pack_buckets(m: np.ndarray, planes: np.ndarray, n_bits: int, n_tables: int) -> np.ndarray:
+    """(n, n_tables) int64 bucket ids; table t uses planes[:, t*b:(t+1)*b]
+    and its id is offset by t<<n_bits so tables never collide."""
+    proj = m @ planes  # (n, n_tables*n_bits)
+    bits = (proj > 0).astype(np.int64).reshape(len(m), n_tables, n_bits)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    bucket = (bits * weights).sum(axis=2)  # (n, n_tables)
+    return bucket + (np.arange(n_tables, dtype=np.int64) << n_bits)
+
+
+def _planes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(dim, n_tables * n_bits))
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    n_bits: int = 16,
+    n_tables: int = 1,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ DataFrame[id, bucket] — one row per (vector, table): sign
+    pattern under n_bits random hyperplanes, table-offset packed."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("bucket", LongType(), False),
+        ]
+    )
+    cache: dict[int, np.ndarray] = {}
+
+    def planes_for(d: int) -> np.ndarray:
+        if d not in cache:
+            cache[d] = _planes(d, n_bits, n_tables, seed)
+        return cache[d]
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bucket = _pack_buckets(m, planes_for(m.shape[1]), n_bits, n_tables)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "bucket": bucket.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(bucketize, schema=schema)
+
+
+def _flip_neighbors(bucket: int, n_bits: int) -> list[int]:
+    return [bucket] + [bucket ^ (1 << b) for b in range(n_bits)]
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_bits: int = 12,
+    n_tables: int = 8,
+    seed: int = 13,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-table LSH candidates + exact re-rank.
+
+    Candidate set = vectors sharing a bucket with the query in ANY of
+    the ``n_tables`` independent hash tables (plus all 1-bit flips when
+    ``multiprobe``). Recall rises with tables/probes; cost stays
+    ~ candidates * n_queries instead of N * n_queries.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    planes = _planes(q.shape[1], n_bits, n_tables, seed)
+    qbuckets = _pack_buckets(q, planes, n_bits, n_tables)  # (nq, n_tables)
+
+    spark = embeddings.sparkSession
+    probe_rows = []
+    table_mask = (1 << n_bits) - 1
+    for qi, qid in enumerate(np.asarray(query_ids, dtype=np.int64)):
+        for t in range(n_tables):
+            qb = int(qbuckets[qi, t])
+            base, offset = qb & table_mask, qb & ~table_mask
+            locals_ = _flip_neighbors(base, n_bits) if multiprobe else [base]
+            probe_rows.extend((int(qid), offset | b) for b in locals_)
+    probes = spark.createDataFrame(probe_rows, "query_id long, bucket long")
+
+    buckets_df = hyperplane_buckets(
+        embeddings,
+        n_bits=n_bits,
+        n_tables=n_tables,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cand = (
+        buckets_df.join(F.broadcast(probes), "bucket")
+        .select("query_id", id_col)
+        .distinct()
+    )
+    emb_cand = embeddings.join(cand, id_col).select(
+        "query_id", id_col, vec_col
+    )
+
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    qid_to_row = {int(qid): i for i, qid in enumerate(query_ids)}
+
+    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            qrows = np.array([qid_to_row[int(x)] for x in pdf["query_id"]])
+            sims = np.einsum("ij,ij->i", mn, qn[qrows])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cosine": sims,
+                }
+            )
+
+    scores = emb_cand.mapInPandas(rescore, schema=_scores_schema())
+    scores = scores.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -1,0 +1,110 @@
+"""Text analysis for training-data pipelines — built-ins only.
+
+Every function here returns Column expressions composed from
+pyspark.sql.functions (whole-stage codegen, zero Python), so each has a
+1:1 SQL mirror for the DuckDB oracle (driver_queries).
+
+* token_count      — \\S+ token counting (whitespace tokenizer)
+* char_classes     — alpha/digit/punct/space counts
+* quality_score    — composite [0,1] score from length, alpha ratio,
+                     stopword hit ratio, mean word length sanity
+* lang_id          — tiny stopword-list heuristic (en/de/fr/es + und)
+* fingerprint      — 64-bit content fingerprint of normalized text
+                     (xxhash64 of lowercased, whitespace-collapsed text)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "ist", "nicht"],
+    "fr": ["le", "et", "les", "est", "que"],
+    "es": ["el", "que", "los", "es", "una"],
+}
+
+
+def token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0)).alias("token_cnt")
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.when(n > 0, alpha / n).otherwise(F.lit(0.0)).alias("alpha_ratio")
+
+
+def _stop_hits(text: Column, words: list[str]) -> Column:
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(toks, arr))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Distinct stopwords present / list size (set semantics — cheap and
+    SQL-mirrorable)."""
+    hits = _stop_hits(text, STOPWORDS[lang])
+    return (hits / F.lit(len(STOPWORDS[lang]))).alias("stopword_ratio")
+
+
+def mean_word_len(text: Column) -> Column:
+    # sum of \S+ token lengths == count of non-whitespace chars, so this
+    # stays in pure string built-ins (no array aggregation)
+    n = token_count(text)
+    nonws = F.length(F.regexp_replace(text, r"\s", ""))
+    return (
+        F.when(n > 0, nonws.cast("double") / n).otherwise(F.lit(0.0))
+    ).alias("mean_word_len")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]: rewards sane length, letters, stopwords, and
+    word lengths in [2, 12] — the usual cheap pre-filters before
+    training-data inclusion."""
+    n = F.length(text).cast("double")
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    alpha = alpha_ratio(text)
+    stop = stopword_ratio(text, "en")
+    mwl = mean_word_len(text)
+    mwl_score = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        (len_score + alpha + F.least(stop * 2.0, F.lit(1.0)) + mwl_score) / 4.0
+    ).alias("quality")
+
+
+def lang_id(text: Column) -> Column:
+    """argmax of per-language distinct-stopword hits; 'und' when all 0.
+
+    Deterministic tie-break: language order en > de > fr > es.
+    """
+    hits = {lang: _stop_hits(text, ws) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr.alias("lang_pred")
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit content fingerprint of normalized text (case-folded,
+    whitespace-collapsed) — the exact-dedup key at scale."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm).alias("fingerprint")
+
+
+def annotate(df, text_col: str = "text"):
+    """Attach the full analysis column set to a documents DataFrame."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t),
+        alpha_ratio(t),
+        quality_score(t),
+        lang_id(t),
+        fingerprint(t),
+    )
