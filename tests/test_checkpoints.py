@@ -1,0 +1,144 @@
+"""Checkpoint layer: resume without recompute, refresh, lineage; and
+streaming sketch maintenance via foreachBatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tgdigest_spark.plans.checkpoints import (
+    SketchCheckpointStore,
+    build_checkpointed,
+    merged_sketch,
+)
+from tgdigest_spark.sketches.tdigest import TDigest
+
+FACTORY = lambda: TDigest(200)  # noqa: E731
+
+
+def PART():
+    return F.date_format(F.col("ts"), "yyyy-MM-dd")
+
+
+def VALUE():
+    return F.length(F.col("text")).cast("double")
+
+
+def test_build_resume_refresh(spark, transcripts, tmp_path):
+    store = SketchCheckpointStore(str(tmp_path / "ckpt"))
+
+    # simulate a killed job: only the first 10 days get built
+    days = sorted(
+        r["p"] for r in transcripts.select(PART().alias("p")).distinct().collect()
+    )
+    first_half = transcripts.where(PART().isin(*days[:10]))
+    build_checkpointed(first_half, PART(), VALUE(), FACTORY, store)
+    assert store.completed_partitions() == set(days[:10])
+    mtimes_before = {
+        k: os.path.getmtime(store._blob_path(k)) for k in days[:10]
+    }
+
+    # resume over the full table: ONLY missing partitions computed
+    build_checkpointed(transcripts, PART(), VALUE(), FACTORY, store)
+    assert store.completed_partitions() == set(days)
+    for k, t in mtimes_before.items():
+        assert os.path.getmtime(store._blob_path(k)) == t, f"{k} recomputed"
+
+    # re-run is a no-op (ST8 idempotence)
+    manifest_before = store.manifest()
+    build_checkpointed(transcripts, PART(), VALUE(), FACTORY, store)
+    assert store.manifest() == manifest_before
+
+    # merged estimate matches a from-scratch global sketch within bound
+    merged = merged_sketch(store, FACTORY)
+    exact = transcripts.select(
+        F.expr("percentile(length(text), array(0.5,0.95,0.99))").alias("p")
+    ).collect()[0]["p"]
+    est = merged.quantile([0.5, 0.95, 0.99])
+    for e, x in zip(est, exact):
+        assert abs(e - x) / max(abs(x), 1) < 0.05
+
+    assert merged.count == transcripts.count()
+
+    # refresh recomputes exactly the requested partitions
+    target = days[0]
+    build_checkpointed(
+        transcripts, PART(), VALUE(), FACTORY, store, refresh={target}
+    )
+    assert os.path.getmtime(store._blob_path(target)) > mtimes_before[target]
+    others = [d for d in days[:10] if d != target]
+    for k in others:
+        assert os.path.getmtime(store._blob_path(k)) == mtimes_before[k]
+
+
+def test_lineage_records(spark, transcripts, tmp_path):
+    store = SketchCheckpointStore(str(tmp_path / "ckpt2"))
+    build_checkpointed(transcripts, PART(), VALUE(), FACTORY, store)
+    with open(store.lineage_path) as f:
+        records = [json.loads(line) for line in f]
+    parts = store.completed_partitions()
+    assert {r["partition"] for r in records} == parts
+    total_rows = sum(r["rows"] for r in records)
+    assert total_rows == transcripts.count()
+    for r in records:
+        assert r["rows"] > 0
+        assert r["rows_per_sec_job"] > 0
+        assert r["status"] == "done"
+
+
+def test_force_rebuild(spark, transcripts, tmp_path):
+    store = SketchCheckpointStore(str(tmp_path / "ckpt3"))
+    sample = transcripts.limit(500)
+    build_checkpointed(sample, PART(), VALUE(), FACTORY, store)
+    before = {
+        k: os.path.getmtime(store._blob_path(k))
+        for k in store.completed_partitions()
+    }
+    build_checkpointed(sample, PART(), VALUE(), FACTORY, store, force=True)
+    after = {
+        k: os.path.getmtime(store._blob_path(k))
+        for k in store.completed_partitions()
+    }
+    assert all(after[k] > before[k] for k in before)
+
+
+def test_streaming_sketch(spark, transcripts_path, tmp_path):
+    from tgdigest_spark.streaming.stream_agg import sketch_stream_to_store
+
+    # stage the parquet as a "stream" directory
+    src = spark.read.parquet(transcripts_path)
+    stream_dir = str(tmp_path / "stream_src")
+    src.limit(2000).repartition(4).write.parquet(stream_dir)
+
+    store = SketchCheckpointStore(str(tmp_path / "stream_ckpt"))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+    )
+    q = sketch_stream_to_store(
+        stream,
+        bucket=F.col("role"),
+        value=F.length("text").cast("double"),
+        factory=FACTORY,
+        store=store,
+        checkpoint_location=str(tmp_path / "query_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    merged = merged_sketch(store, FACTORY)
+    batch = spark.read.parquet(stream_dir)
+    assert merged.count == batch.count()
+    exact = batch.select(
+        F.expr("percentile(length(text), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    assert abs(merged.quantile(0.5) - exact) / max(exact, 1) < 0.05
+    # per-role buckets exist
+    roles = {r["role"] for r in batch.select("role").distinct().collect()}
+    assert store.completed_partitions() == roles

@@ -148,13 +148,45 @@ def sketch_by_key(
         return pd.DataFrame(row)
 
     if method == "combine":
+        proto = factory()
+        bulk = getattr(proto, "from_sorted_like", None)
+
+        def _bulk_combine(pdf: pd.DataFrame, acc: dict) -> None:
+            """Millions-of-tiny-groups fast path (single key column):
+            factorize + lexsort + boundary scan instead of a pandas
+            groupby loop — the numeric work is one vectorized pass."""
+            import numpy as np
+
+            k = keys[0]
+            codes, uniq = pd.factorize(pdf[k], use_na_sentinel=False)
+            v = pdf["v"].to_numpy(dtype=np.float64, na_value=np.nan)
+            order = np.lexsort((v, codes))
+            codes_s, v_s = codes[order], v[order]
+            valid = ~np.isnan(v_s)
+            codes_v, v_v = codes_s[valid], v_s[valid]
+            bounds = np.flatnonzero(np.r_[True, codes_v[1:] != codes_v[:-1]])
+            ends = np.r_[bounds[1:], codes_v.size]
+            seen_codes = set()
+            for s, e in zip(bounds, ends):
+                key = (uniq[codes_v[s]],)
+                seen_codes.add(int(codes_v[s]))
+                sk = bulk(v_v[s:e])
+                prev = acc.get(key)
+                acc[key] = sk if prev is None else prev.merge(sk)
+            # groups whose values were all-null still get an (empty) sketch
+            for c in set(range(len(uniq))) - seen_codes:
+                acc.setdefault((uniq[c],), factory())
+
         def combine_partition(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
             # one partial sketch per key per input partition (map-side
-            # combine); vectorized per group via pandas groupby.
+            # combine); vectorized per group.
             acc: dict[tuple, Sketch] = {}
             for pdf in batches:
+                if bulk is not None and len(keys) == 1:
+                    _bulk_combine(pdf, acc)
+                    continue
                 for key, grp in pdf.groupby(keys, sort=False, dropna=False):
                     k = key if isinstance(key, tuple) else (key,)
                     sk = acc.get(k)
@@ -168,8 +200,35 @@ def sketch_by_key(
                 data[out_col] = [s.serialize() for s in acc.values()]
                 yield pd.DataFrame(data)
 
+        def merge_partition(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            # all partials of a key are co-located (hash repartition), so
+            # merging is a within-partition concat + single-key groupby;
+            # the common case (1 partial per key) passes blobs through
+            # without even deserializing.
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            allp = pd.concat(pdfs, ignore_index=True)
+            counts = allp.groupby(keys, sort=False, dropna=False)[
+                out_col
+            ].transform("size")
+            singles = allp[counts == 1]
+            multi = allp[counts > 1]
+            out = [singles[[*keys, out_col]]]
+            if len(multi):
+                merged = multi.groupby(keys, sort=False, dropna=False)[
+                    out_col
+                ].agg(lambda blobs: _merge_blobs(factory, list(blobs)).serialize())
+                out.append(merged.reset_index()[[*keys, out_col]])
+            yield pd.concat(out, ignore_index=True)
+
         partials = proj.mapInPandas(combine_partition, schema=out_schema)
-        return partials.groupBy(*keys).applyInPandas(merge_group, schema=out_schema)
+        n_parts = max(partials.rdd.getNumPartitions(), 1)
+        return partials.repartition(n_parts, *keys).mapInPandas(
+            merge_partition, schema=out_schema
+        )
 
     if method == "salted":
         salt = salt_col if salt_col is not None else F.xxhash64(*keys, F.col("v"))

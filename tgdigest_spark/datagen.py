@@ -173,7 +173,11 @@ def write_transcripts(out_dir: str, sf: float, seed: int = 42) -> str:
     path = os.path.join(out_dir, f"transcripts_sf{sf}.parquet")
     if not os.path.exists(path):
         os.makedirs(out_dir, exist_ok=True)
-        gen_transcripts(sf, seed).to_parquet(path, index=False)
+        # many row groups → parallel scan tasks (one-row-group files
+        # serialize every downstream stage onto a single core)
+        gen_transcripts(sf, seed).to_parquet(
+            path, index=False, row_group_size=16384
+        )
     return path
 
 

@@ -612,6 +612,58 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("checkpointed_quantiles", None)
+def checkpointed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable per-day sketch build over events: build half, resume the
+    rest, then answer from merged checkpoints (ST1-ST8 analog). The
+    result row self-reports that resume recomputed nothing."""
+    import os
+    import tempfile
+
+    from .plans.checkpoints import (
+        SketchCheckpointStore,
+        build_checkpointed,
+        merged_sketch,
+    )
+    from .sketches.tdigest import TDigest
+
+    ev = load(spark, sf_dir, "events")
+    part = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    factory = lambda: TDigest(200)  # noqa: E731
+    with tempfile.TemporaryDirectory() as d:
+        store = SketchCheckpointStore(os.path.join(d, "ckpt"))
+        days = sorted(
+            r["p"] for r in ev.select(part.alias("p")).distinct().collect()
+        )
+        half = days[: max(1, len(days) // 2)]
+        build_checkpointed(
+            ev.where(part.isin(*half)), part, F.col("value"), factory, store
+        )
+        mtimes = {
+            k: os.path.getmtime(store._blob_path(k))
+            for k in store.completed_partitions()
+        }
+        build_checkpointed(ev, part, F.col("value"), factory, store)  # resume
+        untouched = all(
+            os.path.getmtime(store._blob_path(k)) == t for k, t in mtimes.items()
+        )
+        merged = merged_sketch(store, factory)
+        est = merged.quantile([0.5, 0.99])
+        return spark.createDataFrame(
+            [
+                (
+                    len(store.completed_partitions()),
+                    bool(untouched),
+                    float(merged.count),
+                    float(est[0]),
+                    float(est[1]),
+                )
+            ],
+            "n_partitions int, resume_untouched boolean, n_rows double, "
+            "p50 double, p99 double",
+        )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec[0] for name, spec in REGISTRY.items()}
 

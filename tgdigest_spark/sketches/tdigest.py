@@ -83,6 +83,31 @@ class TDigest(Sketch):
         self.weights = w_sum
         self.count = w_total
 
+    @classmethod
+    def from_sorted(cls, arr: np.ndarray, delta: int = 200) -> "TDigest":
+        """Fast path for per-group builds: ``arr`` pre-sorted, no NaNs.
+
+        Groups smaller than the centroid budget ARE their own digest
+        (every value a unit-weight centroid) — skips the recluster pass
+        that dominates building millions of tiny per-group sketches.
+        """
+        td = cls(delta)
+        n = arr.size
+        if n == 0:
+            return td
+        td.min, td.max = float(arr[0]), float(arr[-1])
+        if n <= delta // 2:
+            td.means = arr.astype(np.float64, copy=True)
+            td.weights = np.ones(n)
+            td.count = float(n)
+        else:
+            td._recluster(arr.astype(np.float64), np.ones(n))
+        return td
+
+    def from_sorted_like(self, arr: np.ndarray) -> "TDigest":
+        """Instance hook used by agg's bulk per-group builder."""
+        return TDigest.from_sorted(arr, self.delta)
+
     # -- protocol --------------------------------------------------------
     def update(self, values) -> "TDigest":
         arr = clean_numeric(values)

@@ -1,0 +1,87 @@
+"""Streaming sketch maintenance via Structured Streaming + foreachBatch.
+
+The reference is poll-based incremental batch (SURVEY.md §2.9): a hot
+tail re-fetched on a debounce, a TTL'd mutable window, immutable
+history. The streaming analog: a file/kafka stream feeds micro-batches;
+``foreachBatch`` builds a batch sketch map-side and MERGES it into the
+checkpoint store keyed by event-time bucket — idempotent per partition
+key, exactly-once-ish when paired with the stream's own checkpointing
+(the sink merge is associative, so at-least-once delivery only inflates
+counts for resent rows — same guarantee class as the reference's
+re-fetch-then-upsert).
+
+``foreachBatch`` is chosen over ``applyInPandasWithState`` because
+sketch state must outlive the query (queryable mid-stream — the
+reference's /data/ partial-results endpoint, main.rs:736-777) and merge
+across restarts; arbitrary stateful ops keep state inside the stream's
+private store.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..agg import sketch_by_key
+from ..plans.checkpoints import SketchCheckpointStore
+
+
+def sketch_stream_to_store(
+    stream_df: DataFrame,
+    bucket: Column,
+    value: Column,
+    factory: Callable,
+    store: SketchCheckpointStore,
+    checkpoint_location: str,
+    query_name: str = "sketch_stream",
+):
+    """Start a streaming query maintaining per-bucket sketches.
+
+    Returns the StreamingQuery; caller triggers/awaits it. Estimates at
+    any moment = merged_sketch(store, factory) — partial results over
+    whatever has arrived, the /data/ endpoint analog.
+    """
+
+    def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (
+            sketch_by_key(
+                batch_df.select(
+                    bucket.cast("string").alias("bucket"), value.alias("v")
+                ),
+                ["bucket"],
+                "v",
+                factory,
+            )
+        ).collect()
+        manifest = store.manifest()
+        deser = type(factory()).deserialize
+        for r in rows:
+            key = r["bucket"]
+            path = store._blob_path(key)
+            blob = bytes(r["sketch"])
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    merged = deser(f.read()).merge(deser(blob))
+                blob = merged.serialize()
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+            entry = manifest["partitions"].setdefault(
+                key, {"status": "done", "rows": 0}
+            )
+            entry["status"] = "done"
+            entry["rows"] = int(entry.get("rows", 0)) + 1  # batches merged
+            entry["last_epoch"] = int(epoch_id)
+        store._write_manifest(manifest)
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
