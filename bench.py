@@ -233,9 +233,9 @@ spark = get_spark("scale-bench", cores=cores, shuffle_partitions=cores * 2)
 
 results = {{"cores": cores}}
 
-# job 1: t-digest sketch build over turns (replicated x32 ≈ 12M turns)
+# job 1: t-digest sketch build over turns (replicated x64 ≈ 24M turns)
 t = spark.read.parquet({tpath!r})
-rep = spark.range(32).withColumnRenamed("id", "rep")
+rep = spark.range(64).withColumnRenamed("id", "rep")
 turns = (t.crossJoin(rep)
           .withColumn("conv_id", F.concat_ws("_", "conv_id", "rep"))
           .drop("rep")
@@ -254,11 +254,11 @@ results["tdigest_build"] = {{"rows": n_turns, "seconds": best,
                              "rows_per_sec": n_turns / best}}
 turns.unpersist()
 
-# job 2: minhash signature build over documents (replicated x24)
+# job 2: minhash signature build over documents (replicated x96)
 docs = spark.read.parquet({docs_path!r})
-rep = spark.range(24).withColumnRenamed("id", "rep")
+rep = spark.range(96).withColumnRenamed("id", "rep")
 big_docs = (docs.crossJoin(rep)
-            .withColumn("doc_id", F.col("doc_id") * 24 + F.col("rep"))
+            .withColumn("doc_id", F.col("doc_id") * 96 + F.col("rep"))
             .drop("rep").repartition(cores * 3).persist())
 n_docs = big_docs.count()
 job2 = lambda: minhash_signatures(big_docs, num_perm=128).count()
@@ -273,27 +273,36 @@ spark.stop()
 """
 
 
-def run_scaling(n_small: int = 4, n_big: int = 16) -> dict:
+def run_scaling(n_small: int = 4, n_big: int = 16, rounds: int = 2) -> dict:
+    """Interleaved legs (small,big,small,big,...), min per leg — robust
+    to this sandbox's noisy-neighbor variance (observed 2x swings)."""
     tpath = _transcripts_path()
     snippet = _SCALE_SNIPPET.format(
         repo=REPO, tpath=tpath, docs_path=f"{SF_DIR}/documents.parquet"
     )
-    out = {}
-    for cores in (n_small, n_big):
-        proc = subprocess.run(
-            [sys.executable, "-c", snippet, str(cores)],
-            capture_output=True,
-            text=True,
-            timeout=1200,
-        )
-        line = [
-            l for l in proc.stdout.splitlines() if l.startswith("SCALE_RESULT")
-        ][-1]
-        out[cores] = json.loads(line[len("SCALE_RESULT ") :])
+    runs: dict[int, list[dict]] = {n_small: [], n_big: []}
+    for _ in range(rounds):
+        for cores in (n_small, n_big):
+            proc = subprocess.run(
+                [sys.executable, "-c", snippet, str(cores)],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = [
+                l
+                for l in proc.stdout.splitlines()
+                if l.startswith("SCALE_RESULT")
+            ][-1]
+            runs[cores].append(json.loads(line[len("SCALE_RESULT ") :]))
     ratio = n_big / n_small
     jobs = {}
     for job in ("tdigest_build", "minhash_build"):
-        small, big = out[n_small][job], out[n_big][job]
+        best = {
+            c: min(rs, key=lambda r: r[job]["seconds"])[job]
+            for c, rs in runs.items()
+        }
+        small, big = best[n_small], best[n_big]
         jobs[job] = {
             f"local[{n_small}]": small,
             f"local[{n_big}]": big,
@@ -302,7 +311,7 @@ def run_scaling(n_small: int = 4, n_big: int = 16) -> dict:
                 big["rows_per_sec"] / small["rows_per_sec"] / ratio, 3
             ),
         }
-    return {"n_small": n_small, "n_big": n_big, "jobs": jobs}
+    return {"n_small": n_small, "n_big": n_big, "rounds": rounds, "jobs": jobs}
 
 
 if __name__ == "__main__":
