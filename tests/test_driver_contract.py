@@ -28,6 +28,8 @@ def _duck(sf_dir: str):
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if not len(pdf):
+        return pdf
     # stringify for a stable total order incl. None/NaN
     key = pdf.astype(str).apply(lambda r: "\x00".join(r), axis=1)
     return pdf.iloc[np.argsort(key.to_numpy(), kind="stable")].reset_index(drop=True)

@@ -442,6 +442,158 @@ def sketch_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# J1/J3 — broadcast dim-join enrichment (the reference's channel-entity
+# memo lookup, workers/tg.rs:13-34, generalized to a star join)
+@register(
+    "join_enrich_topn",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY total_price DESC, nation
+    LIMIT 10
+    """,
+)
+def join_enrich_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_price"), "nation")
+        .limit(10)
+    )
+
+
+# J2 — neighbor-window self-pairing (album ±N expansion,
+# workers/tg.rs:211-229): events within 2 positions of each other per user
+@register(
+    "neighbor_pairs",
+    """
+    WITH pos AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id < 20
+    )
+    SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b
+    FROM pos a JOIN pos b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn + 1 AND a.rn + 2
+    """,
+)
+def neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select("user_id", "event_id", F.row_number().over(w).alias("rn"))
+    a = pos.alias("a")
+    b = pos.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & F.col("b.rn").between(F.col("a.rn") + 1, F.col("a.rn") + 2),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("event_a"),
+        F.col("b.event_id").alias("event_b"),
+    )
+
+
+# sessionization — lag + gap>threshold cumsum (the engine-side analog of
+# the reference's debounce/TTL freshness tiers applied to event streams)
+@register(
+    "sessionization",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )) > 1800 OR LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts")).over(w).cast("timestamp")
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# grouping sets — ROLLUP over (event_type, month)
+@register(
+    "rollup_counts",
+    """
+    SELECT event_type, CAST(MONTH(ts) AS INT) AS month, COUNT(*) AS cnt
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(MONTH(ts) AS INT))
+    """,
+)
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type", F.month("ts").cast("int").alias("month")
+        )
+        .rollup("event_type", "month")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# set ops — EXCEPT/INTERSECT on row sets
+@register(
+    "set_ops_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+    """,
+)
+def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    early_buyers = ev.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") < "2024-01-05 00:00:00")
+    ).select("user_id")
+    return clickers.subtract(early_buyers)  # EXCEPT = set semantics
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
