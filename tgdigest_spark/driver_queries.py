@@ -594,6 +594,146 @@ def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clickers.subtract(early_buyers)  # EXCEPT = set semantics
 
 
+# exact quantiles — the reference-semantics full-sort path (post.rs:76-80)
+# that anchors every sketch bound; bit-identical to DuckDB quantile_cont
+@register(
+    "exact_quantiles_by_type",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+# SQL API surface — the same engine through spark.sql over temp views
+@register(
+    "sql_api_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           COUNT(DISTINCT user_id) AS users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE value > 50
+    GROUP BY event_type
+    """,
+)
+def sql_api_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT user_id) AS users,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events_v
+        WHERE value > 50
+        GROUP BY event_type
+        """
+    )
+
+
+# F1-F3 window-parameterized digest query: top-3 by value inside the
+# reference's week-of-month window (weeks start at base_day; see
+# functions/calendar.py). Window bounds are computed driver-side by the
+# ported formula and inlined into both plans.
+def _week2_jan24() -> tuple[str, str]:
+    from .functions.calendar import week_window
+
+    start, end = week_window(2024, 1, 2)  # Jan 2024 week 2: Jan 9..16
+    return (
+        start.strftime("%Y-%m-%d %H:%M:%S"),
+        end.strftime("%Y-%m-%d %H:%M:%S"),
+    )
+
+
+_WK_S, _WK_E = _week2_jan24()
+
+
+@register(
+    "week_window_topk",
+    f"""
+    WITH ranked AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC NULLS LAST, event_id
+               ) AS rank
+        FROM events
+        WHERE ts >= TIMESTAMP '{_WK_S}' AND ts <= TIMESTAMP '{_WK_E}'
+    )
+    SELECT event_type, rank, event_id, value FROM ranked WHERE rank <= 3
+    """,
+)
+def week_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("ts").between(_WK_S, _WK_E))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc_nulls_last("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", "value")
+    )
+
+
+@register("embedding_neardup_lsh", None)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup tier: LSH-bucket candidate pairs,
+    exact cosine re-scored, top-20 most similar (approximate tier;
+    recall vs brute force asserted in pytest)."""
+    import numpy as np
+
+    from .operators.similarity import hyperplane_buckets
+
+    emb = load(spark, sf_dir, "embeddings")
+    buckets = hyperplane_buckets(emb, n_bits=10, n_tables=6)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    joined = pairs.join(ea, "id_a").join(eb, "id_b")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
