@@ -1,0 +1,84 @@
+"""Sparse HLL, KLL bulk hook, eviction selection, grouped KLL/HLL via agg."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tgdigest_spark.operators.eviction import eviction_candidates, total_cache_bytes
+from tgdigest_spark.sketches.hll import HLL
+from tgdigest_spark.sketches.kll import KLL
+
+
+def test_sparse_hll_blob_sizes_and_accuracy():
+    small = HLL(14).update(np.array([f"c{i}" for i in range(100)]))
+    assert small.is_sparse
+    assert len(small.serialize()) < 2000  # vs 16400 dense
+    assert abs(small.estimate() - 100) < 3
+    big = HLL(14).update(np.array([f"d{i}" for i in range(100_000)]))
+    assert not big.is_sparse
+    # mixed merge order-insensitive
+    ab = HLL.deserialize(small.serialize()).merge(big).estimate()
+    ba = HLL.deserialize(big.serialize()).merge(small).estimate()
+    assert ab == ba
+    assert abs(ab - 100_100) / 100_100 < 0.04
+
+
+def test_kll_from_sorted_like():
+    proto = KLL(128)
+    tiny = proto.from_sorted_like(np.array([1.0, 2.0, 3.0]))
+    assert tiny.n == 3 and tiny.quantile(0.5) == 2.0
+    big = proto.from_sorted_like(np.sort(np.random.default_rng(0).uniform(0, 1, 10_000)))
+    assert big.n == 10_000
+    assert abs(big.quantile(0.5) - 0.5) < 0.05
+
+
+def test_grouped_hll_sparse_through_spark(spark, transcripts):
+    from tgdigest_spark.api import grouped_distinct_count
+
+    out = {
+        r["role"]: r["distinct_est"]
+        for r in grouped_distinct_count(
+            transcripts, ["role"], "conv_id", p=14
+        ).collect()
+    }
+    exact = {
+        r["role"]: r["d"]
+        for r in transcripts.groupBy("role")
+        .agg(F.countDistinct("conv_id").alias("d"))
+        .collect()
+    }
+    for role, d in exact.items():
+        assert abs(out[role] - d) / max(d, 1) <= 0.05, (role, out[role], d)
+
+
+def test_grouped_kll_through_spark(spark, transcripts):
+    from tgdigest_spark.agg import sketch_by_key
+    from tgdigest_spark.sketches.kll import KLL
+
+    fact = lambda: KLL(200)  # noqa: E731
+    blobs = sketch_by_key(
+        transcripts, ["role"], F.length("text").cast("double"), fact
+    ).collect()
+    exact = {
+        r["role"]: r["m"]
+        for r in transcripts.groupBy("role")
+        .agg(F.expr("percentile(length(text), 0.5)").alias("m"))
+        .collect()
+    }
+    for r in blobs:
+        est = KLL.deserialize(r["sketch"]).quantile(0.5)
+        assert abs(est - exact[r["role"]]) / exact[r["role"]] < 0.06
+
+
+def test_eviction_selection(spark):
+    rows = [(i, 100, 1000 + i) for i in range(10)]  # size 100 each
+    idx = spark.createDataFrame(rows, "media_id int, size long, last_accessed long")
+    out = eviction_candidates(idx, bytes_to_free=250).collect()
+    # needs 3 rows (100+100+100 >= 250), oldest-accessed first
+    assert [r["media_id"] for r in out] == [0, 1, 2]
+    assert out[-1]["cum_freed"] == 300
+    assert total_cache_bytes(idx) == 1000
+    # freeing 0 bytes evicts nothing; freeing everything evicts all
+    assert eviction_candidates(idx, 0).count() == 0
+    assert eviction_candidates(idx, 10_000).count() == 10

@@ -904,6 +904,52 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("training_prep_pipeline", None)
+def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep over documents: quality filter →
+    exact dedup (normalized fingerprint) → near-dup pruning (MinHash
+    LSH, keep the smaller doc_id of each pair) → per-stage row counts
+    plus surviving-corpus token stats. Composes the tested operators;
+    one row out."""
+    from .operators.dedup_text import lsh_candidate_pairs
+    from .operators.text_analysis import fingerprint, quality_score, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    t = F.col("text")
+    scored = docs.select("doc_id", "text", quality_score(t), token_count(t))
+    quality = scored.where(F.col("quality") >= 0.5)
+    n1 = quality.count()
+
+    deduped = (
+        quality.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    n2 = deduped.count()
+
+    near_pairs = lsh_candidate_pairs(deduped, num_perm=128).where(
+        F.col("est_jaccard") >= 0.8
+    )
+    losers = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = deduped.join(losers, "doc_id", "left_anti")
+    n3 = final.count()
+    tokens = final.agg(F.sum("token_cnt").alias("t")).collect()[0]["t"] or 0
+
+    return spark.createDataFrame(
+        [(n0, n1, n2, n3, int(tokens))],
+        "ingested long, after_quality long, after_exact_dedup long, "
+        "after_near_dedup long, surviving_tokens long",
+    )
+
+
 @register("checkpointed_quantiles", None)
 def checkpointed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumable per-day sketch build over events: build half, resume the

@@ -36,14 +36,53 @@ def _alpha(m: int) -> float:
 
 
 class HLL(Sketch):
+    """Dense or sparse register storage.
+
+    Sparse mode keeps (idx, rank) pairs while the distinct register
+    count is small — a per-group HLL over millions of tiny groups costs
+    bytes, not 2^p (16 KB at p=14). Densifies automatically past
+    m/8 occupied registers. Merge of mixed representations densifies.
+    """
+
     MAGIC = b"HLL1"
 
-    def __init__(self, p: int = 14):
+    def __init__(self, p: int = 14, sparse: bool = True):
         if not 4 <= p <= 20:
             raise ValueError("p out of range")
         self.p = p
         self.m = 1 << p
-        self.registers = np.zeros(self.m, dtype=np.uint8)
+        self.registers: np.ndarray | None = None if sparse else np.zeros(
+            self.m, dtype=np.uint8
+        )
+        # sparse state: parallel arrays, idx strictly unique & sorted
+        self.sp_idx = np.empty(0, dtype=np.int64) if sparse else None
+        self.sp_rank = np.empty(0, dtype=np.uint8) if sparse else None
+
+    # -- representation helpers -----------------------------------------
+    @property
+    def is_sparse(self) -> bool:
+        return self.registers is None
+
+    def _densify(self) -> None:
+        if not self.is_sparse:
+            return
+        regs = np.zeros(self.m, dtype=np.uint8)
+        if self.sp_idx.size:
+            regs[self.sp_idx] = self.sp_rank
+        self.registers = regs
+        self.sp_idx = None
+        self.sp_rank = None
+
+    def _sparse_absorb(self, idx: np.ndarray, rank: np.ndarray) -> None:
+        """Merge (idx, rank) pairs into sparse state: max per idx."""
+        all_idx = np.concatenate([self.sp_idx, idx])
+        all_rank = np.concatenate([self.sp_rank, rank])
+        order = np.lexsort((-all_rank.astype(np.int16), all_idx))
+        ai, ar = all_idx[order], all_rank[order]
+        first = np.r_[True, ai[1:] != ai[:-1]]  # first = max rank per idx
+        self.sp_idx, self.sp_rank = ai[first], ar[first]
+        if self.sp_idx.size > self.m // 8:
+            self._densify()
 
     def update(self, values) -> "HLL":
         h = base_hash(values)
@@ -70,34 +109,70 @@ class HLL(Sketch):
         )
         rank[nz] = (width - bitlen + 1).astype(np.uint8)
         rank[~nz] = width + 1
-        np.maximum.at(self.registers, idx, rank)
+        if self.is_sparse:
+            self._sparse_absorb(idx, rank)
+        else:
+            np.maximum.at(self.registers, idx, rank)
         return self
 
     def merge(self, other: "HLL") -> "HLL":
         if other.p != self.p:
             raise ValueError("p mismatch")
-        np.maximum(self.registers, other.registers, out=self.registers)
+        if self.is_sparse and other.is_sparse:
+            self._sparse_absorb(other.sp_idx, other.sp_rank)
+        else:
+            self._densify()
+            if other.is_sparse:
+                if other.sp_idx.size:
+                    np.maximum.at(self.registers, other.sp_idx, other.sp_rank)
+            else:
+                np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
     def estimate(self) -> float:
         m = self.m
-        inv = np.ldexp(1.0, -self.registers.astype(np.int64))  # 2^-reg
-        raw = _alpha(m) * m * m / inv.sum()
-        if raw <= 2.5 * m:
+        if self.is_sparse:
+            nnz = self.sp_idx.size
+            if nnz == 0:
+                return 0.0
+            inv_sum = np.ldexp(1.0, -self.sp_rank.astype(np.int64)).sum() + (
+                m - nnz
+            )
+            zeros = m - nnz
+        else:
+            inv_sum = np.ldexp(1.0, -self.registers.astype(np.int64)).sum()
             zeros = int((self.registers == 0).sum())
-            if zeros:
-                return m * np.log(m / zeros)  # linear counting
+        raw = _alpha(m) * m * m / inv_sum
+        if raw <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting
         return float(raw)
 
     def serialize(self) -> bytes:
-        head = struct.pack("<4sHB", self.MAGIC, self.VERSION, self.p)
+        if self.is_sparse:
+            head = struct.pack(
+                "<4sHBBQ", self.MAGIC, self.VERSION, self.p, 1, self.sp_idx.size
+            )
+            return (
+                head
+                + self.sp_idx.astype(np.int64).tobytes()
+                + self.sp_rank.tobytes()
+            )
+        head = struct.pack("<4sHBBQ", self.MAGIC, self.VERSION, self.p, 0, 0)
         return head + self.registers.tobytes()
 
     @classmethod
     def deserialize(cls, data: bytes) -> "HLL":
-        (p,), off = cls._check_header(data, "B")
-        hll = cls(p)
-        hll.registers = np.frombuffer(
-            data, dtype=np.uint8, count=hll.m, offset=off
-        ).copy()
+        (p, sparse, n), off = cls._check_header(data, "BBQ")
+        hll = cls(p, sparse=bool(sparse))
+        if sparse:
+            hll.sp_idx = np.frombuffer(
+                data, dtype=np.int64, count=n, offset=off
+            ).copy()
+            hll.sp_rank = np.frombuffer(
+                data, dtype=np.uint8, count=n, offset=off + 8 * n
+            ).copy()
+        else:
+            hll.registers = np.frombuffer(
+                data, dtype=np.uint8, count=hll.m, offset=off
+            ).copy()
         return hll

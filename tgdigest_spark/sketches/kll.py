@@ -71,6 +71,22 @@ class KLL(Sketch):
             else:
                 break
 
+    def from_sorted_like(self, arr: np.ndarray) -> "KLL":
+        """agg bulk-builder hook: tiny groups (n <= k) are stored exactly
+        in level 0; larger groups go through the normal compactor."""
+        kll = KLL(self.k)
+        n = arr.size
+        if n == 0:
+            return kll
+        kll.min, kll.max = float(arr[0]), float(arr[-1])
+        kll.n = int(n)
+        if n <= self.k:
+            kll.levels[0] = arr.astype(np.float64, copy=True)
+        else:
+            kll.levels[0] = arr.astype(np.float64, copy=True)
+            kll._compress()
+        return kll
+
     # -- protocol --------------------------------------------------------
     def update(self, values) -> "KLL":
         arr = clean_numeric(values)
