@@ -77,6 +77,8 @@ class HLL(Sketch):
         """Merge (idx, rank) pairs into sparse state: max per idx."""
         all_idx = np.concatenate([self.sp_idx, idx])
         all_rank = np.concatenate([self.sp_rank, rank])
+        if all_idx.size == 0:
+            return
         order = np.lexsort((-all_rank.astype(np.int16), all_idx))
         ai, ar = all_idx[order], all_rank[order]
         first = np.r_[True, ai[1:] != ai[:-1]]  # first = max rank per idx

@@ -1,0 +1,68 @@
+"""Transcript table layout: how the fact table is written at scale.
+
+Layout contract (FIXTURES.md §1, SURVEY.md §1.3):
+* partitioned by ``days(ts)`` — replaces the reference's
+  (channel, date, id) index (cache.rs:107-108) with partition pruning;
+* sorted within partitions by (conv_id, turn_idx) — per-conversation
+  operators (lag latency, grouped sketches, album-style windows) read
+  co-located, pre-sorted runs; parquet min/max zone maps give the
+  early-termination effect of the reference's sorted-scan break
+  (post.rs:35-37).
+
+Iceberg is the intended catalog (MERGE INTO, snapshots, hidden
+partitioning); its jars aren't in this image, so the writer falls back
+to plain partitioned parquet with the identical physical layout. The
+checkpoint layer (plans/) supplies the snapshot/incremental semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TRANSCRIPTS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_transcripts_table(
+    df: DataFrame,
+    path_or_table: str,
+    use_iceberg: bool | None = None,
+    target_file_rows: int = 1_000_000,
+) -> None:
+    """Write the transcripts fact table in the engine's layout."""
+    spark = df.sparkSession
+    if use_iceberg is None:
+        use_iceberg = iceberg_available(spark)
+    staged = (
+        df.withColumn("ts_day", F.to_date("ts"))
+        .repartition("ts_day")
+        .sortWithinPartitions("ts_day", "conv_id", "turn_idx")
+    )
+    if use_iceberg:  # pragma: no cover - jars absent in this image
+        (
+            staged.drop("ts_day")
+            .writeTo(path_or_table)
+            .partitionedBy(F.days(F.col("ts")))
+            .createOrReplace()
+        )
+    else:
+        staged.write.mode("overwrite").partitionBy("ts_day").parquet(
+            path_or_table
+        )
+
+
+def read_transcripts(spark, path_or_table: str) -> DataFrame:
+    df = spark.read.parquet(path_or_table)
+    return df.drop("ts_day") if "ts_day" in df.columns else df
