@@ -82,3 +82,26 @@ def test_eviction_selection(spark):
     # freeing 0 bytes evicts nothing; freeing everything evicts all
     assert eviction_candidates(idx, 0).count() == 0
     assert eviction_candidates(idx, 10_000).count() == 10
+
+
+def test_grouped_latency_quantiles(spark, transcripts):
+    from tgdigest_spark.api import grouped_latency_quantiles
+
+    out = grouped_latency_quantiles(transcripts, [0.5]).limit(2000).collect()
+    assert len(out) > 100
+    # spot-check a few conversations against exact percentile
+    sample_ids = [r["conv_id"] for r in out[:5]]
+    from tgdigest_spark.api import interturn_latency_seconds
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["conv_id"]: r["m"]
+        for r in interturn_latency_seconds(transcripts)
+        .where(F.col("conv_id").isin(sample_ids))
+        .groupBy("conv_id")
+        .agg(F.expr("percentile(latency_s, 0.5)").alias("m"))
+        .collect()
+    }
+    got = {r["conv_id"]: r["p50"] for r in out[:5]}
+    for cid, m in exact.items():
+        assert abs(got[cid] - m) <= max(0.05 * abs(m), 1e-9), (cid, got[cid], m)

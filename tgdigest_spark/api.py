@@ -97,6 +97,21 @@ def turns_per_conversation_quantiles(
     return quantiles(per_conv, F.col("n_turns").cast("double"), list(qs), delta=delta)
 
 
+def grouped_latency_quantiles(
+    transcripts: DataFrame,
+    qs: list[float] = (0.5, 0.95),
+    delta: int = 200,
+    min_turns: int = 2,
+) -> DataFrame:
+    """Per-conversation latency quantiles: one t-digest per conv_id over
+    its inter-turn deltas (north-star per-group variant). Uses the
+    tiny-group bulk builder; conversations with < min_turns turns have
+    no deltas and are absent."""
+    lat = interturn_latency_seconds(transcripts)
+    blobs = sketch_by_key(lat, ["conv_id"], "latency_s", lambda: TDigest(delta))
+    return with_quantiles(blobs, lambda: TDigest(delta), list(qs))
+
+
 # ---------------------------------------------------------------------------
 # distinct count (HLL) — exact counterpart: countDistinct
 # ---------------------------------------------------------------------------
