@@ -142,3 +142,62 @@ def test_streaming_sketch(spark, transcripts_path, tmp_path):
     # per-role buckets exist
     roles = {r["role"] for r in batch.select("role").distinct().collect()}
     assert store.completed_partitions() == roles
+
+
+def test_stateful_sketch_stream(spark, transcripts_path, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.streaming.stateful import stateful_sketch_stream
+    from tgdigest_spark.sketches.tdigest import TDigest
+
+    src = spark.read.parquet(transcripts_path)
+    stream_dir = str(tmp_path / "stateful_src")
+    sample = src.where(F.col("role").isin("user", "assistant")).limit(3000)
+    sample.repartition(3).write.parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select(F.col("role").alias("key_in"), F.length("text").cast("double").alias("v"))
+    )
+    out = stateful_sketch_stream(
+        stream, "key_in", "v", lambda: TDigest(200)
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .option("checkpointLocation", str(tmp_path / "stateful_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    # last update per key reflects ALL rows of that key
+    res = spark.sql(
+        "SELECT key, max(n) AS n FROM stateful_out GROUP BY key"
+    ).collect()
+    got = {r["key"]: r["n"] for r in res}
+    batch = spark.read.parquet(stream_dir)
+    exact_counts = {
+        r["role"]: r["c"]
+        for r in batch.groupBy("role").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == exact_counts
+    # final p50 estimate close to exact
+    final = {
+        r["key"]: r["p50"]
+        for r in spark.sql(
+            "SELECT key, p50 FROM stateful_out s WHERE n = "
+            "(SELECT max(n) FROM stateful_out t WHERE t.key = s.key)"
+        ).collect()
+    }
+    exact_p50 = {
+        r["role"]: r["m"]
+        for r in batch.groupBy("role")
+        .agg(F.expr("percentile(length(text), 0.5)").alias("m"))
+        .collect()
+    }
+    for k, m in exact_p50.items():
+        assert abs(final[k] - m) / max(m, 1) < 0.06, (k, final[k], m)
