@@ -168,40 +168,57 @@ def heavy_hitters(
     per-partition local top-m (any global heavy hitter is a local top-m
     item in at least one partition for m >= k). Candidates get their CM
     estimates (guaranteed >= true count) and the global top-k by
-    estimate is returned. Scale: shuffles only candidate keys
-    (partitions x m rows), never the fact table.
+    estimate is returned. Scale: the fact table is scanned ONCE and
+    never shuffled; the driver inbox is partitions x (m keys + one CM
+    blob) — for scans with >>1k partitions insert a Spark-side blob
+    merge round (agg._tree_merge) or raise eps to shrink blobs.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
+    from pyspark.sql.types import BinaryType
+
     col = F.col(value) if isinstance(value, str) else value
     vals = df.select(col.cast("string").alias("v")).where(F.col("v").isNotNull())
-    vals = vals.persist()
-    try:
-        cm = sketch_column(vals, "v", lambda: CountMin.from_error(eps, delta))
+    m = max(k, candidates_per_partition)
+    factory = lambda: CountMin.from_error(eps, delta)  # noqa: E731
 
-        m = max(k, candidates_per_partition)
-
-        def local_top(batches):
-            counts: dict[str, int] = {}
-            for pdf in batches:
-                vc = pdf["v"].value_counts()
-                head = vc.iloc[: 4 * m]
-                for key, c in head.items():
-                    counts[key] = counts.get(key, 0) + int(c)
-            if counts:
-                top = sorted(counts.items(), key=lambda kv: -kv[1])[:m]
-                yield pd.DataFrame({"v": [t[0] for t in top]})
-
-        cand = [
-            r["v"]
-            for r in vals.mapInPandas(
-                local_top, schema=StructType([StructField("v", StringType())])
-            )
-            .distinct()
-            .collect()
+    # ONE pass: each partition emits its partial CM blob (key=None row)
+    # AND its local top-m candidate keys — no persist, no second scan.
+    fused_schema = StructType(
+        [
+            StructField("cand", StringType(), True),
+            StructField("blob", BinaryType(), True),
         ]
-    finally:
-        vals.unpersist()
+    )
+
+    def fused(batches):
+        cm_part = factory()
+        counts: dict[str, int] = {}
+        seen = False
+        for pdf in batches:
+            seen = True
+            cm_part.update(pdf["v"])
+            vc = pdf["v"].value_counts()
+            for key, c in vc.iloc[: 4 * m].items():
+                counts[key] = counts.get(key, 0) + int(c)
+        if seen:
+            top = sorted(counts.items(), key=lambda kv: -kv[1])[:m]
+            out = pd.DataFrame({"cand": [t[0] for t in top]})
+            out["blob"] = None
+            yield pd.concat(
+                [out, pd.DataFrame({"cand": [None], "blob": [cm_part.serialize()]})],
+                ignore_index=True,
+            )
+
+    rows = vals.mapInPandas(fused, schema=fused_schema).collect()
+    blobs = [bytes(r["blob"]) for r in rows if r["blob"] is not None]
+    cand = sorted({r["cand"] for r in rows if r["cand"] is not None})
+    if not blobs:
+        cand = []
+    else:
+        from .agg import merge_blob_tree
+
+        cm = merge_blob_tree(blobs, factory)
     if not cand:
         return df.sparkSession.createDataFrame(
             [], "item string, est_count long"

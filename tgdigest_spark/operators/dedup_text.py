@@ -210,28 +210,43 @@ def lsh_candidate_pairs(
     sigs = sigs.persist()
     bands_df = lsh_bands(sigs, id_col, bands, rows)
 
-    # cap pathological buckets (see module docstring)
-    bucket_sizes = bands_df.groupBy("band", "band_hash").agg(
-        F.count(F.lit(1)).alias("_n")
+    # ONE shuffle: bucket members collected per (band, band_hash); pairs
+    # generated inside the bucket with numpy combinations. Oversized
+    # buckets are dropped (see module docstring) — this caps both memory
+    # and the quadratic pair fan-out in one place.
+    buckets = (
+        bands_df.groupBy("band", "band_hash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    bands_df = bands_df.join(
-        bucket_sizes.where(F.col("_n") <= max_bucket), ["band", "band_hash"]
-    ).drop("_n")
 
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    pair_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+        ]
     )
+
+    def bucket_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs_a: list[np.ndarray] = []
+            outs_b: list[np.ndarray] = []
+            for ids in pdf["ids"]:
+                arr = np.unique(np.asarray(ids, dtype=np.int64))
+                if arr.size < 2:
+                    continue
+                iu = np.triu_indices(arr.size, k=1)
+                outs_a.append(arr[iu[0]])
+                outs_b.append(arr[iu[1]])
+            if outs_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(outs_a),
+                        "id_b": np.concatenate(outs_b),
+                    }
+                )
+
+    pairs = buckets.mapInPandas(bucket_pairs, schema=pair_schema).distinct()
 
     sig_a = sigs.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
