@@ -95,6 +95,12 @@ def _queries(spark, transcripts):
             transcripts, ["role"], F.length("text").cast("double"), [0.5, 0.95]
         ).collect()
 
+    def q_grouped_conv():
+        # per-conversation digests: the tiny-groups north-star workload
+        return grouped_quantiles(
+            transcripts, ["conv_id"], F.length("text").cast("double"), [0.5]
+        ).count()
+
     def q_latency_sketch():
         return latency_quantiles(transcripts, [0.5, 0.95, 0.99])
 
@@ -162,6 +168,7 @@ def _queries(spark, transcripts):
     return {
         "q_sketch_build": q_sketch_build,
         "q_grouped_sketch": q_grouped_sketch,
+        "q_grouped_conv": q_grouped_conv,
         "q_latency_sketch": q_latency_sketch,
         "q_hll_distinct": q_hll_distinct,
         "q_heavy_hitters": q_heavy_hitters,
