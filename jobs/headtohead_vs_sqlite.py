@@ -1,5 +1,8 @@
+"""Head-to-head benchmark: reference stack (SQLite + sort) vs the engine
+on identical reference-shaped posts tables. Produces the BENCH.md table.
+Usage: python jobs/headtohead_vs_sqlite.py  (~10 min at 10M rows)"""
 import sys, time, sqlite3, os
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from tgdigest_spark.datagen import gen_posts
 

@@ -159,6 +159,140 @@ def _flip_neighbors(bucket: int, n_bits: int) -> list[int]:
     return [bucket] + [bucket ^ (1 << b) for b in range(n_bits)]
 
 
+# ---------------------------------------------------------------------------
+# IVF tier — coarse k-means quantizer + probed exact re-rank
+# ---------------------------------------------------------------------------
+
+def train_coarse_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 64,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 29,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side Lloyd iterations on a bounded sample (normalized →
+    spherical k-means). Sample size, not table size, bounds the cost;
+    at 100 TB this is the standard train-on-sample IVF recipe."""
+    pdf = (
+        embeddings.select(vec_col)
+        .sample(False, 1.0, seed)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ DataFrame[id, list_id]: nearest coarse centroid per vector
+    (one matmul per Arrow batch; centroids ship in the closure)."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("list_id", LongType(), False),
+        ]
+    )
+    cent = centroids
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            lists = (mn @ cent.T).argmax(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "list_id": lists}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_lists: int = 64,
+    n_probe: int = 8,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: candidates = vectors in each query's
+    n_probe nearest lists, exact cosine re-rank within candidates.
+
+    Cost ~ N * (n_probe / n_lists) per query instead of N; recall
+    tunable via n_probe. Pass pre-trained ``centroids`` to amortize
+    training across query batches.
+    """
+    if centroids is None:
+        centroids = train_coarse_centroids(embeddings, n_lists, vec_col=vec_col)
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    sims = qn @ centroids.T  # (nq, n_lists)
+    probe = np.argsort(-sims, axis=1)[:, : min(n_probe, centroids.shape[0])]
+
+    spark = embeddings.sparkSession
+    probe_rows = [
+        (int(qid), int(lst))
+        for qid, row in zip(np.asarray(query_ids, dtype=np.int64), probe)
+        for lst in row
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long")
+
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cand = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .select("query_id", id_col)
+        .distinct()
+    )
+    emb_cand = embeddings.join(cand, id_col).select("query_id", id_col, vec_col)
+
+    qid_to_row = {int(qid): i for i, qid in enumerate(query_ids)}
+
+    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            qrows = np.array([qid_to_row[int(x)] for x in pdf["query_id"]])
+            s = np.einsum("ij,ij->i", mn, qn[qrows])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cosine": s,
+                }
+            )
+
+    scores = emb_cand.mapInPandas(rescore, schema=_scores_schema())
+    scores = scores.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     queries: np.ndarray,
