@@ -201,3 +201,49 @@ def test_stateful_sketch_stream(spark, transcripts_path, tmp_path):
     }
     for k, m in exact_p50.items():
         assert abs(final[k] - m) / max(m, 1) < 0.06, (k, final[k], m)
+
+
+def test_windowed_watermark_agg(spark, transcripts_path, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.streaming.windowed import windowed_turn_stats
+
+    src = spark.read.parquet(transcripts_path)
+    stream_dir = str(tmp_path / "win_src")
+    src.limit(5000).repartition(4).write.parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+    )
+    agg = windowed_turn_stats(stream, window="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    out = spark.sql("SELECT * FROM win_out").toPandas()
+    # append mode emits only windows closed by the watermark; with
+    # availableNow the final watermark closes all but the latest windows
+    batch = spark.read.parquet(stream_dir)
+    exact = (
+        batch.groupBy(
+            F.window("ts", "6 hours").alias("win"), "role"
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("win.start").alias("window_start"), "role", "n_turns")
+        .toPandas()
+    )
+    assert len(out) > 0
+    merged = out.merge(
+        exact, on=["window_start", "role"], suffixes=("", "_exact")
+    )
+    # every emitted window matches the batch-exact count
+    assert len(merged) == len(out)
+    assert (merged["n_turns"] == merged["n_turns_exact"]).all()

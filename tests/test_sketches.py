@@ -16,7 +16,9 @@ from tgdigest_spark.sketches import HLL, KLL, Bloom, CountMin
 # ---------------------------------------------------------------------------
 
 KLL_K = 200
-KLL_EPS = 0.03  # empirical eps for k=200 with slack (theory ~ O(1/k))
+# measured worst rank error 0.0041 for k=200 over 12 seeds x 7 quantiles
+# x 3 distributions (theory ~ c/k); asserted with ~2.5x slack
+KLL_EPS = 0.01
 
 
 def _rank(sorted_data: np.ndarray, x: float) -> float:

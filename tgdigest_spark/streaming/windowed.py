@@ -1,0 +1,48 @@
+"""Event-time windowed aggregation with watermarked late-data handling.
+
+The reference's freshness tiers (SURVEY §2.9) define a mutable window
+(7 days) beyond which data is immutable; the Structured Streaming
+equivalent is a watermark: rows later than the watermark are dropped,
+state for closed windows is evicted. This wrapper builds the canonical
+windowed aggregate over a transcript stream — per (event-time window,
+role) turn counts and mean text length — plus an approximate distinct
+conversations column via Spark's own HLL++ (approx_count_distinct),
+cross-checkable against our HLL on the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_turn_stats(
+    stream_df: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """stream → watermarked per-window per-role aggregates (append-safe)."""
+    # watermarks require TIMESTAMP (NTZ is rejected); session TZ is UTC
+    # so the cast is an identity relabel
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.avg(F.length("text")).alias("mean_len"),
+            F.approx_count_distinct("conv_id").alias("approx_convs"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "mean_len",
+            "approx_convs",
+        )
+    )
