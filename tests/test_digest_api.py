@@ -71,3 +71,33 @@ def test_run_digest_empty_range_drops_all_blocks(spark, posts):
     )
     digest = run_digest(posts, task)
     assert digest["blocks"] == []  # digest.rs:88-90
+
+
+def test_post_json_and_album_expand(spark, posts):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.operators.post_data import (
+        POST_DATA,
+        album_expand,
+        post_json,
+        to_post_data,
+    )
+
+    docs = to_post_data(posts)
+    # schema parity: all PostData fields present and typed
+    assert {f.name for f in POST_DATA.fields} <= set(docs.columns) | {"channel"}
+    s = post_json(posts, "channel0", 5)
+    assert s is not None
+    doc = _json.loads(s)
+    assert doc["id"] == 5 and doc["url"].endswith("/channel0/5")
+    assert "edit_date" not in doc  # None fields dropped (serde parity)
+    assert "pinned" in doc and doc["pinned"] is False
+    assert post_json(posts, "channel0", 10_000_000) is None
+
+    albums = album_expand(posts)
+    row = albums.orderBy(F.desc("n_items")).first()
+    ids = [it["id"] for it in row["items"]]
+    assert ids == sorted(ids)  # tg.rs:227 sort_by_key(msg_id)
+    assert row["n_items"] == len(ids) >= 2

@@ -105,3 +105,35 @@ def test_grouped_latency_quantiles(spark, transcripts):
     got = {r["conv_id"]: r["p50"] for r in out[:5]}
     for cid, m in exact.items():
         assert abs(got[cid] - m) <= max(0.05 * abs(m), 1e-9), (cid, got[cid], m)
+
+
+def test_result_cache(spark, transcripts, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.plans.result_cache import ResultCache, plan_fingerprint
+
+    cache = ResultCache(str(tmp_path / "rc"))
+    q = transcripts.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+    # identical plans → identical fingerprints, different plans differ
+    q2 = transcripts.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+    q3 = transcripts.groupBy("tool").agg(F.count(F.lit(1)).alias("n"))
+    assert plan_fingerprint(q) == plan_fingerprint(q2)
+    assert plan_fingerprint(q) != plan_fingerprint(q3)
+
+    assert not cache.contains(q)
+    first = {r["role"]: r["n"] for r in cache.get_or_compute(q).collect()}
+    assert cache.contains(q)
+    data_path = os.path.join(str(tmp_path / "rc"))
+    files_before = {
+        f: os.path.getmtime(os.path.join(data_path, f))
+        for f in os.listdir(data_path)
+    }
+    # hit: no recompute, artifact untouched, same values
+    second = {r["role"]: r["n"] for r in cache.get_or_compute(q2).collect()}
+    assert second == first
+    for f, t in files_before.items():
+        assert os.path.getmtime(os.path.join(data_path, f)) == t
+    # snapshot-versioned key busts the cache
+    assert not cache.contains(q, key_extra="snapshot-2")
