@@ -164,6 +164,12 @@ def sketch_by_key(
             codes_s, v_s = codes[order], v[order]
             valid = ~np.isnan(v_s)
             codes_v, v_v = codes_s[valid], v_s[valid]
+            if codes_v.size == 0:
+                # batch had only null values: every key still gets an
+                # (empty) sketch below
+                for u in uniq:
+                    acc.setdefault((u,), factory())
+                return
             bounds = np.flatnonzero(np.r_[True, codes_v[1:] != codes_v[:-1]])
             ends = np.r_[bounds[1:], codes_v.size]
             seen_codes = set()

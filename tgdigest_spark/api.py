@@ -163,10 +163,15 @@ def heavy_hitters(
 ) -> DataFrame:
     """Top-k frequent items with count-min frequency estimates.
 
-    Two passes over one cached projection: (1) a global CountMin built
-    map-side (no raw-row shuffle); (2) a candidate set = union of
-    per-partition local top-m (any global heavy hitter is a local top-m
-    item in at least one partition for m >= k). Candidates get their CM
+    One pass, map-side only: each partition emits a partial CountMin
+    AND its local top-m candidate keys. A global heavy hitter that is
+    also locally heavy somewhere (the normal Zipf case) is always a
+    candidate; the adversarial exception — an item spread so thinly
+    that it is top-m in NO partition — can be missed, so this is a
+    heavy-HITTER detector, not an exact top-k (use
+    groupBy().count() when exactness is required; the per-batch
+    vc head truncation is a further approximation in the same
+    direction). Candidates get their CM
     estimates (guaranteed >= true count) and the global top-k by
     estimate is returned. Scale: the fact table is scanned ONCE and
     never shuffled; the driver inbox is partitions x (m keys + one CM

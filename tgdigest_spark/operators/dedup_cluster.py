@@ -42,6 +42,8 @@ def connected_components(
         F.least(F.min("b"), F.first("a")).alias("label")
     ).select(F.col("a").alias("id"), "label")
 
+    edges = edges.persist()
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         # propagate: my new label = min(my label, labels of my neighbors)
         neighbor_labels = (
@@ -57,6 +59,10 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
+            # truncate lineage every round: without this the plan doubles
+            # per iteration and the changed-count action recomputes the
+            # whole history
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -69,7 +75,9 @@ def connected_components(
         if changed == 0:
             break
     else:
+        edges.unpersist()
         raise RuntimeError(f"components did not converge in {max_iter} rounds")
+    edges.unpersist()
     return labels.withColumnRenamed("label", "component")
 
 

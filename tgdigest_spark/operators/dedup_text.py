@@ -77,20 +77,20 @@ def _shingle_hashes(
     n = h.size
     if n == 0:
         return h, offsets, counts
+    # token's doc index — windows must never absorb the NEXT doc's
+    # tokens (a short doc's shingle would otherwise depend on its batch
+    # neighbor: nondeterministic across partitionings)
+    doc_of = np.repeat(np.arange(counts.size), counts)
     with np.errstate(over="ignore"):
         acc = h.copy()
         for i in range(1, k):
-            nxt = np.empty_like(h)
-            nxt[: n - i] = h[i:]
-            nxt[n - i :] = 0
+            nxt = np.zeros_like(h)
+            same_doc = doc_of[i:] == doc_of[: n - i]
+            nxt[: n - i][same_doc] = h[i:][same_doc]
             acc = splitmix64(acc ^ (nxt * np.uint64(0x9E3779B97F4A7C15)))
-    ends = offsets + counts
     sh_counts = np.maximum(counts - k + 1, np.minimum(counts, 1)).astype(np.int64)
-    keep = np.zeros(n, dtype=bool)
-    for_start = offsets
-    # vectorized mask: index within doc < sh_count
-    doc_idx = np.repeat(np.arange(counts.size), counts)
-    pos_in_doc = np.arange(n) - np.repeat(for_start, counts)
+    # keep shingles whose index within their doc < that doc's shingle count
+    pos_in_doc = np.arange(n) - np.repeat(offsets, counts)
     keep = pos_in_doc < np.repeat(sh_counts, counts)
     sh = acc[keep]
     sh_offsets = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
@@ -276,7 +276,7 @@ def simhash_signatures(
     schema = StructType(
         [
             StructField(id_col, LongType(), False),
-            StructField("simhash", LongType(), False),
+            StructField("simhash", LongType(), True),
         ]
     )
 
@@ -285,6 +285,7 @@ def simhash_signatures(
             if not len(pdf):
                 continue
             h, off, cnt = _token_hashes(pdf[text_col])
+            empty_doc = cnt == 0
             if h.size:
                 bits = (
                     (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
@@ -304,9 +305,15 @@ def simhash_signatures(
                         packed |= fp[:, bit] << np.uint64(bit)
             else:
                 packed = np.zeros(len(pdf), dtype=np.uint64)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "simhash": packed.astype(np.int64)}
             )
+            # token-less docs get a NULL fingerprint: they are not
+            # "similar" to each other, and a shared 0 would put every
+            # empty doc in one LSH bucket (quadratic pair blowup)
+            out.loc[empty_doc, "simhash"] = pd.NA
+            out["simhash"] = out["simhash"].astype("Int64")
+            yield out
 
     return df.select(id_col, text_col).mapInPandas(build, schema=schema)
 
@@ -322,7 +329,11 @@ def simhash_near_pairs(
     Candidates via 4x16-bit band equi-join (a pair within distance 3 is
     guaranteed to agree on >=1 band; larger distances probabilistically).
     """
-    sigs = simhash_signatures(df, id_col, text_col).persist()
+    sigs = (
+        simhash_signatures(df, id_col, text_col)
+        .where(F.col("simhash").isNotNull())
+        .persist()
+    )
     banded = sigs.select(
         id_col,
         "simhash",

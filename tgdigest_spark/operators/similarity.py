@@ -170,16 +170,20 @@ def train_coarse_centroids(
     iters: int = 10,
     seed: int = 29,
     vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
 ) -> np.ndarray:
     """Driver-side Lloyd iterations on a bounded sample (normalized →
-    spherical k-means). Sample size, not table size, bounds the cost;
-    at 100 TB this is the standard train-on-sample IVF recipe."""
-    pdf = (
-        embeddings.select(vec_col)
-        .sample(False, 1.0, seed)
-        .limit(sample_rows)
-        .toPandas()
-    )
+    spherical k-means). Sample size, not table size, bounds the cost.
+
+    For large/clustered tables set ``sample_fraction`` so that
+    fraction * N ≈ sample_rows: the per-row Bernoulli filter draws from
+    ALL partitions before the limit truncates, avoiding first-partition
+    bias (a bare limit on a table sorted by source/time would train
+    centroids on the earliest data only)."""
+    src = embeddings.select(vec_col)
+    if sample_fraction < 1.0:
+        src = src.where(F.rand(seed) < sample_fraction)
+    pdf = src.limit(sample_rows).toPandas()
     x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

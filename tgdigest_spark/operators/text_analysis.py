@@ -26,17 +26,20 @@ STOPWORDS = {
 
 
 def token_count(text: Column) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0)).alias("token_cnt")
+    t = F.coalesce(text, F.lit(""))  # size(NULL) would be -1
+    return F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0)).alias("token_cnt")
 
 
 def alpha_ratio(text: Column) -> Column:
-    n = F.length(text)
-    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
     return F.when(n > 0, alpha / n).otherwise(F.lit(0.0)).alias("alpha_ratio")
 
 
 def _stop_hits(text: Column, words: list[str]) -> Column:
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    # coalesce: size(split(NULL)) is -1, which would push ratios negative
+    toks = F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.array_intersect(toks, arr))
 
@@ -62,11 +65,14 @@ def quality_score(text: Column) -> Column:
     """Composite [0,1]: rewards sane length, letters, stopwords, and
     word lengths in [2, 12] — the usual cheap pre-filters before
     training-data inclusion."""
-    n = F.length(text).cast("double")
+    # NULL text scores 0 everywhere (least() would otherwise skip the
+    # null operand and give a perfect length score)
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t).cast("double")
     len_score = F.least(n / F.lit(200.0), F.lit(1.0))
-    alpha = alpha_ratio(text)
-    stop = stopword_ratio(text, "en")
-    mwl = mean_word_len(text)
+    alpha = alpha_ratio(t)
+    stop = stopword_ratio(t, "en")
+    mwl = mean_word_len(t)
     mwl_score = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(
         F.lit(0.0)
     )

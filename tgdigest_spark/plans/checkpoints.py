@@ -109,7 +109,10 @@ def _build_partition_blobs(
 ) -> list:
     """One Spark job: per-partition (blob, row count) via map-side
     combine + single blob-only shuffle (same topology as sketch_by_key)."""
-    proj = df.select(partition.cast("string").alias("part"), value.alias("v"))
+    proj = df.select(
+        F.coalesce(partition.cast("string"), F.lit("__NULL__")).alias("part"),
+        value.alias("v"),
+    )
 
     def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[str, tuple] = {}
@@ -159,8 +162,13 @@ def build_checkpointed(
 
     Computes ONLY partitions that are missing (resume), listed in
     ``refresh`` (hot tail), or all when ``force`` (ST5 analog).
+
+    Rows whose partition expression is NULL are bucketed under
+    "__NULL__" (otherwise pandas groupby would silently drop them and
+    the never-built null partition would defeat resume's no-op
+    invariant).
     """
-    proj_part = partition.cast("string")
+    proj_part = F.coalesce(partition.cast("string"), F.lit("__NULL__"))
     all_parts = {
         r["p"] for r in df.select(proj_part.alias("p")).distinct().collect()
     }

@@ -52,6 +52,12 @@ class ResultCache:
         data_path, meta_path = self._paths(key)
         if os.path.exists(meta_path):
             return spark.read.parquet(data_path)
+        if os.path.exists(data_path):
+            # stale artifact from a crash between data write and meta
+            # commit — os.replace cannot overwrite a non-empty dir
+            import shutil
+
+            shutil.rmtree(data_path)
         tmp = data_path + ".tmp"
         df.write.mode("overwrite").parquet(tmp)
         os.replace(tmp, data_path)

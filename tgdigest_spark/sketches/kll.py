@@ -41,6 +41,12 @@ class KLL(Sketch):
         self.max = -np.inf
         self._flip = 0
 
+    @property
+    def count(self) -> float:
+        """Protocol-uniform row count (TDigest exposes .count; generic
+        consumers like streaming/stateful.py rely on it)."""
+        return float(self.n)
+
     # -- capacities -----------------------------------------------------
     def _cap(self, level: int) -> int:
         depth = len(self.levels)
