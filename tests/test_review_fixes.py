@@ -154,3 +154,36 @@ def test_result_cache_recovers_from_stale_artifact(spark, transcripts, tmp_path)
     out = cache.get_or_compute(q)
     assert out.count() == 4
     assert cache.contains(q)
+
+
+def test_simhash_bit_exact_vs_numpy_oracle(spark, sf001_dir):
+    """Regression for the pd.NA float-upcast bug: Spark simhash values
+    must match a single-process numpy recomputation bit for bit."""
+    import duckdb
+
+    from tgdigest_spark.operators.dedup_text import (
+        _token_hashes,
+        simhash_signatures,
+    )
+
+    pdf = duckdb.sql(
+        f"select doc_id, text from read_parquet('{sf001_dir}/documents.parquet')"
+        " order by doc_id"
+    ).df()
+    h, off, cnt = _token_hashes(pdf["text"])
+    bits = (
+        (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.int32)
+    signs = 2 * bits - 1
+    sums = np.add.reduceat(signs, np.minimum(off, max(h.size - 1, 0)), axis=0)
+    sums[cnt == 0] = 0
+    fp = (sums > 0).astype(np.uint64)
+    packed = np.zeros(len(pdf), dtype=np.uint64)
+    for b in range(64):
+        packed |= fp[:, b] << np.uint64(b)
+    expect = packed.astype(np.int64)
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    mismatches = [i for i in range(len(expect)) if got[i] != expect[i]]
+    assert mismatches == []

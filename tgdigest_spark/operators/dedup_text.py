@@ -305,15 +305,17 @@ def simhash_signatures(
                         packed |= fp[:, bit] << np.uint64(bit)
             else:
                 packed = np.zeros(len(pdf), dtype=np.uint64)
-            out = pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "simhash": packed.astype(np.int64)}
-            )
             # token-less docs get a NULL fingerprint: they are not
             # "similar" to each other, and a shared 0 would put every
-            # empty doc in one LSH bucket (quadratic pair blowup)
-            out.loc[empty_doc, "simhash"] = pd.NA
-            out["simhash"] = out["simhash"].astype("Int64")
-            yield out
+            # empty doc in one LSH bucket (quadratic pair blowup).
+            # Build the nullable column as an IntegerArray directly —
+            # assigning pd.NA into an int64 column upcasts through
+            # float64 and silently truncates the low ~11 bits.
+            arr = pd.array(packed.astype(np.int64), dtype="Int64")
+            arr[np.flatnonzero(empty_doc)] = pd.NA
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "simhash": arr}
+            )
 
     return df.select(id_col, text_col).mapInPandas(build, schema=schema)
 
