@@ -9,8 +9,9 @@ Default mode (driver contract):
 
 Scaling mode (north_rule evidence — same job at two parallelism levels):
     python bench.py --scaling
-    → runs the sketch-build job at local[8] and local[32] in fresh
-      subprocesses, reports throughput at both + efficiency.
+    → runs the sketch-build jobs at local[4] and local[16] in fresh,
+      interleaved subprocesses (see run_scaling for why not 8/32 on a
+      32-core host), reports throughput at both + efficiency.
 
 Timing policy: each query runs once as warmup (JIT, Arrow init, file
 listing) and twice timed (min taken). Spark session startup is excluded.
@@ -37,7 +38,10 @@ def _sf_from_dir(sf_dir: str) -> float:
     try:
         return float(base.replace("sf", ""))
     except ValueError:
-        return 0.1
+        raise ValueError(
+            f"SPARK_GRAFT_SF_DIR basename {base!r} is not sf<float>; "
+            "refusing to mislabel results / collide bench caches"
+        ) from None
 
 
 SF = _sf_from_dir(SF_DIR)
@@ -57,7 +61,9 @@ def _staged(spark, table: str) -> str:
     has (a 100 TB table is thousands of files). Data is byte-identical.
     """
     dst = os.path.join(DATA_DIR, "bench_cache", f"sf{SF}", table)
-    if not os.path.exists(dst):
+    # _SUCCESS marker guards against a half-written cache from an
+    # interrupted first run poisoning every later benchmark
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         (
             spark.read.parquet(f"{SF_DIR}/{table}.parquet")
             .repartition(max(CPUS, 16))
@@ -79,7 +85,6 @@ def _queries(spark, transcripts):
         latency_quantiles,
         text_length_quantiles,
     )
-    from tgdigest_spark.driver_queries import REGISTRY
     from tgdigest_spark.operators.dedup_text import lsh_candidate_pairs
     from tgdigest_spark.operators.similarity import cosine_topk
 
@@ -111,8 +116,6 @@ def _queries(spark, transcripts):
         return heavy_hitters(
             transcripts.where(F.col("tool").isNotNull()), "tool", k=10
         ).collect()
-
-    from tgdigest_spark.operators.digest import METRICS
 
     def q_topk_per_metric():
         unpiv = lineitem.selectExpr(
@@ -232,7 +235,6 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from tgdigest_spark.session import get_spark
 from pyspark.sql import functions as F
-from tgdigest_spark.api import text_length_quantiles
 from tgdigest_spark.operators.dedup_text import minhash_signatures
 
 cores = int(sys.argv[1])
@@ -296,12 +298,17 @@ def run_scaling(n_small: int = 4, n_big: int = 16, rounds: int = 2) -> dict:
                 text=True,
                 timeout=1800,
             )
-            line = [
+            lines = [
                 l
                 for l in proc.stdout.splitlines()
                 if l.startswith("SCALE_RESULT")
-            ][-1]
-            runs[cores].append(json.loads(line[len("SCALE_RESULT ") :]))
+            ]
+            if proc.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling leg local[{cores}] failed "
+                    f"(rc={proc.returncode}): {proc.stderr[-2000:]}"
+                )
+            runs[cores].append(json.loads(lines[-1][len("SCALE_RESULT ") :]))
     ratio = n_big / n_small
     jobs = {}
     for job in ("tdigest_build", "minhash_build"):

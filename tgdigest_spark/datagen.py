@@ -170,20 +170,28 @@ def write_transcripts(out_dir: str, sf: float, seed: int = 42) -> str:
     partitioned by days(ts) with sort order (conv_id, turn_idx) — see
     sources/transcripts.py.
     """
-    path = os.path.join(out_dir, f"transcripts_sf{sf}.parquet")
+    suffix = "" if seed == 42 else f"_seed{seed}"
+    path = os.path.join(out_dir, f"transcripts_sf{sf}{suffix}.parquet")
     if not os.path.exists(path):
         os.makedirs(out_dir, exist_ok=True)
         # many row groups → parallel scan tasks (one-row-group files
-        # serialize every downstream stage onto a single core)
+        # serialize every downstream stage onto a single core);
+        # tmp+rename so a crash mid-write can't leave a truncated file
+        # that existence-checks would trust forever
+        tmp = path + ".tmp"
         gen_transcripts(sf, seed).to_parquet(
-            path, index=False, row_group_size=16384
+            tmp, index=False, row_group_size=16384
         )
+        os.replace(tmp, path)
     return path
 
 
 def write_posts(out_dir: str, n_posts: int = 3000, seed: int = 42) -> str:
-    path = os.path.join(out_dir, f"posts_{n_posts}.parquet")
+    suffix = "" if seed == 42 else f"_seed{seed}"
+    path = os.path.join(out_dir, f"posts_{n_posts}{suffix}.parquet")
     if not os.path.exists(path):
         os.makedirs(out_dir, exist_ok=True)
-        gen_posts(n_posts, seed).to_parquet(path, index=False)
+        tmp = path + ".tmp"
+        gen_posts(n_posts, seed).to_parquet(tmp, index=False)
+        os.replace(tmp, path)
     return path

@@ -518,9 +518,9 @@ def neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH gaps AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-               )) > 1800 OR LAG(ts) OVER (
+               )) > 1800000000 OR LAG(ts) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                ) IS NULL THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -540,10 +540,12 @@ def neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+    # microsecond-exact gap: unix_timestamp truncates to whole seconds,
+    # which diverges from the oracle's epoch_us at the threshold
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         F.lag(F.col("ts")).over(w).cast("timestamp")
     )
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -692,8 +694,6 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup tier: LSH-bucket candidate pairs,
     exact cosine re-scored, top-20 most similar (approximate tier;
     recall vs brute force asserted in pytest)."""
-    import numpy as np
-
     from .operators.similarity import hyperplane_buckets
 
     emb = load(spark, sf_dir, "embeddings")
@@ -932,7 +932,7 @@ def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") == 1)
         .drop("rn", "fp")
-    )
+    ).persist()  # consumed by 4 downstream actions
     n2 = deduped.count()
 
     near_pairs = lsh_candidate_pairs(deduped, num_perm=128).where(
@@ -942,6 +942,7 @@ def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = deduped.join(losers, "doc_id", "left_anti")
     n3 = final.count()
     tokens = final.agg(F.sum("token_cnt").alias("t")).collect()[0]["t"] or 0
+    deduped.unpersist()
 
     return spark.createDataFrame(
         [(n0, n1, n2, n3, int(tokens))],
