@@ -83,6 +83,28 @@ def sketch_column(
     return _tree_merge(partials, factory, fanout)
 
 
+def _estimated_partitions(df: DataFrame) -> int:
+    """Plan-time estimate of a DataFrame's partition count WITHOUT
+    touching ``.rdd`` (which materializes the plan as an RDD and does
+    not exist under Spark Connect). For file-source plans the scan's
+    file count is the proxy (a 100-TB table lists ~100k files); for
+    in-memory plans the scheduler's default parallelism; failing both,
+    the shuffle-partition conf."""
+    est = 0
+    try:
+        est = len(df.inputFiles())
+    except Exception:  # pragma: no cover — Connect without inputFiles
+        pass
+    try:
+        est = max(est, df.sparkSession.sparkContext.defaultParallelism)
+    except Exception:  # pragma: no cover — Spark Connect: no SparkContext
+        est = max(
+            est,
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+    return max(est, 1)
+
+
 def _tree_merge(partials: DataFrame, factory: SketchFactory, fanout: int) -> Sketch:
     """Log-depth reduction of a DataFrame of sketch blobs to one sketch.
 
@@ -98,10 +120,13 @@ def _tree_merge(partials: DataFrame, factory: SketchFactory, fanout: int) -> Ske
         if blobs:
             yield pd.DataFrame({"sketch": [_merge_blobs(factory, blobs).serialize()]})
 
-    # one Spark-side round whenever the partial count can exceed fanout;
-    # partition count is a plan-time proxy for it (no extra action).
-    if partials.rdd.getNumPartitions() > fanout:
-        partials = partials.repartition(max(2, fanout // 8)).mapInPandas(
+    # Spark-side rounds while the estimated partial count can exceed
+    # fanout (plan-time estimate, no extra action, Connect-safe); each
+    # round repartitions to << fanout so one round normally suffices.
+    n_est = _estimated_partitions(partials)
+    while n_est > fanout:
+        n_est = max(2, fanout // 8)
+        partials = partials.repartition(n_est).mapInPandas(
             merge_part, schema=_BLOB_SCHEMA
         )
     blobs = [r["sketch"] for r in partials.collect()]
@@ -231,8 +256,10 @@ def sketch_by_key(
             yield pd.concat(out, ignore_index=True)
 
         partials = proj.mapInPandas(combine_partition, schema=out_schema)
-        n_parts = max(partials.rdd.getNumPartitions(), 1)
-        return partials.repartition(n_parts, *keys).mapInPandas(
+        # hash-repartition by key at spark.sql.shuffle.partitions (AQE
+        # coalesces the tiny-blob exchange); probing .rdd for a count
+        # here would materialize the plan and break under Spark Connect.
+        return partials.repartition(*keys).mapInPandas(
             merge_partition, schema=out_schema
         )
 

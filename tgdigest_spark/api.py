@@ -160,38 +160,48 @@ def heavy_hitters(
     eps: float = 0.001,
     delta: float = 0.01,
     candidates_per_partition: int = 64,
+    candidate_cap: int = 256,
+    fanout: int = 64,
 ) -> DataFrame:
     """Top-k frequent items with count-min frequency estimates.
 
-    One pass, map-side only: each partition emits a partial CountMin
-    AND its local top-m candidate keys. A global heavy hitter that is
-    also locally heavy somewhere (the normal Zipf case) is always a
-    candidate; the adversarial exception — an item spread so thinly
-    that it is top-m in NO partition — can be missed, so this is a
-    heavy-HITTER detector, not an exact top-k (use
-    groupBy().count() when exactness is required; the per-batch
-    vc head truncation is a further approximation in the same
-    direction). Candidates get their CM
-    estimates (guaranteed >= true count) and the global top-k by
-    estimate is returned. Scale: the fact table is scanned ONCE and
-    never shuffled; the driver inbox is partitions x (m keys + one CM
-    blob) — for scans with >>1k partitions insert a Spark-side blob
-    merge round (agg._tree_merge) or raise eps to shrink blobs.
-    """
-    from pyspark.sql.types import StringType, StructField, StructType
+    One scan of the fact table: each partition emits a partial CountMin
+    AND its local top-m candidate keys with their local counts. A
+    global heavy hitter that is also locally heavy somewhere (the
+    normal Zipf case) is always a candidate; the adversarial exception
+    — an item spread so thinly that it is top-m in NO partition — can
+    be missed, so this is a heavy-HITTER detector, not an exact top-k
+    (use groupBy().count() when exactness is required; the per-batch vc
+    head truncation is a further approximation in the same direction).
 
-    from pyspark.sql.types import BinaryType
+    Everything after the scan is DISTRIBUTED and partition-count
+    independent: candidates reduce Spark-side (groupBy candidate → sum
+    of local counts → deterministic top-``candidate_cap``) and CM blobs
+    reduce through agg._tree_merge, so the driver inbox is at most
+    ``candidate_cap + fanout`` rows whether the scan ran 32 tasks or
+    800k. Candidates then get their CM estimates (guaranteed >= true
+    count) and the global top-k by estimate is returned.
+    """
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     col = F.col(value) if isinstance(value, str) else value
     vals = df.select(col.cast("string").alias("v")).where(F.col("v").isNotNull())
     m = max(k, candidates_per_partition)
+    cand_cap = max(k, candidate_cap)
     factory = lambda: CountMin.from_error(eps, delta)  # noqa: E731
 
-    # ONE pass: each partition emits its partial CM blob (key=None row)
-    # AND its local top-m candidate keys — no persist, no second scan.
+    # ONE pass: each partition emits its partial CM blob (cand=None row)
+    # AND its local top-m candidate keys with local counts.
     fused_schema = StructType(
         [
             StructField("cand", StringType(), True),
+            StructField("cnt", LongType(), True),
             StructField("blob", BinaryType(), True),
         ]
     )
@@ -208,26 +218,48 @@ def heavy_hitters(
                 counts[key] = counts.get(key, 0) + int(c)
         if seen:
             top = sorted(counts.items(), key=lambda kv: -kv[1])[:m]
-            out = pd.DataFrame({"cand": [t[0] for t in top]})
+            out = pd.DataFrame(
+                {"cand": [t[0] for t in top], "cnt": [t[1] for t in top]}
+            )
             out["blob"] = None
             yield pd.concat(
-                [out, pd.DataFrame({"cand": [None], "blob": [cm_part.serialize()]})],
+                [
+                    out,
+                    pd.DataFrame(
+                        {"cand": [None], "cnt": [None], "blob": [cm_part.serialize()]}
+                    ),
+                ],
                 ignore_index=True,
             )
 
-    rows = vals.mapInPandas(fused, schema=fused_schema).collect()
-    blobs = [bytes(r["blob"]) for r in rows if r["blob"] is not None]
-    cand = sorted({r["cand"] for r in rows if r["cand"] is not None})
-    if not blobs:
-        cand = []
-    else:
-        from .agg import merge_blob_tree
-
-        cm = merge_blob_tree(blobs, factory)
-    if not cand:
-        return df.sparkSession.createDataFrame(
-            [], "item string, est_count long"
+    # partials are tiny (partitions x (m+1) rows) but feed two reductions,
+    # so persist to keep the fact-table scan single-pass.
+    partials = vals.mapInPandas(fused, schema=fused_schema).persist()
+    try:
+        cand_rows = (
+            partials.where(F.col("cand").isNotNull())
+            .groupBy("cand")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("cand"))
+            .limit(cand_cap)
+            .collect()
         )
+        cand = sorted(r["cand"] for r in cand_rows)
+        if not cand:
+            return df.sparkSession.createDataFrame(
+                [], "item string, est_count long"
+            )
+        from .agg import _tree_merge
+
+        cm = _tree_merge(
+            partials.where(F.col("blob").isNotNull()).select(
+                F.col("blob").alias("sketch")
+            ),
+            factory,
+            fanout,
+        )
+    finally:
+        partials.unpersist()
     ests = cm.estimate(np.array(cand))
     order = np.argsort(-ests, kind="stable")[:k]
     rows = [(cand[i], int(ests[i])) for i in order]
@@ -238,16 +270,30 @@ def heavy_hitters(
 # membership (Bloom) — exact counterpart: semi join / HashSet
 # ---------------------------------------------------------------------------
 
+def _approx_capacity(df: DataFrame, col: Column) -> DataFrame:
+    """Capacity-sizing plan: HLL++ distinct estimate — one map-side pass
+    + a single-row exchange, NOT the full distinct() hash shuffle the
+    Bloom filter exists to avoid."""
+    return df.agg(F.approx_count_distinct(col).alias("n"))
+
+
 def build_membership(
     df: DataFrame,
     value: Column | str,
     capacity: int | None = None,
     fpr: float = 0.01,
 ) -> Bloom:
-    """Bloom filter over a column (e.g. conv_id universe)."""
-    if capacity is None:
-        capacity = max(1024, df.select(value).distinct().count())
+    """Bloom filter over a column (e.g. conv_id universe).
+
+    When ``capacity`` is not given it is sized from approx_count_distinct
+    (+25% headroom for the ~2% HLL++ error), so default sizing costs one
+    scan with a map-side partial aggregate instead of an exact
+    distinct().count() shuffle of the raw keys.
+    """
     col = F.col(value) if isinstance(value, str) else value
+    if capacity is None:
+        n = _approx_capacity(df, col).collect()[0]["n"]
+        capacity = max(1024, int(n * 1.25))
     return sketch_column(
         df.select(col.cast("string").alias("v")),
         "v",

@@ -26,12 +26,24 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges → DataFrame[id, component] (component = min id reachable).
 
     Converges when no label changes; asserts on non-convergence within
     max_iter (duplicate clusters are near-cliques, 1-3 rounds typical).
+
+    Lineage is truncated every round. Local default:
+    ``localCheckpoint`` (executor-local storage — fast, but a lost
+    executor loses the blocks). On a real cluster pass
+    ``checkpoint_dir`` (HDFS/S3/DBFS path) to use reliable
+    ``checkpoint`` storage instead.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda d: d.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda d: d.localCheckpoint(eager=True)  # noqa: E731
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -43,7 +55,7 @@ def connected_components(
     ).select(F.col("a").alias("id"), "label")
 
     edges = edges.persist()
-    labels = labels.localCheckpoint(eager=True)
+    labels = _ckpt(labels)
     for _ in range(max_iter):
         # propagate: my new label = min(my label, labels of my neighbors)
         neighbor_labels = (
@@ -59,11 +71,11 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            # truncate lineage every round: without this the plan doubles
-            # per iteration and the changed-count action recomputes the
-            # whole history
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage every round: without this the plan doubles
+        # per iteration and the changed-count action recomputes the
+        # whole history
+        new_labels = _ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

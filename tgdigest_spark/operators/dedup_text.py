@@ -131,17 +131,18 @@ def minhash_signatures(
                 continue
             h, off, cnt = _token_hashes(pdf[text_col])
             sh, soff, scnt = _shingle_hashes(h, off, cnt, shingle_k)
-            out_sigs: list[list[int]] = []
+            out_sigs: list[list[int]] = [[] for _ in range(len(pdf))]
             if sh.size:
-                # reduceat gives one column per doc; clip offsets so
-                # trailing empty docs don't index past the end, then
-                # blank empty docs explicitly.
-                safe_off = np.minimum(soff, sh.size - 1)
-                sig = _minhash_matrix(sh, safe_off, num_perm).astype(np.int64)
-                for i in range(len(pdf)):
-                    out_sigs.append(sig[:, i].tolist() if scnt[i] > 0 else [])
-            else:
-                out_sigs = [[] for _ in range(len(pdf))]
+                # reduceat ONLY over non-empty docs' offsets (all strictly
+                # < sh.size; the last segment extends to the array end),
+                # then scatter back. Clipping offsets instead would fold
+                # the final shingle out of the last non-empty doc whenever
+                # the batch ends with empty docs — making a doc's
+                # signature depend on its batch neighbors.
+                nz = np.flatnonzero(scnt > 0)
+                sig = _minhash_matrix(sh, soff[nz], num_perm).astype(np.int64)
+                for j, i in enumerate(nz):
+                    out_sigs[i] = sig[:, j].tolist()
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": out_sigs})
 
     return df.select(id_col, text_col).mapInPandas(build, schema=schema)
@@ -261,7 +262,13 @@ def lsh_candidate_pairs(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.size("sig_a"),
     ).otherwise(F.lit(0.0))
-    return joined.select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+    out = joined.select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+    # The signatures frame is consumed three times (bands + both sides of
+    # the verification join), so it stays persisted until the caller's
+    # final action. Long-lived sessions calling this repeatedly should
+    # release the executor storage afterwards via this handle.
+    out.release_cache = lambda: sigs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -286,25 +293,25 @@ def simhash_signatures(
                 continue
             h, off, cnt = _token_hashes(pdf[text_col])
             empty_doc = cnt == 0
+            packed = np.zeros(len(pdf), dtype=np.uint64)
             if h.size:
                 bits = (
                     (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)
                 ).astype(np.int32)
                 signs = 2 * bits - 1  # (n_tokens, 64)
-                safe_off = np.minimum(off, h.size - 1)
-                sums = np.add.reduceat(signs, safe_off, axis=0)
-                # reduceat repeats segments for empty docs; fix by zeroing
-                empty = cnt == 0
-                if empty.any():
-                    sums[empty] = 0
+                # reduceat ONLY over non-empty docs' offsets (same
+                # batch-composition hazard as minhash_signatures: a
+                # clipped offset truncates the last token's contribution
+                # to the last non-empty doc's fingerprint), then scatter.
+                nz = np.flatnonzero(cnt > 0)
+                sums = np.add.reduceat(signs, off[nz], axis=0)
                 fp = (sums > 0).astype(np.uint64)
-                packed = np.zeros(len(pdf), dtype=np.uint64)
+                packed_nz = np.zeros(len(nz), dtype=np.uint64)
                 with np.errstate(over="ignore"):
                     for bit in range(64):
-                        packed |= fp[:, bit] << np.uint64(bit)
-            else:
-                packed = np.zeros(len(pdf), dtype=np.uint64)
+                        packed_nz |= fp[:, bit] << np.uint64(bit)
+                packed[nz] = packed_nz
             # token-less docs get a NULL fingerprint: they are not
             # "similar" to each other, and a shared 0 would put every
             # empty doc in one LSH bucket (quadratic pair blowup).
@@ -325,11 +332,19 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """→ DataFrame[id_a, id_b, hamming] — pairs within Hamming distance.
 
-    Candidates via 4x16-bit band equi-join (a pair within distance 3 is
+    Candidates via 4x16-bit bands (a pair within distance 3 is
     guaranteed to agree on >=1 band; larger distances probabilistically).
+    Same capped-bucket topology as ``lsh_candidate_pairs``: ONE shuffle
+    groups (band, band_val) members, pairs are generated inside the
+    bucket with numpy, and buckets larger than ``max_bucket`` are
+    dropped — at 10^9 docs the expected band bucket holds N/65,536 docs,
+    so an uncapped self-join would emit ~d^2 rows per hot bucket (a
+    giant duplicate cluster stays discoverable through its other bands
+    and, transitively, through sampled pairs within the cap).
     """
     sigs = (
         simhash_signatures(df, id_col, text_col)
@@ -352,31 +367,72 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    ).select(
+        id_col,
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_val").alias("band_val"),
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= max_hamming)
+
+    buckets = (
+        banded.groupBy("band", "band_val")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias(
+                "members"
+            )
+        )
+        .where((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
+
+    pair_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("hamming", LongType(), False),
+        ]
+    )
+
+    def bucket_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        outs: list[pd.DataFrame] = []
+        for pdf in batches:
+            for members in pdf["members"]:
+                n = len(members)
+                ids = np.fromiter(
+                    (m["id"] for m in members), dtype=np.int64, count=n
+                )
+                shs = np.fromiter(
+                    (m["simhash"] for m in members), dtype=np.int64, count=n
+                ).astype(np.uint64)
+                iu = np.triu_indices(n, k=1)
+                x = shs[iu[0]] ^ shs[iu[1]]
+                ham = (
+                    np.unpackbits(x[:, None].view(np.uint8), axis=1)
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
+                keep = ham <= max_hamming
+                if not keep.any():
+                    continue
+                a, b = ids[iu[0]][keep], ids[iu[1]][keep]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(a, b),
+                            "id_b": np.maximum(a, b),
+                            "hamming": ham[keep],
+                        }
+                    )
+                )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    out = (
+        buckets.mapInPandas(bucket_pairs, schema=pair_schema)
+        .distinct()
         .select("id_a", "id_b", "hamming")
     )
+    out.release_cache = lambda: sigs.unpersist()  # see lsh_candidate_pairs
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -390,12 +446,21 @@ def ngram_jaccard_pairs(
     k: int = 3,
     min_jaccard: float = 0.0,
     top_n: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact k-token-shingle Jaccard for all pairs sharing >=1 shingle.
 
     Built-ins only: tokenize → sliding shingles via transform over
     index array → explode distinct → self-equi-join on shingle →
     inter/union arithmetic. The exact oracle for minhash estimates.
+
+    ``max_df`` is the production switch for corpus scale: a shingle
+    shared by d documents emits d^2 join rows, so one hot trigram makes
+    the self-join quadratic. With ``max_df`` set, shingles whose
+    document frequency exceeds it are dropped from BOTH the intersection
+    and the per-doc sizes (standard df-capping: Jaccard over the
+    remaining, discriminative shingle space). Default ``None`` keeps the
+    exact-oracle semantics bit-for-bit.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_sh = F.greatest(F.size(toks) - F.lit(k - 1), F.least(F.size(toks), F.lit(1)))
@@ -413,6 +478,14 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("shingle") != "")
     )
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(hot, "shingle", "left_anti")
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = exploded.alias("a")
