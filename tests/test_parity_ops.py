@@ -237,3 +237,55 @@ def test_render_entities_spark(spark):
         ).collect()
     ]
     assert got == [exp for _, _, exp in CASES]
+
+
+# ---------------------------------------------------------------------------
+# F11 — mime → extension map (post_data.rs:427-443): all 12 mapped
+# entries, the catch-all 'bin' arm, and the Spark-only null case.
+# ---------------------------------------------------------------------------
+
+F11_CASES = [
+    ("video/mp4", "mp4"),
+    ("video/quicktime", "mov"),
+    ("video/webm", "webm"),
+    ("audio/mpeg", "mp3"),
+    ("audio/ogg", "ogg"),
+    ("audio/mp4", "m4a"),
+    ("image/jpeg", "jpg"),
+    ("image/png", "png"),
+    ("image/webp", "webp"),
+    ("image/gif", "gif"),
+    ("application/pdf", "pdf"),
+    ("application/zip", "zip"),
+    ("application/x-unknown", "bin"),
+    (None, "bin"),
+]
+
+
+def test_mime_ext_parity(spark):
+    from tgdigest_spark.functions.format import mime_ext
+
+    df = spark.createDataFrame(
+        [(i, m) for i, (m, _) in enumerate(F11_CASES)], "i long, mime string"
+    )
+    got = {
+        r["i"]: r["ext"]
+        for r in df.select("i", mime_ext(F.col("mime")).alias("ext")).collect()
+    }
+    assert [got[i] for i in range(len(F11_CASES))] == [e for _, e in F11_CASES]
+
+
+def test_media_cache_path(spark):
+    from tgdigest_spark.operators.post_data import media_cache_path
+
+    df = spark.createDataFrame(
+        [(1234, "image/png"), (77, "application/weird")],
+        "media_id long, mime string",
+    )
+    got = [
+        r["p"]
+        for r in df.select(
+            media_cache_path("media_id", "mime").alias("p")
+        ).collect()
+    ]
+    assert got == ["1234.png", "77.bin"]

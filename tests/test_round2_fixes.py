@@ -279,3 +279,49 @@ def test_connected_components_both_checkpoint_modes(spark, tmp_path, use_dir):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+# ---------------------------------------------------------------------------
+# advisor low items: blob-path injectivity, plan-id normalization,
+# zip build race-safety
+# ---------------------------------------------------------------------------
+
+def test_blob_path_injective_for_colliding_keys(tmp_path):
+    from tgdigest_spark.plans.checkpoints import SketchCheckpointStore
+
+    store = SketchCheckpointStore(str(tmp_path / "ck"))
+    p1 = store._blob_path("a/b")
+    p2 = store._blob_path("a_b")
+    assert p1 != p2
+    # stable across instances (resume must find the same file)
+    store2 = SketchCheckpointStore(str(tmp_path / "ck"))
+    assert store2._blob_path("a/b") == p1
+
+
+def test_plan_normalization_is_order_preserving():
+    from tgdigest_spark.plans.result_cache import _normalize_plan
+
+    # same shape, shifted ids -> identical normalized form
+    assert _normalize_plan("Join (a#5 = b#9) Project a#5") == _normalize_plan(
+        "Join (a#1 = b#2) Project a#1"
+    )
+    # different wiring (which side repeats) -> distinct normalized form;
+    # the old collapse-to-'#' made these identical
+    assert _normalize_plan("Join (a#1 = b#2) Project a#1") != _normalize_plan(
+        "Join (a#1 = b#2) Project b#2"
+    )
+
+
+def test_build_zip_unique_tmp_and_importable(tmp_path):
+    import zipfile
+
+    from tgdigest_spark.pyfiles import build_zip
+
+    out = str(tmp_path / "pkg.zip")
+    path = build_zip(out)
+    assert path == out
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+    assert "tgdigest_spark/pyfiles.py" in names
+    # no stale fixed-name .tmp left behind
+    assert not [p for p in tmp_path.iterdir() if p.name.endswith(".tmp")]

@@ -47,6 +47,33 @@ def html_escape(text: Column) -> Column:
     return out
 
 
+#: F11 — the reference's media-cache extension table
+#: (post_data.rs:427-443), verbatim.
+MIME_EXT = {
+    "video/mp4": "mp4",
+    "video/quicktime": "mov",
+    "video/webm": "webm",
+    "audio/mpeg": "mp3",
+    "audio/ogg": "ogg",
+    "audio/mp4": "m4a",
+    "image/jpeg": "jpg",
+    "image/png": "png",
+    "image/webp": "webp",
+    "image/gif": "gif",
+    "application/pdf": "pdf",
+    "application/zip": "zip",
+}
+
+
+def mime_ext(mime: Column) -> Column:
+    """F11 — mime type → file extension with 'bin' fallback
+    (post_data.rs:427-443). Map-literal lookup (codegen, no UDF);
+    unknown AND null mimes both fall back to 'bin' like the Rust
+    catch-all arm."""
+    m = F.create_map(*[F.lit(x) for kv in MIME_EXT.items() for x in kv])
+    return F.coalesce(m[mime], F.lit("bin"))
+
+
 def best_photo_size(sizes: Column) -> Column:
     """F13 — argmax over array<struct<...,size:long>>: pick the element
     with the largest size (post_data.rs:276-301) via array reduce."""

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -149,6 +149,17 @@ def post_json(posts: DataFrame, channel: str, post_id: int) -> str | None:
     return json.dumps(
         {k: v for k, v in doc.items() if v is not None}, sort_keys=True
     )
+
+
+def media_cache_path(media_id, mime) -> Column:
+    """Media-cache blob key '{media_id}.{ext}' (cache.rs:370-373): the
+    extension comes from the F11 mime→ext table (post_data.rs:427-443).
+    Used to derive the blob-store object key for a document/video row."""
+    from ..functions.format import mime_ext
+
+    media_id = F.col(media_id) if isinstance(media_id, str) else media_id
+    mime = F.col(mime) if isinstance(mime, str) else mime
+    return F.concat(media_id.cast("string"), F.lit("."), mime_ext(mime))
 
 
 def album_expand(posts: DataFrame, neighbor_window: int = 10) -> DataFrame:

@@ -70,8 +70,15 @@ class SketchCheckpointStore:
         os.replace(tmp, self.manifest_path)
 
     def _blob_path(self, key: str) -> str:
+        # sanitized name for readability + short hash of the RAW key for
+        # injectivity: 'a/b' and 'a_b' must not share a blob file (a
+        # collision silently overwrites one sketch with the other while
+        # completed_partitions() marks both done).
+        import hashlib
+
         safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
-        return os.path.join(self.parts_dir, f"{safe}.bin")
+        digest = hashlib.sha1(key.encode()).hexdigest()[:8]
+        return os.path.join(self.parts_dir, f"{safe}-{digest}.bin")
 
     def completed_partitions(self) -> set[str]:
         m = self.manifest()

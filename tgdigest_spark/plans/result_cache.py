@@ -22,14 +22,29 @@ import time
 from pyspark.sql import DataFrame
 
 
+def _normalize_plan(plan: str) -> str:
+    """Map auto-assigned expression ids (#123, vary per session) to
+    sequential tokens in first-occurrence order. Order-preserving — NOT
+    a collapse to one token: in a self-join, same-named columns from the
+    two sides differ only by expr id, and collapsing them would give two
+    semantically different plans the same fingerprint (stale results)."""
+    import re
+
+    ids: dict[str, str] = {}
+
+    def repl(m) -> str:
+        tok = m.group(0)
+        if tok not in ids:
+            ids[tok] = f"#e{len(ids)}"
+        return ids[tok]
+
+    return re.sub(r"#\d+", repl, plan)
+
+
 def plan_fingerprint(df: DataFrame) -> str:
     """Stable hash of the analyzed plan (expr ids normalized out)."""
     plan = df._jdf.queryExecution().analyzed().toString()
-    # normalize auto-assigned expression ids (#123) which vary per session
-    import re
-
-    normalized = re.sub(r"#\d+", "#", plan)
-    return hashlib.sha256(normalized.encode()).hexdigest()[:20]
+    return hashlib.sha256(_normalize_plan(plan).encode()).hexdigest()[:20]
 
 
 class ResultCache:

@@ -20,7 +20,12 @@ _SENT = "_tgdigest_pyfiles_shipped"
 def build_zip(out_path: str | None = None) -> str:
     """Zip the package (source only) for --py-files / addPyFile."""
     if out_path is None:
-        out_path = os.path.join(tempfile.gettempdir(), "tgdigest_spark.zip")
+        # per-user default name: a shared-tempdir path collides across
+        # users on one host (the first user's file blocks the others)
+        uid = os.getuid() if hasattr(os, "getuid") else "u"
+        out_path = os.path.join(
+            tempfile.gettempdir(), f"tgdigest_spark-{uid}.zip"
+        )
     src_mtime = max(
         os.path.getmtime(os.path.join(root, f))
         for root, _, files in os.walk(_PKG_DIR)
@@ -29,17 +34,27 @@ def build_zip(out_path: str | None = None) -> str:
     )
     if os.path.exists(out_path) and os.path.getmtime(out_path) >= src_mtime:
         return out_path
-    tmp = out_path + ".tmp"
-    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _, files in os.walk(_PKG_DIR):
-            for f in sorted(files):
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.join(
-                        "tgdigest_spark", os.path.relpath(full, _PKG_DIR)
-                    )
-                    zf.write(full, rel)
-    os.replace(tmp, out_path)
+    # per-process unique temp name: two drivers racing on a fixed .tmp
+    # path could ship a corrupt/partial zip to executors
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(out_path) or ".", suffix=".zip.tmp"
+    )
+    os.close(fd)
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _, files in os.walk(_PKG_DIR):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "tgdigest_spark", os.path.relpath(full, _PKG_DIR)
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, out_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return out_path
 
 
