@@ -367,27 +367,50 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_sketch_api_spark.py and tests/test_sketches.py.
 # ---------------------------------------------------------------------------
 
+def _exact_q(ev: DataFrame, qs: list[float]) -> list[float]:
+    """Exact full-sort quantiles (Spark built-in percentile) — the
+    machine-checkable sanity anchor carried alongside each no_oracle
+    sketch row (reference-exact semantics, post.rs:76-80)."""
+    row = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"q{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    return [float(row[f"q{i}"]) for i in range(len(qs))]
+
+
 @register("sketch_tdigest_quantiles", None)
 def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global p50/p95/p99 of events.value via the merging t-digest."""
+    """Global p50/p95/p99 of events.value via the merging t-digest,
+    with the exact percentiles + worst absolute error as self-check
+    columns (the t-digest rank-error bound is asserted in pytest)."""
     from .api import quantiles
 
     ev = load(spark, sf_dir, "events")
     est = quantiles(ev, "value", [0.5, 0.95, 0.99], delta=200)
+    ex = _exact_q(ev, [0.5, 0.95, 0.99])
+    err = max(abs(a - b) for a, b in zip([est[0.5], est[0.95], est[0.99]], ex))
     return spark.createDataFrame(
-        [(est[0.5], est[0.95], est[0.99])], "p50 double, p95 double, p99 double"
+        [(est[0.5], est[0.95], est[0.99], ex[0], ex[2], float(err))],
+        "p50 double, p95 double, p99 double, "
+        "exact_p50 double, exact_p99 double, max_abs_err double",
     )
 
 
 @register("sketch_kll_quantiles", None)
 def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same quantiles via KLL (rank-error flavor)."""
+    """Same quantiles via KLL (rank-error flavor), with exact anchors."""
     from .api import quantiles_kll
 
     ev = load(spark, sf_dir, "events")
     est = quantiles_kll(ev, "value", [0.5, 0.95, 0.99], k=200)
+    ex = _exact_q(ev, [0.5, 0.95, 0.99])
+    err = max(abs(a - b) for a, b in zip([est[0.5], est[0.95], est[0.99]], ex))
     return spark.createDataFrame(
-        [(est[0.5], est[0.95], est[0.99])], "p50 double, p95 double, p99 double"
+        [(est[0.5], est[0.95], est[0.99], ex[0], ex[2], float(err))],
+        "p50 double, p95 double, p99 double, "
+        "exact_p50 double, exact_p99 double, max_abs_err double",
     )
 
 
@@ -711,22 +734,12 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from .operators.similarity import cosine_expr
+
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     joined = pairs.join(ea, "id_a").join(eb, "id_b")
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    cos = cosine_expr("va", "vb")
     return (
         joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), "id_a", "id_b")
@@ -856,18 +869,146 @@ def simhash_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_cosine_topk", None)
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+                   AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+    """,
+)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for 3 query vectors."""
+    """Brute-force cosine top-5 neighbors for 3 query vectors.
+
+    Oracle-checked: the numpy matmul kernel's scores are rounded to 6dp
+    and RANKED ON THE ROUNDED VALUE (vec_id tiebreak), so sub-ulp
+    summation-order differences between numpy's pairwise sums and
+    DuckDB's fold can never flip the comparison."""
     import numpy as np
 
-    from .operators.similarity import cosine_topk
+    from .operators.similarity import cosine_scores
 
     emb = load(spark, sf_dir, "embeddings")
     qpdf = emb.where(F.col("vec_id") < 3).toPandas().sort_values("vec_id")
     queries = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
-    return cosine_topk(emb, queries, qpdf["vec_id"].to_numpy(), k=5).withColumn(
-        "cosine", F.round("cosine", 6)
+    scores = cosine_scores(emb, queries, qpdf["vec_id"].to_numpy()).where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scores = scores.withColumn("cosine", F.round("cosine", 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+@register(
+    "neardup_rescore_exact",
+    """
+    WITH blk AS (
+        SELECT vec_id, vec_id % 16 AS b, embedding::DOUBLE[] AS v
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM blk a JOIN blk b ON a.b = b.b AND a.vec_id < b.vec_id
+    ), ranked AS (
+        SELECT id_a, id_b, cosine,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, id_a, id_b) AS rn
+        FROM pairs
+    )
+    SELECT id_a, id_b, cosine FROM ranked WHERE rn <= 20
+    """,
+)
+def neardup_rescore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of embedding_neardup_lsh: identical exact-
+    cosine RESCORE expression (operators/similarity.cosine_expr), but
+    candidates come from a deterministic SQL-expressible blocking
+    (vec_id % 16) instead of seeded random hyperplanes — so DuckDB can
+    reproduce the candidate set and hash-verify the arithmetic."""
+    from .operators.similarity import cosine_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    blk = emb.select(
+        "vec_id", (F.col("vec_id") % 16).alias("b"), F.col("embedding").alias("v")
+    )
+    a = blk.select(
+        F.col("b"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = blk.select(
+        F.col("b"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, ["b"]).where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_expr("va", "vb"), 6)
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@register(
+    "mime_extension_counts",
+    """
+    WITH m AS (
+        SELECT (['video/mp4','video/quicktime','video/webm','audio/mpeg',
+                 'audio/ogg','audio/mp4','image/jpeg','image/png',
+                 'image/webp','image/gif','application/pdf',
+                 'application/zip','application/x-unknown']
+               )[(doc_id % 13) + 1] AS mime
+        FROM documents
+    )
+    SELECT CASE mime
+               WHEN 'video/mp4' THEN 'mp4'
+               WHEN 'video/quicktime' THEN 'mov'
+               WHEN 'video/webm' THEN 'webm'
+               WHEN 'audio/mpeg' THEN 'mp3'
+               WHEN 'audio/ogg' THEN 'ogg'
+               WHEN 'audio/mp4' THEN 'm4a'
+               WHEN 'image/jpeg' THEN 'jpg'
+               WHEN 'image/png' THEN 'png'
+               WHEN 'image/webp' THEN 'webp'
+               WHEN 'image/gif' THEN 'gif'
+               WHEN 'application/pdf' THEN 'pdf'
+               WHEN 'application/zip' THEN 'zip'
+               ELSE 'bin'
+           END AS ext,
+           COUNT(*) AS cnt
+    FROM m GROUP BY 1
+    """,
+)
+def mime_extension_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 under the driver contract: documents get a deterministic
+    synthetic mime (doc_id mod over the reference's 12 known types + one
+    unknown), mapped through functions/format.mime_ext and counted; the
+    oracle mirrors the reference's match arms (post_data.rs:427-443)."""
+    from .functions.format import MIME_EXT, mime_ext
+
+    mimes = list(MIME_EXT) + ["application/x-unknown"]
+    docs = load(spark, sf_dir, "documents")
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in mimes]),
+        (F.pmod(F.col("doc_id"), F.lit(13)) + 1).cast("int"),
+    )
+    return (
+        docs.select(mime_ext(mime).alias("ext"))
+        .groupBy("ext")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -1001,6 +1142,39 @@ def checkpointed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_partitions int, resume_untouched boolean, n_rows double, "
             "p50 double, p99 double",
         )
+
+
+@register(
+    "checkpoint_lineage_counts",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS part, COUNT(*) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
+def checkpoint_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle slice of the checkpoint machinery (ST7/ST8): build
+    per-day t-digest checkpoints over events, then report each
+    partition's ROW COUNT straight from the lineage manifest. The
+    oracle is a plain GROUP BY — hash-equality proves the per-partition
+    map-side combine counted every row exactly once through the
+    checkpoint path (build → blob → manifest)."""
+    import os
+    import tempfile
+
+    from .plans.checkpoints import SketchCheckpointStore, build_checkpointed
+    from .sketches.tdigest import TDigest
+
+    ev = load(spark, sf_dir, "events")
+    part = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    with tempfile.TemporaryDirectory() as d:
+        store = SketchCheckpointStore(os.path.join(d, "ckpt"))
+        manifest = build_checkpointed(
+            ev, part, F.col("value"), lambda: TDigest(200), store
+        )
+        rows = [
+            (k, int(v["rows"])) for k, v in manifest["partitions"].items()
+        ]
+    return spark.createDataFrame(rows, "part string, n_rows long")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -32,6 +32,28 @@ from pyspark.sql.types import (
 )
 
 
+def cosine_expr(va, vb):
+    """Cosine similarity of two array columns as a pure built-in
+    expression (sequential double fold — whole-stage codegen, no UDF).
+    The JVM-side twin of the numpy rescore kernels below; driver-query
+    oracles compare it against DuckDB's list_cosine_similarity."""
+    va = F.col(va) if isinstance(va, str) else va
+    vb = F.col(vb) if isinstance(vb, str) else vb
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (norm(va) * norm(vb))
+
+
 def _scores_schema() -> StructType:
     return StructType(
         [
