@@ -175,12 +175,11 @@ def heavy_hitters(
     head truncation is a further approximation in the same direction).
 
     Everything after the scan is DISTRIBUTED and partition-count
-    independent: candidates reduce Spark-side (groupBy candidate → sum
-    of local counts → deterministic top-``candidate_cap``) and CM blobs
-    reduce through agg._tree_merge, so the driver inbox is at most
-    ``candidate_cap + fanout`` rows whether the scan ran 32 tasks or
-    800k. Candidates then get their CM estimates (guaranteed >= true
-    count) and the global top-k by estimate is returned.
+    independent: a Spark-side reduction tier merges CM blobs and
+    pre-sums candidate counts, so the driver inbox is at most
+    ``(fanout/8) x (candidate_cap + 1)`` rows whether the scan ran 32
+    tasks or 800k. Candidates then get their CM estimates (guaranteed
+    >= true count) and the global top-k by estimate is returned.
     """
     from pyspark.sql.types import (
         BinaryType,
@@ -232,34 +231,64 @@ def heavy_hitters(
                 ignore_index=True,
             )
 
-    # partials are tiny (partitions x (m+1) rows) but feed two reductions,
-    # so persist to keep the fact-table scan single-pass.
-    partials = vals.mapInPandas(fused, schema=fused_schema).persist()
-    try:
-        cand_rows = (
-            partials.where(F.col("cand").isNotNull())
-            .groupBy("cand")
-            .agg(F.sum("cnt").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("cand"))
-            .limit(cand_cap)
-            .collect()
-        )
-        cand = sorted(r["cand"] for r in cand_rows)
-        if not cand:
-            return df.sparkSession.createDataFrame(
-                [], "item string, est_count long"
-            )
-        from .agg import _tree_merge
+    # ONE Spark-side reduction tier (a small shuffle of the tiny partial
+    # rows): each reducer merges its CM blobs into one and pre-sums its
+    # candidate counts, keeping the top cand_cap. Candidate counts are
+    # ONLY used to choose which keys to estimate — the returned counts
+    # always come from the merged CM — so tier-local truncation keeps
+    # the detector semantics while the driver inbox stays at most
+    # tier_width x (cand_cap + 1) rows, independent of scan width.
+    partials = vals.mapInPandas(fused, schema=fused_schema)
+    tier = max(2, fanout // 8)
 
-        cm = _tree_merge(
-            partials.where(F.col("blob").isNotNull()).select(
-                F.col("blob").alias("sketch")
-            ),
-            factory,
-            fanout,
+    def reduce_tier(batches):
+        cm_merged = None
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                if blob is None:
+                    continue
+                part = CountMin.deserialize(bytes(blob))
+                cm_merged = part if cm_merged is None else cm_merged.merge(part)
+            c = pdf[pdf["cand"].notna()]
+            for key, v in zip(c["cand"], c["cnt"]):
+                counts[key] = counts.get(key, 0) + int(v)
+        if cm_merged is None and not counts:
+            return
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:cand_cap]
+        out = pd.DataFrame(
+            {"cand": [t[0] for t in top], "cnt": [t[1] for t in top]}
         )
-    finally:
-        partials.unpersist()
+        out["blob"] = None
+        blob_row = pd.DataFrame(
+            {
+                "cand": [None],
+                "cnt": [None],
+                "blob": [cm_merged.serialize() if cm_merged is not None else None],
+            }
+        )
+        yield pd.concat([out, blob_row], ignore_index=True)
+
+    rows = (
+        partials.repartition(tier)
+        .mapInPandas(reduce_tier, schema=fused_schema)
+        .collect()
+    )
+    blobs = [bytes(r["blob"]) for r in rows if r["blob"] is not None]
+    cand_counts: dict[str, int] = {}
+    for r in rows:
+        if r["cand"] is not None:
+            cand_counts[r["cand"]] = cand_counts.get(r["cand"], 0) + r["cnt"]
+    cand = sorted(
+        sorted(cand_counts, key=lambda c: (-cand_counts[c], c))[:cand_cap]
+    )
+    if not blobs or not cand:
+        return df.sparkSession.createDataFrame(
+            [], "item string, est_count long"
+        )
+    from .agg import merge_blob_tree
+
+    cm = merge_blob_tree(blobs, factory)
     ests = cm.estimate(np.array(cand))
     order = np.argsort(-ests, kind="stable")[:k]
     rows = [(cand[i], int(ests[i])) for i in order]
