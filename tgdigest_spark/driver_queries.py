@@ -1145,6 +1145,80 @@ def checkpointed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_prep_exact_stages",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               COALESCE(text, '') AS tx,
+               len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS token_cnt
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, tx, token_cnt,
+               (LEAST(LENGTH(tx) / 200.0, 1.0)
+                + CASE WHEN LENGTH(tx) > 0
+                       THEN LENGTH(regexp_replace(tx, '[^A-Za-z]', '', 'g')) * 1.0
+                            / LENGTH(tx)
+                       ELSE 0.0 END
+                + LEAST((len(list_intersect(
+                        string_split_regex(lower(trim(tx)), '\\s+'),
+                        ['the','and','of','to','is'])) / 5.0) * 2.0, 1.0)
+                + CASE WHEN token_cnt > 0
+                        AND LENGTH(regexp_replace(tx, '\\s', '', 'g')) * 1.0
+                            / token_cnt BETWEEN 2.0 AND 12.0
+                       THEN 1.0 ELSE 0.0 END
+               ) / 4.0 AS quality
+        FROM t
+    ), quality_docs AS (
+        SELECT doc_id, token_cnt,
+               regexp_replace(lower(trim(tx)), '\\s+', ' ', 'g') AS norm
+        FROM scored WHERE quality >= 0.5
+    ), kept AS (
+        SELECT norm, MIN(doc_id) AS doc_id FROM quality_docs GROUP BY norm
+    )
+    SELECT (SELECT COUNT(*) FROM t) AS ingested,
+           (SELECT COUNT(*) FROM quality_docs) AS after_quality,
+           (SELECT COUNT(*) FROM kept) AS after_exact_dedup,
+           (SELECT COALESCE(SUM(q.token_cnt), 0)
+            FROM quality_docs q JOIN kept k ON q.doc_id = k.doc_id)
+               AS kept_tokens
+    """,
+)
+def training_prep_exact_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable exact slice of training_prep_pipeline: ingest →
+    quality filter → exact dedup (normalized-text fingerprint, keep min
+    doc_id) with per-stage counts + surviving token count. Runs the SAME
+    operator expressions (quality_score / token_count / fingerprint);
+    the SQL mirrors each built-in 1:1 and dedups on the normalized text
+    itself (equivalent key: xxhash64(norm) vs norm)."""
+    from .operators.text_analysis import fingerprint, quality_score, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id", "text", quality_score(t), token_count(t)
+    ).persist()
+    n0 = scored.count()
+    quality = scored.where(F.col("quality") >= 0.5)
+    n1 = quality.count()
+    deduped = (
+        quality.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .where(F.col("rn") == 1)
+    )
+    agg = deduped.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("token_cnt").alias("tok")
+    ).collect()[0]
+    scored.unpersist()
+    return spark.createDataFrame(
+        [(n0, n1, int(agg["n"]), int(agg["tok"] or 0))],
+        "ingested long, after_quality long, after_exact_dedup long, "
+        "kept_tokens long",
+    )
+
+
+@register(
     "checkpoint_lineage_counts",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS part, COUNT(*) AS n_rows
