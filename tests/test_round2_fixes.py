@@ -325,3 +325,83 @@ def test_build_zip_unique_tmp_and_importable(tmp_path):
     assert "tgdigest_spark/pyfiles.py" in names
     # no stale fixed-name .tmp left behind
     assert not [p for p in tmp_path.iterdir() if p.name.endswith(".tmp")]
+
+
+# ---------------------------------------------------------------------------
+# round-2 code-review findings
+# ---------------------------------------------------------------------------
+
+def test_estimated_partitions_sees_shuffle_width(spark):
+    """A post-shuffle plan's width comes from spark.sql.shuffle.partitions;
+    the estimate must be >= it so _tree_merge inserts its round."""
+    from tgdigest_spark.agg import _estimated_partitions
+
+    df = spark.range(100).groupBy((F.col("id") % 10).alias("k")).count()
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _estimated_partitions(df) >= conf
+
+
+def test_tree_merge_fanout_one_terminates(spark):
+    from tgdigest_spark.agg import sketch_column
+    from tgdigest_spark.sketches.hll import HLL
+
+    df = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    est = sketch_column(df, "v", lambda: HLL(12), fanout=1).estimate()
+    assert abs(est - 3000) / 3000 < 0.1
+
+
+def test_range_scan_composes_with_read_transcripts(spark, transcripts, tmp_path):
+    from tgdigest_spark.sources.transcripts import (
+        range_scan,
+        read_transcripts,
+        write_transcripts_table,
+    )
+
+    out = str(tmp_path / "tbl")
+    write_transcripts_table(transcripts, out)
+    back = read_transcripts(spark, out)
+    q = range_scan(back, "2024-01-10 00:00:00", "2024-01-12 23:59:59")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: []" not in plan
+    # opt-out path still available for schema-clean reads
+    clean = read_transcripts(spark, out, keep_partition_col=False)
+    assert "ts_day" not in clean.columns
+
+
+def test_simhash_duplicate_doc_ids_no_self_pairs(spark):
+    from tgdigest_spark.operators.dedup_text import simhash_near_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),  # double-ingested id
+        (2, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_near_pairs(df, max_hamming=4).collect()
+    assert all(r["id_a"] < r["id_b"] for r in got)
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+def test_checkpoint_legacy_blob_path_still_resumes(tmp_path):
+    """Stores written before the sha1 suffix ('{safe}.bin') must still
+    read + resume; new writes go to the injective path."""
+    import os
+
+    from tgdigest_spark.plans.checkpoints import SketchCheckpointStore
+    from tgdigest_spark.sketches.tdigest import TDigest
+
+    store = SketchCheckpointStore(str(tmp_path / "ck"))
+    sk = TDigest(100)
+    import numpy as np
+
+    sk.update(np.arange(100.0))
+    legacy = os.path.join(store.parts_dir, "2024-01-01.bin")
+    with open(legacy, "wb") as f:
+        f.write(sk.serialize())
+    m = store.manifest()
+    m["partitions"]["2024-01-01"] = {"status": "done", "rows": 100}
+    store._write_manifest(m)
+    assert store.completed_partitions() == {"2024-01-01"}
+    assert store._blob_path("2024-01-01") == legacy
+    blobs = store.blobs()
+    assert TDigest.deserialize(blobs["2024-01-01"]).count == 100

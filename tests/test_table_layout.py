@@ -71,7 +71,10 @@ def test_range_scan_prunes_partitions(spark, transcripts, tmp_path):
 
     out = str(tmp_path / "range_tbl")
     write_transcripts_table(transcripts, out)
-    back = spark.read.parquet(out)
+    # through the library's own reader: ts_day must survive so pruning
+    # composes (a dropped partition col silently disables it)
+    back = read_transcripts(spark, out)
+    assert "ts_day" in back.columns
     start, end = "2024-01-10 00:00:00", "2024-01-12 23:59:59"
 
     pruned = range_scan(back, start, end)

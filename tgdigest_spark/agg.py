@@ -84,25 +84,32 @@ def sketch_column(
 
 
 def _estimated_partitions(df: DataFrame) -> int:
-    """Plan-time estimate of a DataFrame's partition count WITHOUT
+    """Plan-time UPPER estimate of a DataFrame's partition count WITHOUT
     touching ``.rdd`` (which materializes the plan as an RDD and does
-    not exist under Spark Connect). For file-source plans the scan's
-    file count is the proxy (a 100-TB table lists ~100k files); for
-    in-memory plans the scheduler's default parallelism; failing both,
-    the shuffle-partition conf."""
-    est = 0
+    not exist under Spark Connect). Conservative max over the signals
+    we can read cheaply: scan file count (a 100-TB table lists ~100k
+    files), scheduler default parallelism, and the shuffle-partition
+    conf (a plan downstream of a join/groupBy/repartition has shuffle
+    width, which neither of the first two reflects). Over-estimating
+    costs one tiny extra merge round; under-estimating costs an
+    unbounded driver inbox."""
+    est = 1
     try:
-        est = len(df.inputFiles())
+        est = max(est, len(df.inputFiles()))
     except Exception:  # pragma: no cover — Connect without inputFiles
         pass
     try:
         est = max(est, df.sparkSession.sparkContext.defaultParallelism)
     except Exception:  # pragma: no cover — Spark Connect: no SparkContext
+        pass
+    try:
         est = max(
             est,
             int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
         )
-    return max(est, 1)
+    except (ValueError, TypeError):  # e.g. AQE 'auto' on some platforms
+        est = max(est, 200)
+    return est
 
 
 def _tree_merge(partials: DataFrame, factory: SketchFactory, fanout: int) -> Sketch:
@@ -124,11 +131,14 @@ def _tree_merge(partials: DataFrame, factory: SketchFactory, fanout: int) -> Ske
     # fanout (plan-time estimate, no extra action, Connect-safe); each
     # round repartitions to << fanout so one round normally suffices.
     n_est = _estimated_partitions(partials)
+    target = max(2, fanout // 8)
     while n_est > fanout:
-        n_est = max(2, fanout // 8)
-        partials = partials.repartition(n_est).mapInPandas(
+        partials = partials.repartition(target).mapInPandas(
             merge_part, schema=_BLOB_SCHEMA
         )
+        n_est = target
+        if target > fanout:  # fanout <= 1: one bounded round is the floor
+            break
     blobs = [r["sketch"] for r in partials.collect()]
     if not blobs:
         return factory()

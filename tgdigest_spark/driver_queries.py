@@ -847,11 +847,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup_text import lsh_candidate_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return (
-        lsh_candidate_pairs(docs, num_perm=128, bands=32, rows=4)
-        .orderBy(F.desc("est_jaccard"), "id_a", "id_b")
-        .limit(20)
-    )
+    pairs = lsh_candidate_pairs(docs, num_perm=128, bands=32, rows=4)
+    release = pairs.release_cache  # capture BEFORE transforming (attr
+    # lives on this DataFrame object only)
+    out = pairs.orderBy(F.desc("est_jaccard"), "id_a", "id_b").limit(20)
+    rows = out.collect()
+    release()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register("simhash_summary", None)
@@ -862,11 +864,15 @@ def simhash_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = simhash_near_pairs(docs, max_hamming=16)
-    return pairs.agg(
+    release = pairs.release_cache
+    out = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs_h16"),
         F.sum((F.col("hamming") <= 8).cast("long")).alias("n_pairs_h8"),
         F.sum((F.col("hamming") == 0).cast("long")).alias("n_exact"),
     )
+    rows = out.collect()
+    release()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(
@@ -1076,13 +1082,14 @@ def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()  # consumed by 4 downstream actions
     n2 = deduped.count()
 
-    near_pairs = lsh_candidate_pairs(deduped, num_perm=128).where(
-        F.col("est_jaccard") >= 0.8
-    )
+    cand = lsh_candidate_pairs(deduped, num_perm=128)
+    release_sigs = cand.release_cache
+    near_pairs = cand.where(F.col("est_jaccard") >= 0.8)
     losers = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = deduped.join(losers, "doc_id", "left_anti")
     n3 = final.count()
     tokens = final.agg(F.sum("token_cnt").alias("t")).collect()[0]["t"] or 0
+    release_sigs()
     deduped.unpersist()
 
     return spark.createDataFrame(

@@ -266,7 +266,9 @@ def lsh_candidate_pairs(
     # The signatures frame is consumed three times (bands + both sides of
     # the verification join), so it stays persisted until the caller's
     # final action. Long-lived sessions calling this repeatedly should
-    # release the executor storage afterwards via this handle.
+    # release the executor storage afterwards via this handle. NOTE:
+    # capture the handle BEFORE transforming — DataFrame transformations
+    # return new objects that do not carry the attribute.
     out.release_cache = lambda: sigs.unpersist()
     return out
 
@@ -403,6 +405,13 @@ def simhash_near_pairs(
                 shs = np.fromiter(
                     (m["simhash"] for m in members), dtype=np.int64, count=n
                 ).astype(np.uint64)
+                # a doc_id fed twice (upstream double-ingest) would pair
+                # with itself as (x, x, 0); dedup like lsh's np.unique
+                ids, first = np.unique(ids, return_index=True)
+                shs = shs[first]
+                n = ids.size
+                if n < 2:
+                    continue
                 iu = np.triu_indices(n, k=1)
                 x = shs[iu[0]] ^ shs[iu[1]]
                 ham = (
@@ -478,7 +487,13 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("shingle") != "")
     )
+    release = None
     if max_df is not None:
+        # the exploded shingle set feeds 4 consumers on this path (hot
+        # aggregate, anti-join probe, sizes, both join sides) — persist
+        # so the tokenize+shingle subtree runs once, not ~5x.
+        exploded = exploded.persist()
+        release = exploded.unpersist
         hot = (
             exploded.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -516,4 +531,6 @@ def ngram_jaccard_pairs(
     )
     if top_n is not None:
         out = out.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(top_n)
+    if release is not None:
+        out.release_cache = release  # same contract as lsh/simhash pairs
     return out

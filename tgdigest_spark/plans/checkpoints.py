@@ -78,7 +78,14 @@ class SketchCheckpointStore:
 
         safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
         digest = hashlib.sha1(key.encode()).hexdigest()[:8]
-        return os.path.join(self.parts_dir, f"{safe}-{digest}.bin")
+        path = os.path.join(self.parts_dir, f"{safe}-{digest}.bin")
+        # migration: stores written before the hash suffix used
+        # '{safe}.bin'; read those if present so old checkpoints still
+        # resume as no-ops (writes always go to the injective path).
+        legacy = os.path.join(self.parts_dir, f"{safe}.bin")
+        if not os.path.exists(path) and os.path.exists(legacy):
+            return legacy
+        return path
 
     def completed_partitions(self) -> set[str]:
         m = self.manifest()

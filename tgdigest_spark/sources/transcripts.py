@@ -63,9 +63,19 @@ def write_transcripts_table(
         )
 
 
-def read_transcripts(spark, path_or_table: str) -> DataFrame:
+def read_transcripts(
+    spark, path_or_table: str, keep_partition_col: bool = True
+) -> DataFrame:
+    """Read the layout. ``ts_day`` stays by default: it is the pruning
+    key ``range_scan`` needs — dropping it up front silently disables
+    partition pruning for every downstream range query (the projection
+    removes the column the predicate must bind to). Pass
+    ``keep_partition_col=False`` for a schema-clean frame when no
+    range queries will follow."""
     df = spark.read.parquet(path_or_table)
-    return df.drop("ts_day") if "ts_day" in df.columns else df
+    if not keep_partition_col and "ts_day" in df.columns:
+        df = df.drop("ts_day")
+    return df
 
 
 def range_scan(
