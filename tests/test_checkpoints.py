@@ -247,3 +247,24 @@ def test_windowed_watermark_agg(spark, transcripts_path, tmp_path):
     # every emitted window matches the batch-exact count
     assert len(merged) == len(out)
     assert (merged["n_turns"] == merged["n_turns_exact"]).all()
+
+
+def test_streaming_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers a whole epoch after a failure between
+    sink write and stream-checkpoint commit; merging the same epoch
+    twice must not double-count."""
+    from tgdigest_spark.streaming.stream_agg import merge_batch_into_store
+
+    store = SketchCheckpointStore(str(tmp_path / "replay_ckpt"))
+    batch = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)], "role string, v double"
+    )
+    merge_batch_into_store(batch, 0, F.col("role"), F.col("v"), FACTORY, store)
+    n1 = merged_sketch(store, FACTORY).count
+    # replay of epoch 0 (same data) — skipped
+    merge_batch_into_store(batch, 0, F.col("role"), F.col("v"), FACTORY, store)
+    n2 = merged_sketch(store, FACTORY).count
+    assert n1 == n2 == 100
+    # a NEW epoch does merge
+    merge_batch_into_store(batch, 1, F.col("role"), F.col("v"), FACTORY, store)
+    assert merged_sketch(store, FACTORY).count == 200

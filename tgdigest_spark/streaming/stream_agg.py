@@ -28,6 +28,59 @@ from ..agg import sketch_by_key
 from ..plans.checkpoints import SketchCheckpointStore
 
 
+def merge_batch_into_store(
+    batch_df: DataFrame,
+    epoch_id: int,
+    bucket: Column,
+    value: Column,
+    factory: Callable,
+    store: SketchCheckpointStore,
+) -> None:
+    """Merge one micro-batch's per-bucket sketches into the store.
+
+    Exactly-once per epoch: foreachBatch re-delivers a whole epoch after
+    a failure between sink write and stream-checkpoint commit, so a
+    bucket whose manifest already records this ``epoch_id`` is skipped —
+    the blob merge would otherwise double-count the replayed rows.
+    (Within one epoch the per-bucket write is atomic via tmp+rename, and
+    the manifest commits after all blob writes: a crash mid-epoch replays
+    into buckets that never recorded the epoch.)
+    """
+    rows = (
+        sketch_by_key(
+            batch_df.select(
+                bucket.cast("string").alias("bucket"), value.alias("v")
+            ),
+            ["bucket"],
+            "v",
+            factory,
+        )
+    ).collect()
+    manifest = store.manifest()
+    deser = type(factory()).deserialize
+    for r in rows:
+        key = r["bucket"]
+        entry = manifest["partitions"].setdefault(
+            key, {"status": "done", "batches": 0}
+        )
+        if entry.get("last_epoch") == int(epoch_id):
+            continue  # replayed epoch: already merged into this bucket
+        path = store._blob_path(key)
+        blob = bytes(r["sketch"])
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                merged = deser(f.read()).merge(deser(blob))
+            blob = merged.serialize()
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        entry["status"] = "done"
+        entry["batches"] = int(entry.get("batches", entry.get("rows", 0))) + 1
+        entry["last_epoch"] = int(epoch_id)
+    store._write_manifest(manifest)
+
+
 def sketch_stream_to_store(
     stream_df: DataFrame,
     bucket: Column,
@@ -45,37 +98,7 @@ def sketch_stream_to_store(
     """
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = (
-            sketch_by_key(
-                batch_df.select(
-                    bucket.cast("string").alias("bucket"), value.alias("v")
-                ),
-                ["bucket"],
-                "v",
-                factory,
-            )
-        ).collect()
-        manifest = store.manifest()
-        deser = type(factory()).deserialize
-        for r in rows:
-            key = r["bucket"]
-            path = store._blob_path(key)
-            blob = bytes(r["sketch"])
-            if os.path.exists(path):
-                with open(path, "rb") as f:
-                    merged = deser(f.read()).merge(deser(blob))
-                blob = merged.serialize()
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, path)
-            entry = manifest["partitions"].setdefault(
-                key, {"status": "done", "rows": 0}
-            )
-            entry["status"] = "done"
-            entry["rows"] = int(entry.get("rows", 0)) + 1  # batches merged
-            entry["last_epoch"] = int(epoch_id)
-        store._write_manifest(manifest)
+        merge_batch_into_store(batch_df, epoch_id, bucket, value, factory, store)
 
     return (
         stream_df.writeStream.outputMode("update")
