@@ -30,6 +30,8 @@ def main() -> int:
     ap.add_argument("--value", default="length(text)")
     ap.add_argument("--qs", default="0.5,0.95,0.99")
     ap.add_argument("--delta", type=int, default=200)
+    ap.add_argument("--from-key", dest="from_key", default=None)
+    ap.add_argument("--to-key", dest="to_key", default=None)
     args = ap.parse_args()
     qs = [float(q) for q in args.qs.split(",")]
 
@@ -44,13 +46,19 @@ def main() -> int:
         )
 
         store = SketchCheckpointStore(args.ckpt)
-        sk = merged_sketch(store, factory)
+        keys = None
+        if args.from_key or args.to_key:
+            lo = args.from_key or ""
+            hi = args.to_key or "￿"
+            keys = lambda k: lo <= k <= hi  # noqa: E731
+        sk = merged_sketch(store, factory, keys=keys)
         est = sk.quantile(qs)
         print(
             json.dumps(
                 {
                     "source": "checkpoints",
                     "partitions": len(store.completed_partitions()),
+                    "window": [args.from_key, args.to_key],
                     "rows": sk.count,
                     "quantiles": dict(zip(map(str, qs), map(float, est))),
                 }

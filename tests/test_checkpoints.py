@@ -268,3 +268,36 @@ def test_streaming_epoch_replay_is_idempotent(spark, tmp_path):
     # a NEW epoch does merge
     merge_batch_into_store(batch, 1, F.col("role"), F.col("v"), FACTORY, store)
     assert merged_sketch(store, FACTORY).count == 200
+
+
+def test_window_quantiles_from_checkpoints(spark, transcripts, tmp_path):
+    """The reference recomputes each date-windowed digest from raw rows
+    (post.rs:76-90); here the window answer is a merge of just that
+    window's checkpoint blobs and must match the raw-row digest's
+    accuracy class vs the exact percentile over the same rows."""
+    from tgdigest_spark.plans.checkpoints import (
+        build_checkpointed,
+        window_quantiles,
+    )
+
+    store = SketchCheckpointStore(str(tmp_path / "win_ckpt"))
+    part = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    val = F.length("text").cast("double")
+    build_checkpointed(transcripts, part, val, FACTORY, store)
+
+    lo, hi = "2024-01-10", "2024-01-20"
+    got = window_quantiles(store, FACTORY, [0.5, 0.99], lo, hi)
+    rows = transcripts.where(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").between(lo, hi)
+    )
+    exact = rows.agg(
+        F.expr("percentile(length(text), 0.5)").alias("p50"),
+        F.expr("percentile(length(text), 0.99)").alias("p99"),
+    ).collect()[0]
+    assert abs(got[0] - exact["p50"]) / max(exact["p50"], 1) < 0.05
+    assert abs(got[1] - exact["p99"]) / max(exact["p99"], 1) < 0.05
+    # the window digest counted exactly the window's rows
+    from tgdigest_spark.plans.checkpoints import merged_sketch
+
+    sk = merged_sketch(store, FACTORY, keys=lambda k: lo <= k <= hi)
+    assert sk.count == rows.count()

@@ -220,11 +220,39 @@ def build_checkpointed(
     return manifest
 
 
-def merged_sketch(store: SketchCheckpointStore, factory):
-    """Tree-merge all completed partition blobs (deterministic order)."""
+def merged_sketch(store: SketchCheckpointStore, factory, keys=None):
+    """Tree-merge completed partition blobs (deterministic order).
+
+    ``keys``: optional iterable/predicate restricting which partitions
+    merge — the reference's date-windowed digest (a digest for
+    [from, to] merges only those days' blobs; post.rs builds each
+    window from scratch, here it is a driver-side KB-blob merge)."""
     from ..agg import merge_blob_tree
 
     blobs = store.blobs()
+    if keys is not None:
+        selected = set(keys) if not callable(keys) else None
+        blobs = {
+            k: v
+            for k, v in blobs.items()
+            if (keys(k) if callable(keys) else k in selected)
+        }
     if not blobs:
         return factory()
     return merge_blob_tree(list(blobs.values()), factory)
+
+
+def window_quantiles(
+    store: SketchCheckpointStore,
+    factory,
+    qs: list[float],
+    from_key: str,
+    to_key: str,
+) -> list[float]:
+    """Quantiles for the closed partition-key window [from_key, to_key]
+    (keys are the partition expression's string form, e.g. ISO days, so
+    lexicographic == chronological). The digest-per-window answer the
+    reference recomputes from raw rows per request (post.rs:76-90)
+    becomes a millisecond merge of the window's checkpoint blobs."""
+    sk = merged_sketch(store, factory, keys=lambda k: from_key <= k <= to_key)
+    return [float(v) for v in sk.quantile(list(qs))]
