@@ -1226,6 +1226,110 @@ def training_prep_exact_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pipeline_stats",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+               octet_length(encode(COALESCE(text, ''))) AS n_bytes,
+               CASE WHEN (['image','audio','video'])[(doc_id % 3) + 1] = 'video'
+                    THEN (doc_id % 120) + 1 ELSE NULL END AS duration_s
+        FROM documents
+    )
+    SELECT kind,
+           COUNT(*) AS n_assets,
+           SUM(n_bytes) AS total_bytes,
+           CAST(COALESCE(SUM(CASE WHEN kind = 'video'
+                    THEN LEAST(GREATEST(FLOOR(duration_s * 1.0), 1), 32)
+               END), 0) AS BIGINT) AS n_frames
+    FROM m GROUP BY kind
+    """,
+)
+def multimodal_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle gate: documents become a
+    deterministic media table (payload = UTF-8 bytes of text, kind =
+    doc_id mod 3, video duration from doc_id), then the REAL pipeline
+    runs — map-side extract_features over the binary payloads (fake
+    decoder; payloads never shuffle) and sample_frames' sequence
+    arithmetic — and per-kind byte/frame totals are hash-checked
+    against SQL that derives the same integers from the base table."""
+    from .operators.multimodal import extract_features, sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias(
+            "payload"
+        ),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                kind == "video",
+                (F.pmod(F.col("doc_id"), F.lit(120)) + 1).cast("double"),
+            ).alias("duration_s"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("string").alias("codec"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    per_kind = feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    n_frames = sample_frames(media, fps=1.0, max_frames=32).count()
+    return per_kind.select(
+        "kind",
+        "n_assets",
+        "total_bytes",
+        F.when(F.col("kind") == "video", F.lit(int(n_frames)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_frames"),
+    )
+
+
+@register("ann_ivf_recall", None)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating IVF ANN: coarse k-means + n_probe lists, top-10
+    recall vs brute force per query (approximate tier; recall bound
+    asserted in pytest)."""
+    import numpy as np
+
+    from .operators.similarity import ann_ivf_topk, cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qpdf = emb.where(F.col("vec_id") < 5).toPandas().sort_values("vec_id")
+    queries = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+    qids = qpdf["vec_id"].to_numpy()
+    exact = cosine_topk(emb, queries, qids, k=10).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    approx = ann_ivf_topk(
+        emb, queries, qids, k=10, n_lists=16, n_probe=6
+    ).select("query_id", F.col("vec_id").alias("approx_id"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (F.col("exact_id") == F.col("approx_id")),
+    ).groupBy(exact.query_id.alias("qid")).agg(F.count(F.lit(1)).alias("hits"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(hits, F.col("query_id") == F.col("qid"), "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("n")).alias("recall"),
+        )
+    )
+
+
+@register(
     "checkpoint_lineage_counts",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS part, COUNT(*) AS n_rows
