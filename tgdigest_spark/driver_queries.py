@@ -1185,7 +1185,7 @@ def checkpointed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT COUNT(*) FROM t) AS ingested,
            (SELECT COUNT(*) FROM quality_docs) AS after_quality,
            (SELECT COUNT(*) FROM kept) AS after_exact_dedup,
-           (SELECT COALESCE(SUM(q.token_cnt), 0)
+           (SELECT CAST(COALESCE(SUM(q.token_cnt), 0) AS BIGINT)
             FROM quality_docs q JOIN kept k ON q.doc_id = k.doc_id)
                AS kept_tokens
     """,
@@ -1238,7 +1238,7 @@ def training_prep_exact_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT kind,
            COUNT(*) AS n_assets,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            CAST(COALESCE(SUM(CASE WHEN kind = 'video'
                     THEN LEAST(GREATEST(FLOOR(duration_s * 1.0), 1), 32)
                END), 0) AS BIGINT) AS n_frames
