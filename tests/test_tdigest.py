@@ -177,3 +177,38 @@ def test_centroid_count_bounded():
     for c in np.array_split(rng.uniform(0, 1, 500_000), 50):
         td.update(c)
     assert td.means.size <= DELTA  # delta/2 clusters + straddle slack
+
+
+def test_quantile_blobs_matches_per_blob():
+    """Vectorized mass extraction == per-blob deserialize().quantile()
+    across sizes incl. empty, single-value, single-centroid, and big."""
+    import numpy as np
+
+    from tgdigest_spark.sketches.tdigest import TDigest
+
+    rng = np.random.default_rng(11)
+    qs = [0.01, 0.5, 0.95, 0.99]
+    blobs = []
+    for i in range(300):
+        td = TDigest(100)
+        n = int(rng.choice([0, 1, 2, 3, 10, 100, 5000]))
+        if n:
+            td.update(rng.lognormal(0, 1, n))
+        blobs.append(td.serialize())
+    # force a true single-centroid multi-value digest
+    td = TDigest(100)
+    td.update(np.array([1.0, 2.0, 3.0]))
+    while td.means.size > 1:
+        td = TDigest(10)
+        td.update(np.array([1.0, 2.0, 3.0]))
+        break
+    blobs.append(td.serialize())
+
+    bulk = TDigest.quantile_blobs(blobs, qs)
+    for i, b in enumerate(blobs):
+        ref = TDigest.deserialize(b).quantile(qs)
+        got = bulk[i]
+        if np.all(np.isnan(ref)):
+            assert np.all(np.isnan(got))
+        else:
+            np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)

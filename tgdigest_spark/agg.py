@@ -298,6 +298,7 @@ def with_quantiles(
 ) -> DataFrame:
     """blob column → one double column per requested quantile."""
     deser = _deser(factory)
+    bulk = getattr(type(factory()), "quantile_blobs", None)
     names = [f"{prefix}{int(q * 100) if (q * 100).is_integer() else q}" for q in qs]
 
     fields = [f for f in blob_df.schema.fields if f.name != blob_col]
@@ -305,10 +306,18 @@ def with_quantiles(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ests = [deser(b).quantile(qs) for b in pdf[blob_col]]
             out = pdf.drop(columns=[blob_col])
-            for i, n in enumerate(names):
-                out[n] = [e[i] for e in ests]
+            if bulk is not None:
+                # mass extraction: one vectorized pass over the whole
+                # Arrow batch (10^6-group extractions spend more time in
+                # per-blob Python than arithmetic otherwise)
+                ests = bulk(list(pdf[blob_col]), qs)
+                for i, n in enumerate(names):
+                    out[n] = ests[:, i]
+            else:
+                per = [deser(b).quantile(qs) for b in pdf[blob_col]]
+                for i, n in enumerate(names):
+                    out[n] = [e[i] for e in per]
             yield out
 
     return blob_df.mapInPandas(extract, schema=out_schema)

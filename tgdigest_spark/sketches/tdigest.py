@@ -167,6 +167,98 @@ class TDigest(Sketch):
         out = np.interp(xs, vals, ranks) / self.count
         return float(out[0]) if np.isscalar(x) else out
 
+    @classmethod
+    def quantile_blobs(cls, blobs, qs) -> np.ndarray:
+        """(len(blobs), len(qs)) quantile estimates in ONE vectorized
+        pass — numerically equivalent to
+        ``[cls.deserialize(b).quantile(qs) for b in blobs]`` without
+        constructing len(blobs) objects. The mass-extraction hot path:
+        per-group quantiles over 10^6+ tiny digests spend more time in
+        per-blob Python than in arithmetic; here headers are unpacked,
+        centroid arrays concatenated once, and the piecewise-linear
+        interpolation for ALL digests runs as a single searchsorted over
+        a (2*segment_id + normalized-rank) key (ranks normalized to
+        [0,1] make the key strictly increasing across segments)."""
+        import struct as _struct
+
+        p = len(blobs)
+        qs_arr = np.clip(np.atleast_1d(np.asarray(qs, dtype=np.float64)), 0, 1)
+        nq = qs_arr.size
+        out = np.full((p, nq), np.nan)
+        if p == 0:
+            return out
+        head = _struct.Struct("<4sHIQddd")
+        off0 = head.size
+        ns = np.empty(p, np.int64)
+        mins = np.empty(p)
+        maxs = np.empty(p)
+        counts = np.empty(p)
+        means_parts = []
+        weights_parts = []
+        for i, b in enumerate(blobs):
+            magic, ver, _delta, n, mn, mx, cnt = head.unpack_from(b, 0)
+            if magic != cls.MAGIC or ver != cls.VERSION:
+                raise ValueError("bad t-digest blob header")
+            ns[i], mins[i], maxs[i], counts[i] = n, mn, mx, cnt
+            means_parts.append(np.frombuffer(b, np.float64, n, off0))
+            weights_parts.append(np.frombuffer(b, np.float64, n, off0 + 8 * n))
+
+        live = np.flatnonzero((counts > 0) & (ns > 0))
+        if live.size == 0:
+            return out
+        if live.size < p:
+            means_parts = [means_parts[i] for i in live]
+            weights_parts = [weights_parts[i] for i in live]
+        ns_l, mins_l, maxs_l, counts_l = (
+            ns[live], mins[live], maxs[live], counts[live]
+        )
+        m = np.concatenate(means_parts)
+        w = np.concatenate(weights_parts)
+        nseg = live.size
+        seg_of = np.repeat(np.arange(nseg), ns_l)
+        ends = np.cumsum(ns_l)
+        starts = ends - ns_l
+        cs = np.cumsum(w)
+        cs_before = np.concatenate(([0.0], cs[ends[:-1] - 1]))
+        # centroid mid-ranks normalized to [0, 1] within each segment
+        rank_norm = (cs - cs_before[seg_of] - 0.5 * w) / counts_l[seg_of]
+
+        k = ns_l + 2  # nodes: min + centroids + max
+        node_ends = np.cumsum(k) - 1
+        node_starts = node_ends - k + 1
+        total = int(node_ends[-1]) + 1
+        rr = np.empty(total)
+        vv = np.empty(total)
+        rr[node_starts] = 0.0
+        rr[node_ends] = 1.0
+        vv[node_starts] = mins_l
+        vv[node_ends] = maxs_l
+        pos = node_starts[seg_of] + 1 + (np.arange(m.size) - starts[seg_of])
+        rr[pos] = rank_norm
+        vv[pos] = m
+
+        rkey = 2.0 * np.repeat(np.arange(nseg), k) + rr
+        tkey = (
+            2.0 * np.arange(nseg)[:, None] + qs_arr[None, :]
+        ).ravel()  # (nseg*nq,)
+        idx = np.searchsorted(rkey, tkey, side="right")
+        seg_rep = np.repeat(np.arange(nseg), nq)
+        lo = np.clip(idx - 1, node_starts[seg_rep], node_ends[seg_rep] - 1)
+        hi = lo + 1
+        t = np.tile(qs_arr, nseg)
+        denom = rr[hi] - rr[lo]
+        frac = np.where(denom > 0, (t - rr[lo]) / np.where(denom > 0, denom, 1), 0.0)
+        frac = np.clip(frac, 0.0, 1.0)
+        est = vv[lo] + frac * (vv[hi] - vv[lo])
+        est = est.reshape(nseg, nq)
+        # parity with quantile(): a single-centroid digest answers its
+        # mean for every q (no interpolation toward min/max)
+        single = np.flatnonzero(ns_l == 1)
+        if single.size:
+            est[single, :] = m[starts[single], None]
+        out[live] = est
+        return out
+
     # -- serialization ----------------------------------------------------
     def serialize(self) -> bytes:
         head = struct.pack(
