@@ -301,3 +301,43 @@ def test_window_quantiles_from_checkpoints(spark, transcripts, tmp_path):
 
     sk = merged_sketch(store, FACTORY, keys=lambda k: lo <= k <= hi)
     assert sk.count == rows.count()
+
+
+def test_resume_recovers_from_crash_between_blob_and_manifest(
+    spark, transcripts, tmp_path
+):
+    """Crash injection: a blob written but never committed to the
+    manifest must be recomputed on resume (the manifest is the source
+    of truth); a manifest entry whose blob file vanished must also be
+    recomputed, not trusted."""
+    import os
+
+    from tgdigest_spark.plans.checkpoints import (
+        build_checkpointed,
+        merged_sketch,
+    )
+
+    store = SketchCheckpointStore(str(tmp_path / "crash_ckpt"))
+    part = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    val = F.length("text").cast("double")
+    sub = transcripts.where(part < "2024-01-20")
+    build_checkpointed(sub, part, val, FACTORY, store)
+    done = store.completed_partitions()
+    assert done
+
+    # crash type 1: orphan blob with no manifest entry
+    orphan_key = "2024-09-99"
+    with open(store._blob_path(orphan_key), "wb") as f:
+        f.write(FACTORY().serialize())
+    assert orphan_key not in store.completed_partitions()
+
+    # crash type 2: manifest says done, blob missing
+    victim = sorted(done)[0]
+    os.unlink(store._blob_path(victim))
+    assert victim not in store.completed_partitions()
+
+    # resume rebuilds ONLY the victim (and any genuinely new partitions)
+    build_checkpointed(sub, part, val, FACTORY, store)
+    assert victim in store.completed_partitions()
+    merged = merged_sketch(store, FACTORY)
+    assert merged.count == sub.count()
