@@ -284,3 +284,64 @@ def test_dedup_clusters(spark, dup_corpus):
     cc = {r["id"]: r["component"] for r in connected_components(chain).collect()}
     assert cc[1] == cc[2] == cc[3] == 1
     assert cc[10] == cc[11] == 10
+
+
+# ---------------------------------------------------------------------------
+# dataset splitting (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+def test_assign_splits_bernoulli(spark):
+    from tgdigest_spark.operators.sampling import assign_splits
+
+    df = spark.range(20000).select(F.col("id"))
+    out = assign_splits(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000  # disjoint + complete
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    # seeded: rerun identical
+    again = {r["split"]: r["cnt"] for r in
+             assign_splits(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+             .groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert again == counts
+
+
+def test_assign_splits_exact_proportions(spark):
+    from tgdigest_spark.operators.sampling import assign_splits_exact
+
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    out = assign_splits_exact(
+        df, {"train": 0.9, "val": 0.05, "test": 0.05},
+        by="stratum", shuffle_key=F.md5(F.col("id").cast("string")),
+    )
+    per = {
+        (r["stratum"], r["split"]): r["cnt"]
+        for r in out.groupBy("stratum", "split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for s in ("s0", "s1", "s2"):
+        assert per[(s, "train")] == 900   # exact per stratum (n=1000)
+        assert per[(s, "val")] == 50
+        assert per[(s, "test")] == 50
+    # deterministic: same rows -> same assignment for a sample row
+    a = out.where(F.col("id") == 17).collect()[0]["split"]
+    b = assign_splits_exact(
+        df.repartition(13), {"train": 0.9, "val": 0.05, "test": 0.05},
+        by="stratum", shuffle_key=F.md5(F.col("id").cast("string")),
+    ).where(F.col("id") == 17).collect()[0]["split"]
+    assert a == b
+
+
+def test_assign_splits_validation(spark):
+    import pytest as _pytest
+
+    from tgdigest_spark.operators.sampling import assign_splits
+
+    df = spark.range(10)
+    with _pytest.raises(ValueError):
+        assign_splits(df, {})
+    with _pytest.raises(ValueError):
+        assign_splits(df, {"a": -1.0, "b": 2.0})

@@ -431,11 +431,22 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sketch_cm_heavy_hitters", None)
 def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 event types by count-min estimated frequency."""
+    """Top-5 event types by count-min estimated frequency, with the
+    exact count and one-sided error as self-check columns (CM
+    guarantees est >= exact; bound asserted in pytest)."""
     from .api import heavy_hitters
 
     ev = load(spark, sf_dir, "events")
-    return heavy_hitters(ev, "event_type", k=5, eps=0.001, delta=0.01)
+    hh = heavy_hitters(ev, "event_type", k=5, eps=0.001, delta=0.01)
+    exact = ev.groupBy(F.col("event_type").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return hh.join(F.broadcast(exact), "item", "left").select(
+        "item",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    )
 
 
 @register("sketch_bloom_membership", None)
@@ -448,21 +459,32 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     week1 = ev.where(F.col("ts") < "2024-01-08 00:00:00")
     bloom = build_membership(week1, F.col("user_id").cast("string"), fpr=0.01)
     kept = membership_prune(ev, F.col("user_id").cast("string"), bloom).count()
+    # exact semi-join as the self-check anchor: no false negatives means
+    # kept >= exact, and the surplus is bounded by fpr
+    exact = ev.join(
+        week1.select("user_id").distinct(), "user_id", "left_semi"
+    ).count()
     return spark.createDataFrame(
-        [(int(kept), float(bloom.fill_ratio()))],
-        "kept_rows long, fill_ratio double",
+        [(int(kept), int(exact), float(bloom.fill_ratio()))],
+        "kept_rows long, exact_semijoin_rows long, fill_ratio double",
     )
 
 
 @register("sketch_grouped_tdigest", None)
 def sketch_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type t-digest quantiles (salted two-stage merge)."""
+    """Per-event-type t-digest quantiles (salted two-stage merge) with
+    exact per-group percentiles as self-check columns."""
     from .api import grouped_quantiles
 
     ev = load(spark, sf_dir, "events")
-    return grouped_quantiles(
+    est = grouped_quantiles(
         ev, ["event_type"], "value", [0.5, 0.95], method="salted"
-    ).orderBy("event_type")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
 
 
 # J1/J3 — broadcast dim-join enrichment (the reference's channel-entity
@@ -1360,6 +1382,46 @@ def checkpoint_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k, int(v["rows"])) for k, v in manifest["partitions"].items()
         ]
     return spark.createDataFrame(rows, "part string, n_rows long")
+
+
+@register(
+    "train_val_split_counts",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY MD5(CAST(event_id AS VARCHAR))
+               ) - 1 AS DOUBLE)
+               / CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)
+                   AS frac
+        FROM events
+    )
+    SELECT event_type,
+           CASE WHEN frac < 0.9 THEN 'train'
+                WHEN frac < 0.95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS cnt
+    FROM s GROUP BY 1, 2
+    """,
+)
+def train_val_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (90/5/5 per
+    event_type, md5 content-hash shuffle) — per-(stratum, split) counts
+    hash-verified against the SQL mirror. The auditable freeze: same
+    table in, same split out, no seed state."""
+    from .operators.sampling import assign_splits_exact
+
+    ev = load(spark, sf_dir, "events")
+    split = assign_splits_exact(
+        ev,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        by="event_type",
+        shuffle_key=F.md5(F.col("event_id").cast("string")),
+    )
+    return split.groupBy("event_type", "split").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
