@@ -345,3 +345,52 @@ def test_assign_splits_validation(spark):
         assign_splits(df, {})
     with _pytest.raises(ValueError):
         assign_splits(df, {"a": -1.0, "b": 2.0})
+
+
+# ---------------------------------------------------------------------------
+# decontamination + PII scrub
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_removes_leaked_docs(spark):
+    from tgdigest_spark.operators.dedup_text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim leak
+            (2, "quick brown fox jumps over the lazy"),          # heavy overlap
+            (3, "an entirely different training document here"),
+            (4, ""),                                             # no shingles
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, max_overlap=0.5).collect()
+    }
+    assert 1 not in kept and 2 not in kept
+    assert kept == {3, 4, 5}  # shingle-less docs pass through
+
+
+def test_scrub_pii_redacts_and_preserves(spark):
+    from tgdigest_spark.operators.text_analysis import scrub_pii
+
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.org please"),
+        (1, "server 192.168.1.254 timed out"),
+        (2, "call +4915123456789 today"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: r["scrubbed"]
+        for r in df.select("i", scrub_pii(F.col("text"))).collect()
+    }
+    assert got[0] == "mail me at [EMAIL] please"
+    assert got[1] == "server [IP] timed out"
+    assert got[2] == "call [PHONE] today"
+    assert got[3] == "no pii here at all"

@@ -1385,6 +1385,153 @@ def checkpoint_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_counts",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               string_split_regex(trim(COALESCE(text, '')), '\\s+') AS t
+        FROM documents
+    ), csh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], chr(31)) AS shingle
+        FROM c, UNNEST(generate_series(
+            1, GREATEST(len(t) - 2, LEAST(len(t), 1)))) AS g(i)
+    ), csh2 AS (
+        SELECT * FROM csh WHERE shingle <> ''
+    ), bsh AS (
+        SELECT DISTINCT shingle FROM csh2 WHERE doc_id < 25
+    ), n AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM csh2 GROUP BY 1
+    ), h AS (
+        SELECT doc_id, COUNT(*) AS n_hit
+        FROM csh2 JOIN bsh USING (shingle) GROUP BY 1
+    ), bad AS (
+        SELECT n.doc_id FROM n JOIN h USING (doc_id)
+        WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) > 0.5
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_corpus,
+           (SELECT COUNT(*) FROM bad) AS n_removed,
+           (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM bad)
+               AS n_kept
+    """,
+)
+def decontaminate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination under the oracle gate: docs with
+    doc_id < 25 act as the 'eval benchmark'; corpus docs whose trigram
+    overlap with the benchmark shingle set exceeds 0.5 are removed
+    (the benchmark docs themselves are in the corpus, so they must all
+    be caught — eval-leakage semantics)."""
+    from .operators.dedup_text import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 25)
+    clean = decontaminate(docs, bench, k=3, max_overlap=0.5)
+    n_corpus = docs.count()
+    n_kept = clean.count()
+    return spark.createDataFrame(
+        [(n_corpus, n_corpus - n_kept, n_kept)],
+        "n_corpus long, n_removed long, n_kept long",
+    )
+
+
+@register(
+    "pii_scrub_stats",
+    """
+    WITH injected AS (
+        SELECT doc_id,
+               COALESCE(text, '') ||
+               CASE doc_id % 4
+                   WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                               || '@example.com now'
+                   WHEN 1 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.1 today'
+                   WHEN 2 THEN ' call +14155550' || CAST(doc_id % 10 AS VARCHAR)
+                               || ' now'
+                   ELSE ''
+               END AS t2
+        FROM documents
+    ), counted AS (
+        SELECT doc_id, t2,
+               len(regexp_extract_all(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(t2,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+               len(regexp_extract_all(t2, '\\+\\d{7,15}\\b')) AS n_phone,
+               LENGTH(t2) - LENGTH(
+                   regexp_replace(regexp_replace(regexp_replace(t2,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '[IP]', 'g'),
+                       '\\+\\d{7,15}\\b', '[PHONE]', 'g')
+               ) AS delta
+        FROM injected
+    )
+    SELECT CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+           CAST(SUM(delta) AS BIGINT) AS chars_removed
+    FROM counted
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction under the oracle gate: deterministic synthetic PII
+    (emails / IPv4s / phone numbers keyed on doc_id) is appended to the
+    corpus, scrubbed with operators/text_analysis.scrub_pii, and the
+    per-kind match counts + redacted-char totals are hash-checked
+    against the RE2 mirror of the same patterns."""
+    from .operators.text_analysis import pii_counts, scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" contact u"), did.cast("string"), F.lit("@example.com now")
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".1 today"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit(" call +14155550"), (did % 10).cast("string"), F.lit(" now")
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    t2 = docs.select("doc_id", injected.alias("t2"))
+    cnts = pii_counts(F.col("t2"))
+    counted = t2.select(
+        "doc_id",
+        cnts["email"],
+        cnts["ipv4"],
+        cnts["phone"],
+        (F.length("t2") - F.length(scrub_pii(F.col("t2")))).alias("delta"),
+    )
+    return counted.agg(
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum(
+            (
+                (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+            ).cast("long")
+        ).alias("n_docs_redacted"),
+        F.sum("delta").alias("chars_removed"),
+    )
+
+
+@register(
     "train_val_split_counts",
     """
     WITH s AS (

@@ -448,6 +448,73 @@ def simhash_near_pairs(
 # exact n-gram Jaccard (oracle tier)
 # ---------------------------------------------------------------------------
 
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """→ DataFrame[id, shingle]: distinct k-token shingles per doc,
+    built-ins only (tokenize → sliding window via transform over an
+    index array → explode distinct). Docs with < k tokens contribute
+    their full token run as one shingle."""
+    # coalesce: size(split(NULL)) is -1 → sequence(0, -2) would emit a
+    # DESCENDING index array (Spark infers step -1) and junk shingles
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n_sh = F.greatest(F.size(toks) - F.lit(k - 1), F.least(F.size(toks), F.lit(1)))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            "\x1f", F.slice(toks, i + 1, k)
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles)).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_overlap: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs whose k-token-shingle
+    overlap with the benchmark's global shingle set exceeds
+    ``max_overlap`` (fraction of the DOC's distinct shingles that appear
+    anywhere in the benchmark) — the standard eval-leakage filter for
+    training corpora.
+
+    Scale shape: the benchmark shingle set is DISTINCT'd once and
+    semi-joined (benchmarks are small next to the corpus, so Catalyst
+    broadcasts it); the corpus is scanned once, and docs with no
+    shingles pass through. Returns the CLEAN corpus rows.
+    """
+    corpus_sh = _exploded_shingles(corpus, id_col, text_col, k)
+    bench_sh = _exploded_shingles(benchmark, id_col, text_col, k).select(
+        "shingle"
+    ).distinct()
+    n_sh = corpus_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        corpus_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    contaminated = (
+        n_sh.join(hits, "id")
+        .where(
+            F.col("n_hit").cast("double") / F.col("n_sh").cast("double")
+            > F.lit(max_overlap)
+        )
+        .select(F.col("id").alias(id_col))
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -471,22 +538,7 @@ def ngram_jaccard_pairs(
     remaining, discriminative shingle space). Default ``None`` keeps the
     exact-oracle semantics bit-for-bit.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_sh = F.greatest(F.size(toks) - F.lit(k - 1), F.least(F.size(toks), F.lit(1)))
-    idx = F.sequence(F.lit(0), n_sh - 1)
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            "\x1f", F.slice(toks, i + 1, k)
-        ),
-    )
-    exploded = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(shingles)).alias("shingle"),
-        )
-        .where(F.col("shingle") != "")
-    )
+    exploded = _exploded_shingles(df, id_col, text_col, k)
     release = None
     if max_df is not None:
         # the exploded shingle set feeds 4 consumers on this path (hot

@@ -103,6 +103,35 @@ def fingerprint(text: Column) -> Column:
     return F.xxhash64(norm).alias("fingerprint")
 
 
+#: PII patterns — kept RE2-compatible (no lookaround) so the DuckDB
+#: oracle can mirror them verbatim and executor-side Java regex agrees.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}\b",
+}
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails / IPv4s / international phone numbers to
+    ``[EMAIL]`` / ``[IP]`` / ``[PHONE]`` — the standard pre-training
+    redaction pass, pure regexp_replace chain (codegen, no UDF).
+    Order matters: emails first so their host parts aren't half-eaten
+    by the IP pattern."""
+    out = F.regexp_replace(text, PII_PATTERNS["email"], "[EMAIL]")
+    out = F.regexp_replace(out, PII_PATTERNS["ipv4"], "[IP]")
+    out = F.regexp_replace(out, PII_PATTERNS["phone"], "[PHONE]")
+    return out.alias("scrubbed")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (regexp_count built-in)."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
 def annotate(df, text_col: str = "text"):
     """Attach the full analysis column set to a documents DataFrame."""
     t = F.col(text_col)
