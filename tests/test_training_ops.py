@@ -394,3 +394,30 @@ def test_scrub_pii_redacts_and_preserves(spark):
     assert got[1] == "server [IP] timed out"
     assert got[2] == "call [PHONE] today"
     assert got[3] == "no pii here at all"
+
+
+def test_repetition_stats_and_filter(spark):
+    from tgdigest_spark.operators.text_analysis import (
+        repetition_filter,
+        repetition_stats,
+    )
+
+    rows = [
+        (1, "spam spam spam spam spam"),            # max_token_frac 1.0
+        (2, "a b c d e f g h i j"),                 # ttr 1.0
+        (3, "one two one two one two one two"),     # frac 0.5, ttr 0.25
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert st[1]["max_token_frac"] == 1.0 and st[1]["distinct_tokens"] == 1
+    assert st[2]["ttr"] == 1.0
+    assert abs(st[3]["max_token_frac"] - 0.5) < 1e-12
+    assert st[4]["token_cnt"] == 0 and st[4]["ttr"] == 0.0
+    kept = {
+        r["doc_id"]
+        for r in repetition_filter(
+            df, max_token_frac=0.3, min_ttr=0.5
+        ).collect()
+    }
+    assert kept == {2}

@@ -1532,6 +1532,44 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_stats_docs",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split_regex(
+            trim(COALESCE(text, '')), '\\s+')) AS tok
+        FROM documents
+    ), nz AS (
+        SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), per_tok AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM nz GROUP BY 1, 2
+    ), stats AS (
+        SELECT doc_id, SUM(c) AS token_cnt, COUNT(*) AS distinct_tokens,
+               MAX(c) AS max_tok
+        FROM per_tok GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.token_cnt, 0) AS BIGINT) AS token_cnt,
+           CAST(COALESCE(s.distinct_tokens, 0) AS BIGINT) AS distinct_tokens,
+           CASE WHEN s.token_cnt > 0
+                THEN CAST(s.distinct_tokens AS DOUBLE)
+                     / CAST(s.token_cnt AS DOUBLE)
+                ELSE 0.0 END AS ttr,
+           CASE WHEN s.token_cnt > 0
+                THEN CAST(s.max_tok AS DOUBLE) / CAST(s.token_cnt AS DOUBLE)
+                ELSE 0.0 END AS max_token_frac
+    FROM documents d LEFT JOIN stats s USING (doc_id)
+    """,
+)
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc (type-token ratio, most
+    frequent token fraction) — hash-exact vs the SQL mirror."""
+    from .operators.text_analysis import repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+@register(
     "train_val_split_counts",
     """
     WITH s AS (

@@ -132,6 +132,74 @@ def pii_counts(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_stats(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition signals per doc: token count, distinct
+    tokens, type-token ratio, and the most-frequent-token fraction.
+    Shape: explode → count per (doc, token) → per-doc max/sum — the
+    standard two-aggregation plan (first agg is map-side combinable;
+    no window over raw tokens). Shingle-less docs get 0-token rows."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_tok.groupBy("id").agg(
+        F.sum("c").alias("token_cnt"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.max("c").alias("max_tok"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("token_cnt", F.lit(0)).alias("token_cnt"),
+            F.coalesce("distinct_tokens", F.lit(0)).alias("distinct_tokens"),
+            F.when(
+                F.col("token_cnt") > 0,
+                F.col("distinct_tokens").cast("double")
+                / F.col("token_cnt").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ttr"),
+            F.when(
+                F.col("token_cnt") > 0,
+                F.col("max_tok").cast("double")
+                / F.col("token_cnt").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("max_token_frac"),
+        )
+    )
+
+
+def repetition_filter(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_frac: float = 0.2,
+    min_ttr: float = 0.2,
+    min_tokens: int = 1,
+):
+    """Keep docs below the repetition thresholds (plus shingle-less
+    docs only when min_tokens allows)."""
+    from pyspark.sql import functions as F
+
+    stats = repetition_stats(df, id_col, text_col)
+    keep = stats.where(
+        (F.col("token_cnt") >= min_tokens)
+        & (F.col("max_token_frac") <= max_token_frac)
+        & (F.col("ttr") >= min_ttr)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def annotate(df, text_col: str = "text"):
     """Attach the full analysis column set to a documents DataFrame."""
     t = F.col(text_col)
