@@ -48,9 +48,12 @@ def main() -> int:
         store = SketchCheckpointStore(args.ckpt)
         keys = None
         if args.from_key or args.to_key:
-            lo = args.from_key or ""
-            hi = args.to_key or "￿"
-            keys = lambda k: lo <= k <= hi  # noqa: E731
+            lo, hi = args.from_key, args.to_key
+            # one-sided bounds need no "max string" sentinel (a sentinel
+            # like U+FFFF silently excludes astral-plane keys)
+            keys = lambda k: (lo is None or k >= lo) and (  # noqa: E731
+                hi is None or k <= hi
+            )
         sk = merged_sketch(store, factory, keys=keys)
         est = sk.quantile(qs)
         print(

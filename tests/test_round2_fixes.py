@@ -405,3 +405,90 @@ def test_checkpoint_legacy_blob_path_still_resumes(tmp_path):
     assert store._blob_path("2024-01-01") == legacy
     blobs = store.blobs()
     assert TDigest.deserialize(blobs["2024-01-01"]).count == 100
+
+
+# ---------------------------------------------------------------------------
+# second code-review batch
+# ---------------------------------------------------------------------------
+
+def test_streaming_crash_before_manifest_commit_does_not_double_count(
+    spark, tmp_path
+):
+    """Two-phase commit: blobs written but manifest NOT committed (crash
+    window) must leave the store answering from pre-epoch state, and the
+    epoch replay must produce the exact single-merge result."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.plans.checkpoints import (
+        SketchCheckpointStore,
+        merged_sketch,
+    )
+    from tgdigest_spark.sketches.tdigest import TDigest
+    from tgdigest_spark.streaming.stream_agg import merge_batch_into_store
+
+    FACTORY = lambda: TDigest(100)  # noqa: E731
+    store = SketchCheckpointStore(str(tmp_path / "tp_ckpt"))
+    batch0 = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)], "role string, v double"
+    )
+    merge_batch_into_store(batch0, 0, F.col("role"), F.col("v"), FACTORY, store)
+
+    # epoch 1 crashes AT the commit point: all epoch-1 blob files are on
+    # disk but the manifest write (and the GC of superseded files that
+    # follows it) never happens
+    batch1 = spark.createDataFrame(
+        [("a", float(i)) for i in range(50)], "role string, v double"
+    )
+    orig_write = store._write_manifest
+    store._write_manifest = lambda m: (_ for _ in ()).throw(
+        RuntimeError("crash at commit")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        merge_batch_into_store(
+            batch1, 1, F.col("role"), F.col("v"), FACTORY, store
+        )
+    store._write_manifest = orig_write
+    assert merged_sketch(store, FACTORY).count == 100  # pre-epoch state
+
+    # replay of epoch 1 → exactly one merge
+    merge_batch_into_store(batch1, 1, F.col("role"), F.col("v"), FACTORY, store)
+    assert merged_sketch(store, FACTORY).count == 150
+    # second replay (post-commit) is a no-op
+    merge_batch_into_store(batch1, 1, F.col("role"), F.col("v"), FACTORY, store)
+    assert merged_sketch(store, FACTORY).count == 150
+
+
+def test_assign_splits_survives_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.operators.sampling import assign_splits
+
+    df = spark.range(5000).select(F.col("id"))
+    w = {"train": 0.8, "val": 0.2}
+    a = {
+        r["id"]: r["split"]
+        for r in assign_splits(df, w, key="id", seed=3).collect()
+    }
+    b = {
+        r["id"]: r["split"]
+        for r in assign_splits(df.repartition(17), w, key="id", seed=3).collect()
+    }
+    assert a == b  # content hash: layout-independent freeze
+
+
+def test_repetition_filter_keeps_empty_docs_when_allowed(spark):
+    from tgdigest_spark.operators.text_analysis import repetition_filter
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a b c d e")], "doc_id long, text string"
+    )
+    kept0 = {
+        r["doc_id"] for r in repetition_filter(df, min_tokens=0).collect()
+    }
+    assert kept0 == {1, 2}
+    kept1 = {
+        r["doc_id"] for r in repetition_filter(df, min_tokens=1).collect()
+    }
+    assert kept1 == {2}

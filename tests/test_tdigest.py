@@ -195,13 +195,15 @@ def test_quantile_blobs_matches_per_blob():
         if n:
             td.update(rng.lognormal(0, 1, n))
         blobs.append(td.serialize())
-    # force a true single-centroid multi-value digest
+    # a true single-centroid multi-value digest (min < mean < max) —
+    # the shape where the special case actually diverges from
+    # interpolation toward min/max; built directly since update()'s
+    # reclustering keeps >1 centroid for tiny inputs
     td = TDigest(100)
-    td.update(np.array([1.0, 2.0, 3.0]))
-    while td.means.size > 1:
-        td = TDigest(10)
-        td.update(np.array([1.0, 2.0, 3.0]))
-        break
+    td.means = np.array([2.0])
+    td.weights = np.array([3.0])
+    td.min, td.max, td.count = 1.0, 3.0, 3.0
+    assert TDigest.deserialize(td.serialize()).quantile([0.25])[0] == 2.0
     blobs.append(td.serialize())
 
     bulk = TDigest.quantile_blobs(blobs, qs)

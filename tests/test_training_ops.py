@@ -290,21 +290,26 @@ def test_dedup_clusters(spark, dup_corpus):
 # dataset splitting (operators/sampling.py)
 # ---------------------------------------------------------------------------
 
-def test_assign_splits_bernoulli(spark):
+def test_assign_splits_hash(spark):
     from tgdigest_spark.operators.sampling import assign_splits
 
     df = spark.range(20000).select(F.col("id"))
-    out = assign_splits(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(df, w, key="id", seed=7)
     counts = {r["split"]: r["cnt"] for r in
               out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert set(counts) == {"train", "val", "test"}
     assert sum(counts.values()) == 20000  # disjoint + complete
     assert abs(counts["train"] / 20000 - 0.8) < 0.02
-    # seeded: rerun identical
+    # content-hash: rerun identical, different seed differs
     again = {r["split"]: r["cnt"] for r in
-             assign_splits(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+             assign_splits(df, w, key="id", seed=7)
              .groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert again == counts
+    other = {r["split"]: r["cnt"] for r in
+             assign_splits(df, w, key="id", seed=8)
+             .groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert other != counts
 
 
 def test_assign_splits_exact_proportions(spark):

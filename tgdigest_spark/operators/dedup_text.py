@@ -490,28 +490,27 @@ def decontaminate(
     training corpora.
 
     Scale shape: the benchmark shingle set is DISTINCT'd once and
-    semi-joined (benchmarks are small next to the corpus, so Catalyst
-    broadcasts it); the corpus is scanned once, and docs with no
-    shingles pass through. Returns the CLEAN corpus rows.
+    broadcast into ONE left join that flags hits, so the corpus is
+    shingled once and aggregated once (shingle count + hit count in the
+    same groupBy); docs with no shingles pass through. Returns the
+    CLEAN corpus rows.
     """
     corpus_sh = _exploded_shingles(corpus, id_col, text_col, k)
-    bench_sh = _exploded_shingles(benchmark, id_col, text_col, k).select(
-        "shingle"
-    ).distinct()
-    n_sh = corpus_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    hits = (
-        corpus_sh.join(bench_sh, "shingle", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    bench_sh = (
+        _exploded_shingles(benchmark, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    contaminated = (
-        n_sh.join(hits, "id")
-        .where(
-            F.col("n_hit").cast("double") / F.col("n_sh").cast("double")
-            > F.lit(max_overlap)
-        )
-        .select(F.col("id").alias(id_col))
+    flagged = corpus_sh.join(bench_sh, "shingle", "left")
+    per_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
     )
+    contaminated = per_doc.where(
+        F.col("n_hit").cast("double") / F.col("n_sh").cast("double")
+        > F.lit(max_overlap)
+    ).select(F.col("id").alias(id_col))
     return corpus.join(contaminated, id_col, "left_anti")
 
 

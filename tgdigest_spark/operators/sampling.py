@@ -2,9 +2,13 @@
 
 Two tiers, both shuffle-free over the fact rows:
 
-* ``assign_splits`` — Bernoulli thresholds over ``rand(seed)``: O(1)
-  per row, no window, the 100-TB default. Proportions are exact only
-  in expectation.
+* ``assign_splits`` — thresholds over a per-row CONTENT hash
+  (``xxhash64(key, seed)``): O(1) per row, no window, the 100-TB
+  default. Proportions are exact only in expectation. A content hash —
+  not ``rand(seed)`` — because Spark seeds rand per PARTITION and
+  consumes it in row order, so a rand-based split silently reshuffles
+  whenever the physical layout changes (compaction, AQE, cluster size):
+  the opposite of an auditable freeze.
 * ``assign_splits_exact`` — deterministic stratified split with EXACT
   per-stratum proportions: rows are ordered inside each stratum by a
   content hash (md5 of the id — a seedless, engine-portable shuffle)
@@ -56,12 +60,21 @@ def _case(frac: Column, bounds: list[tuple[str, float]]) -> Column:
 def assign_splits(
     df: DataFrame,
     weights: dict[str, float],
+    key: str | Column = "doc_id",
     seed: int = 42,
     split_col: str = "split",
 ) -> DataFrame:
-    """Bernoulli split: adds ``split_col`` via rand(seed) thresholds."""
+    """Hash split: adds ``split_col`` from thresholds over
+    ``xxhash64(key, seed)`` — a pure function of the row's ``key``, so
+    the assignment survives repartitioning, compaction, and re-runs."""
     bounds = _boundaries(weights)
-    return df.withColumn(split_col, _case(F.rand(seed), bounds).alias(split_col))
+    key_col = F.col(key) if isinstance(key, str) else key
+    denom = 1 << 20
+    frac = (
+        F.pmod(F.xxhash64(key_col, F.lit(seed)), F.lit(denom)).cast("double")
+        / F.lit(float(denom))
+    )
+    return df.withColumn(split_col, _case(frac, bounds).alias(split_col))
 
 
 def assign_splits_exact(

@@ -187,15 +187,21 @@ def repetition_filter(
     min_ttr: float = 0.2,
     min_tokens: int = 1,
 ):
-    """Keep docs below the repetition thresholds (plus shingle-less
-    docs only when min_tokens allows)."""
+    """Keep docs below the repetition thresholds. Token-less docs are
+    exempt from the ratio conjuncts (their ttr/frac are defined as 0) —
+    they survive iff ``min_tokens`` is 0."""
     from pyspark.sql import functions as F
 
     stats = repetition_stats(df, id_col, text_col)
     keep = stats.where(
         (F.col("token_cnt") >= min_tokens)
-        & (F.col("max_token_frac") <= max_token_frac)
-        & (F.col("ttr") >= min_ttr)
+        & (
+            (F.col("token_cnt") == 0)
+            | (
+                (F.col("max_token_frac") <= max_token_frac)
+                & (F.col("ttr") >= min_ttr)
+            )
+        )
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
 

@@ -87,18 +87,29 @@ class SketchCheckpointStore:
             return legacy
         return path
 
+    def blob_file(self, key: str, entry: dict | None = None) -> str:
+        """Resolved blob path: a manifest entry may carry an explicit
+        ``file`` pointer (the streaming sink's two-phase commit writes
+        epoch-versioned files and flips the pointer atomically with the
+        manifest); otherwise the conventional path."""
+        if entry is None:
+            entry = self.manifest()["partitions"].get(key, {})
+        f = entry.get("file")
+        return os.path.join(self.parts_dir, f) if f else self._blob_path(key)
+
     def completed_partitions(self) -> set[str]:
         m = self.manifest()
         return {
             k
             for k, v in m["partitions"].items()
-            if v.get("status") == "done" and os.path.exists(self._blob_path(k))
+            if v.get("status") == "done" and os.path.exists(self.blob_file(k, v))
         }
 
     def blobs(self) -> dict[str, bytes]:
+        m = self.manifest()["partitions"]
         out = {}
         for k in sorted(self.completed_partitions()):
-            with open(self._blob_path(k), "rb") as f:
+            with open(self.blob_file(k, m.get(k, {})), "rb") as f:
                 out[k] = f.read()
         return out
 

@@ -38,13 +38,20 @@ def merge_batch_into_store(
 ) -> None:
     """Merge one micro-batch's per-bucket sketches into the store.
 
-    Exactly-once per epoch: foreachBatch re-delivers a whole epoch after
-    a failure between sink write and stream-checkpoint commit, so a
-    bucket whose manifest already records this ``epoch_id`` is skipped —
-    the blob merge would otherwise double-count the replayed rows.
-    (Within one epoch the per-bucket write is atomic via tmp+rename, and
-    the manifest commits after all blob writes: a crash mid-epoch replays
-    into buckets that never recorded the epoch.)
+    Exactly-once per epoch via a two-phase commit:
+
+    1. every touched bucket's MERGED blob is written to a NEW
+       epoch-versioned file (``<bucket>.e<epoch>.bin``) — the previous
+       blob file is never modified;
+    2. ONE atomic manifest write flips all the bucket pointers
+       (``file`` + ``last_epoch``) together.
+
+    A crash anywhere before step 2 leaves the manifest pointing at the
+    pre-epoch blobs, so foreachBatch's replay of the epoch re-merges
+    from clean state; a replay after step 2 sees ``last_epoch`` and
+    skips. (Merging in place and committing the manifest afterwards
+    would double-count any bucket whose blob was replaced before the
+    crash.) Superseded blob files are deleted best-effort after commit.
     """
     rows = (
         sketch_by_key(
@@ -58,27 +65,41 @@ def merge_batch_into_store(
     ).collect()
     manifest = store.manifest()
     deser = type(factory()).deserialize
+    obsolete: list[str] = []
+    dirty = False
     for r in rows:
         key = r["bucket"]
         entry = manifest["partitions"].setdefault(
             key, {"status": "done", "batches": 0}
         )
         if entry.get("last_epoch") == int(epoch_id):
-            continue  # replayed epoch: already merged into this bucket
-        path = store._blob_path(key)
+            continue  # replayed epoch: already committed for this bucket
+        old_path = store.blob_file(key, entry)
         blob = bytes(r["sketch"])
-        if os.path.exists(path):
-            with open(path, "rb") as f:
+        if os.path.exists(old_path):
+            with open(old_path, "rb") as f:
                 merged = deser(f.read()).merge(deser(blob))
             blob = merged.serialize()
-        tmp = path + ".tmp"
+            obsolete.append(old_path)
+        base = os.path.basename(store._blob_path(key))
+        new_name = f"{base[:-4]}.e{int(epoch_id)}.bin"
+        new_path = os.path.join(store.parts_dir, new_name)
+        tmp = new_path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
-        os.replace(tmp, path)
+        os.replace(tmp, new_path)
         entry["status"] = "done"
         entry["batches"] = int(entry.get("batches", entry.get("rows", 0))) + 1
         entry["last_epoch"] = int(epoch_id)
-    store._write_manifest(manifest)
+        entry["file"] = new_name
+        dirty = True
+    if dirty:
+        store._write_manifest(manifest)  # the atomic commit point
+        for p in obsolete:
+            try:
+                os.unlink(p)
+            except OSError:  # pragma: no cover — best-effort GC
+                pass
 
 
 def sketch_stream_to_store(
