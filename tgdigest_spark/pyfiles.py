@@ -63,5 +63,10 @@ def ensure_shipped(spark) -> None:
     sc = spark.sparkContext
     if getattr(sc, _SENT, False):
         return
+    if not os.path.isdir(_PKG_DIR):
+        # the package was itself imported from a --py-files zip: it is
+        # already shipped (and there is no source tree to re-zip)
+        setattr(sc, _SENT, True)
+        return
     sc.addPyFile(build_zip())
     setattr(sc, _SENT, True)
