@@ -341,3 +341,23 @@ def test_resume_recovers_from_crash_between_blob_and_manifest(
     assert victim in store.completed_partitions()
     merged = merged_sketch(store, FACTORY)
     assert merged.count == sub.count()
+
+
+def test_window_quantiles_over_streaming_store(spark, tmp_path):
+    """merged_sketch key-filters must follow the streaming sink's
+    manifest file pointers (epoch-versioned blob names)."""
+    from tgdigest_spark.plans.checkpoints import merged_sketch
+    from tgdigest_spark.streaming.stream_agg import merge_batch_into_store
+
+    store = SketchCheckpointStore(str(tmp_path / "winstream"))
+    rows = [(f"2024-01-{d:02d}", float(v)) for d in (1, 2, 3) for v in range(100)]
+    batch = spark.createDataFrame(rows, "day string, v double")
+    merge_batch_into_store(batch, 0, F.col("day"), F.col("v"), FACTORY, store)
+    merge_batch_into_store(batch, 1, F.col("day"), F.col("v"), FACTORY, store)
+
+    all_sk = merged_sketch(store, FACTORY)
+    assert all_sk.count == 600  # 2 epochs x 300 rows
+    win = merged_sketch(
+        store, FACTORY, keys=lambda k: "2024-01-02" <= k <= "2024-01-03"
+    )
+    assert win.count == 400
