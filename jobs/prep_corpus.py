@@ -71,7 +71,11 @@ def main() -> int:
     metrics["stages"]["ingested"] = docs.count()
 
     t = F.col("text")
-    scored = docs.select("doc_id", "text", quality_score(t), token_count(t))
+    # persist the scored frame: the stage-count actions below would
+    # otherwise re-scan the input and re-run the scoring 3-4x
+    scored = docs.select(
+        "doc_id", "text", quality_score(t), token_count(t)
+    ).persist()
     quality = scored.where(F.col("quality") >= args.min_quality).drop("quality")
     metrics["stages"]["after_quality"] = quality.count()
 
@@ -106,7 +110,7 @@ def main() -> int:
         )
         surviving = decontaminate(
             surviving, bench, max_overlap=args.decontam_overlap
-        )
+        ).persist()  # consumed by the stage count AND the final write
         metrics["stages"]["after_decontamination"] = surviving.count()
 
     weights = {}
@@ -130,6 +134,7 @@ def main() -> int:
     metrics["surviving_tokens"] = int(
         out.agg(F.sum("token_cnt")).collect()[0][0] or 0
     )
+    scored.unpersist()
     deduped.unpersist()
     print(json.dumps(metrics, sort_keys=True))
     spark.stop()

@@ -492,3 +492,72 @@ def test_repetition_filter_keeps_empty_docs_when_allowed(spark):
         r["doc_id"] for r in repetition_filter(df, min_tokens=1).collect()
     }
     assert kept1 == {2}
+
+
+# ---------------------------------------------------------------------------
+# third code-review batch
+# ---------------------------------------------------------------------------
+
+def test_streaming_new_run_with_restarted_epochs_still_merges(spark, tmp_path):
+    """Epoch ids restart at 0 per checkpointLocation; a second run
+    (different run_id) against the same store must merge, while a
+    same-run replay still dedups."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.plans.checkpoints import (
+        SketchCheckpointStore,
+        merged_sketch,
+    )
+    from tgdigest_spark.sketches.tdigest import TDigest
+    from tgdigest_spark.streaming.stream_agg import merge_batch_into_store
+
+    FACTORY = lambda: TDigest(100)  # noqa: E731
+    store = SketchCheckpointStore(str(tmp_path / "runs"))
+    batch = spark.createDataFrame(
+        [("a", float(i)) for i in range(10)], "role string, v double"
+    )
+    merge_batch_into_store(
+        batch, 0, F.col("role"), F.col("v"), FACTORY, store, run_id="runA"
+    )
+    merge_batch_into_store(  # same run, replayed epoch 0 → skip
+        batch, 0, F.col("role"), F.col("v"), FACTORY, store, run_id="runA"
+    )
+    assert merged_sketch(store, FACTORY).count == 10
+    merge_batch_into_store(  # NEW run, epoch restarts at 0 → must merge
+        batch, 0, F.col("role"), F.col("v"), FACTORY, store, run_id="runB"
+    )
+    assert merged_sketch(store, FACTORY).count == 20
+
+
+def test_streaming_colliding_keys_get_distinct_epoch_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.plans.checkpoints import (
+        SketchCheckpointStore,
+        merged_sketch,
+    )
+    from tgdigest_spark.sketches.tdigest import TDigest
+    from tgdigest_spark.streaming.stream_agg import merge_batch_into_store
+
+    FACTORY = lambda: TDigest(100)  # noqa: E731
+    store = SketchCheckpointStore(str(tmp_path / "collide"))
+    batch = spark.createDataFrame(
+        [("a/b", 1.0), ("a_b", 2.0)], "k string, v double"
+    )
+    merge_batch_into_store(batch, 0, F.col("k"), F.col("v"), FACTORY, store)
+    m = store.manifest()["partitions"]
+    assert m["a/b"]["file"] != m["a_b"]["file"]
+    assert merged_sketch(store, FACTORY).count == 2
+
+
+def test_assign_splits_null_key_raises(spark):
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(1,), (None,)], "id long")
+    out = assign_splits(df, {"a": 0.5, "b": 0.5}, key="id")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="null split key"):
+        out.collect()

@@ -17,10 +17,11 @@ Two tiers, both shuffle-free over the fact rows:
   the driver oracle hash-verifies it (driver_queries
   train_val_split_counts).
 
-Reproducibility contract: both assignments are pure functions of the
-input rows (and ``seed`` for the Bernoulli tier) — re-running on the
-same table yields the same split, which is what makes a training-data
-freeze auditable.
+Reproducibility contract: both assignments are pure functions of
+(row key, ``seed``) — re-running on the same table, under any physical
+layout, yields the same split, which is what makes a training-data
+freeze auditable. NULL keys are rejected (xxhash64 ignores NULL inputs,
+so every null-key row would silently land in one split).
 """
 
 from __future__ import annotations
@@ -74,6 +75,14 @@ def assign_splits(
         F.pmod(F.xxhash64(key_col, F.lit(seed)), F.lit(denom)).cast("double")
         / F.lit(float(denom))
     )
+    # xxhash64 IGNORES null inputs (hash degenerates to hash(seed)):
+    # every null-key row would land in one split — fail loudly instead.
+    frac = F.when(
+        key_col.isNull(),
+        F.raise_error(
+            F.lit("assign_splits: null split key (fill or filter first)")
+        ).cast("double"),
+    ).otherwise(frac)
     return df.withColumn(split_col, _case(frac, bounds).alias(split_col))
 
 

@@ -69,19 +69,23 @@ class SketchCheckpointStore:
             json.dump(m, f, indent=1, sort_keys=True)
         os.replace(tmp, self.manifest_path)
 
-    def _blob_path(self, key: str) -> str:
-        # sanitized name for readability + short hash of the RAW key for
-        # injectivity: 'a/b' and 'a_b' must not share a blob file (a
-        # collision silently overwrites one sketch with the other while
-        # completed_partitions() marks both done).
+    def _safe_name(self, key: str) -> str:
+        """Injective filename stem: sanitized key + short hash of the
+        RAW key — 'a/b' and 'a_b' must never share a file (a collision
+        silently overwrites one sketch while completed_partitions()
+        marks both done)."""
         import hashlib
 
         safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
         digest = hashlib.sha1(key.encode()).hexdigest()[:8]
-        path = os.path.join(self.parts_dir, f"{safe}-{digest}.bin")
+        return f"{safe}-{digest}"
+
+    def _blob_path(self, key: str) -> str:
+        path = os.path.join(self.parts_dir, f"{self._safe_name(key)}.bin")
         # migration: stores written before the hash suffix used
         # '{safe}.bin'; read those if present so old checkpoints still
         # resume as no-ops (writes always go to the injective path).
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
         legacy = os.path.join(self.parts_dir, f"{safe}.bin")
         if not os.path.exists(path) and os.path.exists(legacy):
             return legacy
@@ -106,12 +110,28 @@ class SketchCheckpointStore:
         }
 
     def blobs(self) -> dict[str, bytes]:
-        m = self.manifest()["partitions"]
-        out = {}
-        for k in sorted(self.completed_partitions()):
-            with open(self.blob_file(k, m.get(k, {})), "rb") as f:
-                out[k] = f.read()
-        return out
+        # ONE manifest snapshot drives both the completed set and the
+        # file paths (re-reading it per key could tear across a
+        # concurrent streaming commit). If a commit + deferred GC still
+        # races us between the existence check and the open, re-snapshot
+        # once — the new manifest points at the committed files.
+        for attempt in (0, 1):
+            m = self.manifest()["partitions"]
+            out: dict[str, bytes] = {}
+            try:
+                for k in sorted(m):
+                    v = m[k]
+                    if v.get("status") != "done":
+                        continue
+                    path = self.blob_file(k, v)
+                    if os.path.exists(path):
+                        with open(path, "rb") as f:
+                            out[k] = f.read()
+                return out
+            except FileNotFoundError:  # pragma: no cover — commit race
+                if attempt:
+                    raise
+        return out  # pragma: no cover
 
     def _append_lineage(self, records: list[dict]) -> None:
         with open(self.lineage_path, "a") as f:

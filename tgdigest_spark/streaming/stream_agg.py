@@ -35,6 +35,7 @@ def merge_batch_into_store(
     value: Column,
     factory: Callable,
     store: SketchCheckpointStore,
+    run_id: str | None = None,
 ) -> None:
     """Merge one micro-batch's per-bucket sketches into the store.
 
@@ -48,10 +49,21 @@ def merge_batch_into_store(
 
     A crash anywhere before step 2 leaves the manifest pointing at the
     pre-epoch blobs, so foreachBatch's replay of the epoch re-merges
-    from clean state; a replay after step 2 sees ``last_epoch`` and
+    from clean state; a replay after step 2 sees the dedup marker and
     skips. (Merging in place and committing the manifest afterwards
     would double-count any bucket whose blob was replaced before the
-    crash.) Superseded blob files are deleted best-effort after commit.
+    crash.)
+
+    ``run_id`` scopes the dedup marker: Structured Streaming restarts
+    epoch ids at 0 per checkpointLocation, so two runs writing to one
+    store would otherwise collide on epoch numbers and silently skip
+    each other's batches (``sketch_stream_to_store`` passes its
+    checkpoint location automatically).
+
+    GC is DEFERRED one commit: files superseded by THIS commit are only
+    recorded; files recorded by the PREVIOUS commit are deleted now.
+    A reader that snapshotted the previous manifest can therefore still
+    open the files it points at throughout the next whole epoch.
     """
     rows = (
         sketch_by_key(
@@ -65,6 +77,7 @@ def merge_batch_into_store(
     ).collect()
     manifest = store.manifest()
     deser = type(factory()).deserialize
+    marker = f"{run_id or ''}#{int(epoch_id)}"
     obsolete: list[str] = []
     dirty = False
     for r in rows:
@@ -72,17 +85,18 @@ def merge_batch_into_store(
         entry = manifest["partitions"].setdefault(
             key, {"status": "done", "batches": 0}
         )
-        if entry.get("last_epoch") == int(epoch_id):
-            continue  # replayed epoch: already committed for this bucket
+        if entry.get("last_commit") == marker:
+            continue  # replayed epoch (same run): already committed
         old_path = store.blob_file(key, entry)
         blob = bytes(r["sketch"])
         if os.path.exists(old_path):
             with open(old_path, "rb") as f:
                 merged = deser(f.read()).merge(deser(blob))
             blob = merged.serialize()
-            obsolete.append(old_path)
-        base = os.path.basename(store._blob_path(key))
-        new_name = f"{base[:-4]}.e{int(epoch_id)}.bin"
+            obsolete.append(os.path.basename(old_path))
+        # injective stem (NOT _blob_path, whose legacy fallback would
+        # let sanitization-colliding keys share one epoch file)
+        new_name = f"{store._safe_name(key)}.e{int(epoch_id)}.bin"
         new_path = os.path.join(store.parts_dir, new_name)
         tmp = new_path + ".tmp"
         with open(tmp, "wb") as f:
@@ -90,14 +104,16 @@ def merge_batch_into_store(
         os.replace(tmp, new_path)
         entry["status"] = "done"
         entry["batches"] = int(entry.get("batches", entry.get("rows", 0))) + 1
-        entry["last_epoch"] = int(epoch_id)
+        entry["last_commit"] = marker
         entry["file"] = new_name
         dirty = True
     if dirty:
+        gc_now = manifest.get("gc_pending", [])
+        manifest["gc_pending"] = obsolete
         store._write_manifest(manifest)  # the atomic commit point
-        for p in obsolete:
+        for name in gc_now:  # deferred GC: previous commit's files
             try:
-                os.unlink(p)
+                os.unlink(os.path.join(store.parts_dir, name))
             except OSError:  # pragma: no cover — best-effort GC
                 pass
 
@@ -119,7 +135,18 @@ def sketch_stream_to_store(
     """
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_batch_into_store(batch_df, epoch_id, bucket, value, factory, store)
+        # the checkpoint location scopes epoch ids: a NEW location
+        # restarts epochs at 0, and without the run scope a second run
+        # against the same store would dedup-skip the new batches
+        merge_batch_into_store(
+            batch_df,
+            epoch_id,
+            bucket,
+            value,
+            factory,
+            store,
+            run_id=checkpoint_location,
+        )
 
     return (
         stream_df.writeStream.outputMode("update")
