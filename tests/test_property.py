@@ -115,3 +115,62 @@ def test_kll_n_exact_under_chunking(data, nchunks):
     assert kll.min == arr.min() and kll.max == arr.max()
     rt = KLL.deserialize(kll.serialize())
     assert rt.quantile(0.5) == kll.quantile(0.5)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(finite_floats, min_size=0, max_size=200),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=4
+    ),
+)
+def test_quantile_blobs_property_parity(populations, qs):
+    """Vectorized mass extraction == per-blob quantile() for arbitrary
+    digest populations and quantile sets (incl. q=0/1 endpoints)."""
+    import numpy as np
+
+    from tgdigest_spark.sketches.tdigest import TDigest
+
+    blobs = []
+    for pop in populations:
+        td = TDigest(64)
+        if pop:
+            td.update(np.asarray(pop, dtype=np.float64))
+        blobs.append(td.serialize())
+    bulk = TDigest.quantile_blobs(blobs, qs)
+    for i, b in enumerate(blobs):
+        ref = TDigest.deserialize(b).quantile(qs)
+        if np.all(np.isnan(ref)):
+            assert np.all(np.isnan(bulk[i]))
+        else:
+            np.testing.assert_allclose(bulk[i], ref, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["train", "val", "test", "holdout"]),
+        st.floats(min_value=0.01, max_value=10.0),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_split_boundaries_partition_unit_interval(weights):
+    """Boundaries are increasing, end exactly at the (fp-safe) top, and
+    every fraction in [0,1) lands in exactly one split."""
+    from tgdigest_spark.operators.sampling import _boundaries, _case  # noqa: F401
+
+    bounds = _boundaries(weights)
+    vals = [b for _, b in bounds]
+    assert all(b2 >= b1 for b1, b2 in zip(vals, vals[1:]))
+    assert vals[-1] >= 1.0
+    # simulate the CASE: first boundary >= frac wins
+    import numpy as np
+
+    for frac in np.linspace(0, 0.999999, 23):
+        chosen = [name for name, b in bounds if frac < b]
+        assert chosen  # always assigned
