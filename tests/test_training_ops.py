@@ -426,3 +426,21 @@ def test_repetition_stats_and_filter(spark):
         ).collect()
     }
     assert kept == {2}
+
+
+def test_bpe_token_count_known_strings(spark):
+    from tgdigest_spark.operators.text_analysis import bpe_token_count
+
+    rows = [
+        (0, "Hello, world! it's 42"),   # Hello , _world ! _it 's _42 = 7
+        (1, "don't stop"),              # don 't _stop = 3
+        (2, ""),
+        (3, None),
+        (4, "漢字 and ascii"),           # 漢字 _and _ascii = 3
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: r["bpe_token_cnt"]
+        for r in df.select("i", bpe_token_count(F.col("text"))).collect()
+    }
+    assert got == {0: 7, 1: 3, 2: 0, 3: 0, 4: 3}

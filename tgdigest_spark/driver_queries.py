@@ -1532,6 +1532,28 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS token_cnt,
+           len(regexp_extract_all(COALESCE(text, ''),
+               '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+           )) AS bpe_token_cnt
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish pretoken counts per doc — the two token
+    budgets a pipeline reports; the regex is engine-portable and the
+    oracle hash-verifies every count."""
+    from .operators.text_analysis import bpe_token_count, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select("doc_id", token_count(t), bpe_token_count(t))
+
+
+@register(
     "repetition_stats_docs",
     """
     WITH toks AS (

@@ -30,6 +30,24 @@ def token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0)).alias("token_cnt")
 
 
+#: GPT-2-style pretokenizer pattern, simplified to the subset where
+#: Java regex (Spark) and RE2 (DuckDB oracle) agree exactly: the
+#: original's `\s+(?!\S)` lookahead is dropped (RE2 has no lookaround).
+#: Alternation order matters and is identical in both engines
+#: (leftmost-first): contractions, then space+letters, space+digits,
+#: space+punctuation-run, whitespace-run.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish pretoken count — the budget-estimation token counter a
+    training pipeline runs corpus-wide (whitespace counting undercounts
+    punctuation-heavy text badly; real BPE merges only subdivide these
+    pretokens, so this upper-bounds merged-token granularity)."""
+    t = F.coalesce(text, F.lit(""))
+    return F.regexp_count(t, F.lit(BPE_PATTERN)).alias("bpe_token_cnt")
+
+
 def alpha_ratio(text: Column) -> Column:
     t = F.coalesce(text, F.lit(""))
     n = F.length(t)
