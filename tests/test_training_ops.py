@@ -444,3 +444,56 @@ def test_bpe_token_count_known_strings(spark):
         for r in df.select("i", bpe_token_count(F.col("text"))).collect()
     }
     assert got == {0: 7, 1: 3, 2: 0, 3: 0, 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# winnowing (passage-level rolling-hash fingerprints)
+# ---------------------------------------------------------------------------
+
+def test_winnowing_guarantee_shared_passage(spark):
+    """Docs sharing a passage of >= window + k - 1 tokens MUST share a
+    fingerprint (Schleimer et al. guarantee), wherever the passage sits."""
+    from tgdigest_spark.operators.dedup_text import passage_overlap_pairs
+
+    passage = " ".join(f"quoted{i}" for i in range(20))  # 20 >= 8 + 5 - 1
+    rows = [
+        (1, f"alpha beta gamma {passage} delta epsilon"),
+        (2, f"completely different framing words {passage} trailing tail"),
+        (3, "unrelated document with entirely distinct vocabulary here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in passage_overlap_pairs(df, k=5, window=8, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnowing_fingerprints_deterministic_and_bounded(spark):
+    from tgdigest_spark.operators.dedup_text import winnow_fingerprints
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(60))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {(r["doc_id"], r["fp"]) for r in winnow_fingerprints(df).collect()}
+    b = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(df.repartition(7)).collect()
+    }
+    assert a == b  # partitioning-independent
+    # winnowing selects ~1/window of shingles: 56 shingles -> <= ~20 fps
+    per_doc = {}
+    for d, _ in a:
+        per_doc[d] = per_doc.get(d, 0) + 1
+    assert all(1 <= n <= 25 for n in per_doc.values())
+
+
+def test_winnowing_short_docs(spark):
+    from tgdigest_spark.operators.dedup_text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    got = winnow_fingerprints(df, k=5, window=8).collect()
+    # short doc contributes its single whole-run shingle; empty/null none
+    assert {r["doc_id"] for r in got} == {0}

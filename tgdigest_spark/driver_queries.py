@@ -1531,6 +1531,24 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("passage_overlap_summary", None)
+def passage_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) passage-overlap tier: doc pairs sharing rolling-
+    hash fingerprints (copied spans / boilerplate), summarized (always
+    one row; the w+k-1 shared-passage guarantee is asserted in pytest)."""
+    from .operators.dedup_text import passage_overlap_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = passage_overlap_pairs(docs, min_shared=1)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.max("shared_fps"), F.lit(0)).alias("max_shared"),
+        F.coalesce(
+            F.countDistinct("id_a") + F.countDistinct("id_b"), F.lit(0)
+        ).alias("docs_involved"),
+    )
+
+
 @register(
     "bpe_token_counts",
     """

@@ -448,6 +448,105 @@ def simhash_near_pairs(
 # exact n-gram Jaccard (oracle tier)
 # ---------------------------------------------------------------------------
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 8,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): k-token rolling hashes, then the minimum hash of each
+    ``window`` consecutive shingles (rightmost minimum on ties), made
+    distinct per doc.
+
+    Guarantee: two documents sharing any passage of at least
+    ``window + k - 1`` tokens share at least one fingerprint — this is
+    PASSAGE-level overlap detection (quotes, boilerplate, copied
+    spans), complementary to whole-doc tiers (minhash/simhash find
+    mostly-duplicate documents; winnowing finds shared substrings
+    inside otherwise-different documents).
+
+    → DataFrame[id_col, fp: long]. Vectorized: token/shingle hashing is
+    the shared batch machinery; the sliding-window minimum runs as one
+    ``sliding_window_view().min`` per doc segment (numpy, no per-token
+    Python).
+    """
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("fp", LongType(), False),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h, off, cnt = _token_hashes(pdf[text_col])
+            sh, soff, scnt = _shingle_hashes(h, off, cnt, k)
+            ids_out: list[np.ndarray] = []
+            fps_out: list[np.ndarray] = []
+            doc_ids = pdf[id_col].to_numpy()
+            for i in np.flatnonzero(scnt > 0):
+                seg = sh[soff[i] : soff[i] + scnt[i]]
+                if seg.size <= window:
+                    fps = np.unique(seg.min(keepdims=True))
+                else:
+                    mins = sliding_window_view(seg, window).min(axis=1)
+                    fps = np.unique(mins)
+                ids_out.append(np.full(fps.size, doc_ids[i], dtype=np.int64))
+                fps_out.append(fps.astype(np.int64))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_out),
+                        "fp": np.concatenate(fps_out),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(build, schema=schema)
+
+
+def passage_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 8,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """→ DataFrame[id_a, id_b, shared_fps] — doc pairs sharing
+    winnowing fingerprints (candidate copied passages).
+
+    Same scale discipline as the other dedup tiers: fingerprints whose
+    document frequency exceeds ``max_df`` are dropped before the
+    self-join (a boilerplate string present in d docs would emit d^2
+    rows), and pairs come from ONE equi-join on fp.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
