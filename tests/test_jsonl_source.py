@@ -76,7 +76,9 @@ def test_write_jsonl_egress(spark, tmp_path):
     write_jsonl(df, out, compression="gzip")
     parts = [f for f in os.listdir(out) if f.endswith(".json.gz")]
     assert parts
-    with gzip.open(os.path.join(out, parts[0]), "rt") as f:
-        assert '"text":"clean text"' in f.read() or True  # parse below
+    payload = "".join(
+        gzip.open(os.path.join(out, p), "rt").read() for p in parts
+    )
+    assert '"text":"clean text"' in payload
     back = spark.read.schema("doc_id long, text string").json(out)
     assert {r["doc_id"] for r in back.collect()} == {1, 2}

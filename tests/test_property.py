@@ -161,16 +161,24 @@ def test_quantile_blobs_property_parity(populations, qs):
 )
 def test_split_boundaries_partition_unit_interval(weights):
     """Boundaries are increasing, end exactly at the (fp-safe) top, and
-    every fraction in [0,1) lands in exactly one split."""
-    from tgdigest_spark.operators.sampling import _boundaries, _case  # noqa: F401
+    every fraction in [0,1) lands in exactly one interval — the winner
+    under CASE first-match-wins equals the [prev, b) interval owner."""
+    from tgdigest_spark.operators.sampling import _boundaries
 
     bounds = _boundaries(weights)
     vals = [b for _, b in bounds]
     assert all(b2 >= b1 for b1, b2 in zip(vals, vals[1:]))
     assert vals[-1] >= 1.0
-    # simulate the CASE: first boundary >= frac wins
     import numpy as np
 
     for frac in np.linspace(0, 0.999999, 23):
-        chosen = [name for name, b in bounds if frac < b]
-        assert chosen  # always assigned
+        # CASE first-match-wins winner
+        winner = next(name for name, b in bounds if frac < b)
+        # interval owner: the unique name with prev_b <= frac < b
+        prev = 0.0
+        owners = []
+        for name, b in bounds:
+            if prev <= frac < b:
+                owners.append(name)
+            prev = b
+        assert owners == [winner]

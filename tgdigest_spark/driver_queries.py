@@ -1540,22 +1540,38 @@ def passage_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = passage_overlap_pairs(docs, min_shared=1)
-    return pairs.agg(
+    release = pairs.release_cache
+    pairs = pairs.persist()  # consumed by two aggregations below
+    row = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.coalesce(F.max("shared_fps"), F.lit(0)).alias("max_shared"),
-        F.coalesce(
-            F.countDistinct("id_a") + F.countDistinct("id_b"), F.lit(0)
-        ).alias("docs_involved"),
+    ).collect()[0]
+    # distinct docs across BOTH pair columns (summing per-column
+    # countDistinct would double-count docs appearing on both sides)
+    docs_involved = (
+        pairs.select(F.col("id_a").alias("d"))
+        .union(pairs.select(F.col("id_b").alias("d")))
+        .distinct()
+        .count()
+    )
+    pairs.unpersist()
+    release()
+    return spark.createDataFrame(
+        [(int(row["n_pairs"]), int(row["max_shared"]), int(docs_involved))],
+        "n_pairs long, max_shared long, docs_involved long",
     )
 
 
 @register(
     "bpe_token_counts",
+    # whitespace classes spelled out: Java \s includes \x0B, RE2's does
+    # not (same reason BPE_PATTERN does it; \S+ for token_cnt likewise)
     """
     SELECT doc_id,
-           len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS token_cnt,
            len(regexp_extract_all(COALESCE(text, ''),
-               '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+               '[^ \\t\\n\\x0B\\f\\r]+')) AS token_cnt,
+           len(regexp_extract_all(COALESCE(text, ''),
+               '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+'
            )) AS bpe_token_cnt
     FROM documents
     """,

@@ -527,7 +527,11 @@ def passage_overlap_pairs(
     self-join (a boilerplate string present in d docs would emit d^2
     rows), and pairs come from ONE equi-join on fp.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    # persisted: the df-cap aggregate and BOTH self-join sides consume
+    # it (the id_a/id_b aliasing defeats ReuseExchange) — same
+    # convention as lsh_candidate_pairs' signature cache.
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).persist()
+    pruned = fps
     if max_df is not None:
         hot = (
             fps.groupBy("fp")
@@ -535,16 +539,18 @@ def passage_overlap_pairs(
             .where(F.col("df") > max_df)
             .select("fp")
         )
-        fps = fps.join(hot, "fp", "left_anti")
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
-    return (
+        pruned = fps.join(hot, "fp", "left_anti")
+    a = pruned.select(F.col(id_col).alias("id_a"), "fp")
+    b = pruned.select(F.col(id_col).alias("id_b"), "fp")
+    out = (
         a.join(b, "fp")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+    out.release_cache = lambda: fps.unpersist()  # capture BEFORE transforming
+    return out
 
 
 def _exploded_shingles(

@@ -32,11 +32,18 @@ def token_count(text: Column) -> Column:
 
 #: GPT-2-style pretokenizer pattern, simplified to the subset where
 #: Java regex (Spark) and RE2 (DuckDB oracle) agree exactly: the
-#: original's `\s+(?!\S)` lookahead is dropped (RE2 has no lookaround).
+#: original's `\s+(?!\S)` lookahead is dropped (RE2 has no lookaround)
+#: and the whitespace class is spelled out because `\s` itself
+#: DIVERGES between the engines (Java \s includes vertical tab \x0B,
+#: RE2's does not — a \x0B in the corpus would flip the oracle hash).
 #: Alternation order matters and is identical in both engines
 #: (leftmost-first): contractions, then space+letters, space+digits,
 #: space+punctuation-run, whitespace-run.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_WS = " \\t\\n\\x0B\\f\\r"
+BPE_PATTERN = (
+    rf"'(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+"
+)
 
 
 def bpe_token_count(text: Column) -> Column:

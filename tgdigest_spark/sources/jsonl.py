@@ -39,23 +39,27 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     Persists the parsed frame: Spark refuses to answer queries that
     reference ONLY the internal corrupt-record column from a raw JSON
     scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both outputs consume
-    the same parse anyway. Caller unpersists via either output's
-    lineage when done (or lets it age out)."""
+    the same parse anyway. Long-lived sessions should release the cache
+    afterwards via ``clean.release_cache()`` (captured before further
+    transformations — unpersist() on a DERIVED frame does not release
+    the parent's storage)."""
     df = df.persist()
     clean = df.where(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     bad = df.where(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
+    clean.release_cache = lambda: df.unpersist()
     return clean, bad
 
 
 def jsonl_to_table(spark, jsonl_path: str, table_path: str) -> dict:
     """One-pass ingest: JSONL → partitioned/sorted parquet layout.
     Returns {'rows': n, 'corrupt': m} so the caller can alert on m."""
-    raw = read_transcripts_jsonl(spark, jsonl_path).persist()
-    clean, bad = split_corrupt(raw)
+    raw = read_transcripts_jsonl(spark, jsonl_path)
+    clean, bad = split_corrupt(raw)  # persists the parse
+    release = clean.release_cache
     n_bad = bad.count()
     write_transcripts_table(clean, table_path)
     n = spark.read.parquet(table_path).count()
-    raw.unpersist()
+    release()
     return {"rows": int(n), "corrupt": int(n_bad)}
 
 
