@@ -99,3 +99,36 @@ def test_kll_on_spark_vs_exact(spark, transcripts):
     for q, e in est.items():
         qhat = np.searchsorted(vals, e, "right") / n
         assert abs(qhat - q) <= 0.035, (q, e, qhat)
+
+
+def test_grouped_quantiles_kll(spark, sf001_dir):
+    """Per-group KLL quantiles (vectorized mass extraction) land within
+    the additive rank-error bound of the exact per-group percentiles."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.api import grouped_quantiles_kll
+
+    ev = spark.read.parquet(f"{sf001_dir}/events.parquet")
+    got = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in grouped_quantiles_kll(
+            ev, ["event_type"], "value", [0.5, 0.95], k=200
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: (r["e50"], r["e95"], r["lo50"], r["hi50"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("e50"),
+            F.expr("percentile(value, 0.95)").alias("e95"),
+            F.expr("percentile(value, 0.45)").alias("lo50"),
+            F.expr("percentile(value, 0.55)").alias("hi50"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, (p50, p95) in got.items():
+        e50, e95, lo50, hi50 = exact[et]
+        # rank-error bound: p50 within the [q-eps, q+eps] value band
+        assert lo50 <= p50 <= hi50, (et, p50, lo50, hi50)
+        assert abs(p95 - e95) / max(abs(e95), 1) < 0.2

@@ -204,3 +204,28 @@ def test_mismatched_merge_raises():
         Bloom(1 << 10, 3).merge(Bloom(1 << 11, 3))
     with pytest.raises(ValueError):
         KLL(64).merge(KLL(128))
+
+
+def test_kll_quantile_blobs_exact_parity():
+    """Vectorized KLL mass extraction is EXACTLY per-blob quantile()
+    (integer-rank threshold trick), across sizes incl. empty/single."""
+    import numpy as np
+
+    from tgdigest_spark.sketches.kll import KLL
+
+    rng = np.random.default_rng(5)
+    qs = [0.0, 0.01, 0.5, 0.95, 1.0]
+    blobs = []
+    for i in range(200):
+        sk = KLL(64)
+        n = int(rng.choice([0, 1, 2, 7, 100, 20000]))
+        if n:
+            sk.update(rng.normal(0, 100, n))
+        blobs.append(sk.serialize())
+    bulk = KLL.quantile_blobs(blobs, qs)
+    for i, b in enumerate(blobs):
+        ref = KLL.deserialize(b).quantile(qs)
+        if np.all(np.isnan(ref)):
+            assert np.all(np.isnan(bulk[i]))
+        else:
+            assert bulk[i].tolist() == list(ref), i  # bit-exact

@@ -359,6 +359,20 @@ def membership_prune(df: DataFrame, value: Column | str, bloom: Bloom) -> DataFr
 # KLL variants of the quantile queries
 # ---------------------------------------------------------------------------
 
+def grouped_quantiles_kll(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    qs: list[float],
+    k: int = 200,
+    method: str = "combine",
+) -> DataFrame:
+    """Per-group KLL quantiles (rank-error flavor of grouped_quantiles);
+    mass extraction is vectorized via KLL.quantile_blobs."""
+    blobs = sketch_by_key(df, keys, value, lambda: KLL(k), method=method)
+    return with_quantiles(blobs, lambda: KLL(k), qs)
+
+
 def quantiles_kll(
     df: DataFrame,
     value: Column | str,

@@ -162,6 +162,86 @@ class KLL(Sketch):
         out = cum[idx] / cum[-1]
         return float(out[0]) if np.isscalar(x) else out
 
+    @classmethod
+    def quantile_blobs(cls, blobs, qs) -> np.ndarray:
+        """(len(blobs), len(qs)) quantile estimates in ONE vectorized
+        pass — EXACTLY equal to
+        ``[cls.deserialize(b).quantile(qs) for b in blobs]``.
+
+        Exact parity trick: KLL item weights are powers of two, so
+        per-sketch cumulative weights are exact int64. The per-blob
+        inclusive-rank select ``first cum >= q*n`` over integer cums is
+        equivalent to ``first cum >= ceil(q*n)``, an INTEGER threshold —
+        so all segments share one int64 key space (per-segment cums
+        offset by a running base) and a single searchsorted answers
+        every (blob, q) with no floating-point drift."""
+        import struct as _struct
+
+        p = len(blobs)
+        qs_arr = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+        nq = qs_arr.size
+        out = np.full((p, nq), np.nan)
+        if p == 0:
+            return out
+        head = _struct.Struct("<4sHIQddBB")
+        mins = np.empty(p)
+        maxs = np.empty(p)
+        totals = np.zeros(p, dtype=np.int64)
+        vals_parts: list[np.ndarray] = []
+        wts_parts: list[np.ndarray] = []
+        item_counts = np.zeros(p, dtype=np.int64)
+        for i, b in enumerate(blobs):
+            magic, ver, _k, n, mn, mx, n_levels, _flip = head.unpack_from(b, 0)
+            if magic != cls.MAGIC or ver != cls.VERSION:
+                raise ValueError("bad KLL blob header")
+            mins[i], maxs[i] = mn, mx
+            off = head.size
+            sizes = _struct.unpack_from(f"<{n_levels}Q", b, off)
+            off += 8 * n_levels
+            for lvl, sz in enumerate(sizes):
+                if sz:
+                    vals_parts.append(np.frombuffer(b, np.float64, sz, off))
+                    wts_parts.append(
+                        np.full(sz, np.int64(1) << lvl, dtype=np.int64)
+                    )
+                    item_counts[i] += sz
+                    totals[i] += int(sz) << lvl
+                off += 8 * sz
+
+        live = np.flatnonzero(item_counts > 0)
+        if live.size == 0:
+            return out
+        # keep only live segments' parts (parts were appended in blob
+        # order, so rebuild the concatenation per live blob)
+        v = np.concatenate(vals_parts)
+        w = np.concatenate(wts_parts)
+        seg_sizes = item_counts[live]
+        seg_of = np.repeat(np.arange(live.size), seg_sizes)
+        order = np.lexsort((v, seg_of))
+        v_s, w_s = v[order], w[order]
+        ends = np.cumsum(seg_sizes)
+        starts = ends - seg_sizes
+        cs = np.cumsum(w_s)
+        cs_before = np.concatenate(([np.int64(0)], cs[ends[:-1] - 1]))
+        cum = cs - cs_before[seg_of]  # per-segment cum, exact int64
+
+        tot_live = totals[live]
+        base = np.concatenate(([np.int64(0)], np.cumsum(tot_live)[:-1]))
+        keys = base[seg_of] + cum  # strictly increasing across segments
+
+        targets = np.clip(qs_arr, 0.0, 1.0)[None, :] * tot_live[:, None].astype(
+            np.float64
+        )
+        t_int = np.maximum(np.ceil(targets), 1.0).astype(np.int64)
+        t_int = np.minimum(t_int, tot_live[:, None])  # stay inside segment
+        tkeys = (base[:, None] + t_int).ravel()
+        idx = np.searchsorted(keys, tkeys, side="left")
+        est = v_s[idx].reshape(live.size, nq)
+        est = np.where(qs_arr[None, :] <= 0.0, mins[live][:, None], est)
+        est = np.where(qs_arr[None, :] >= 1.0, maxs[live][:, None], est)
+        out[live] = est
+        return out
+
     # -- serialization ----------------------------------------------------
     def serialize(self) -> bytes:
         head = struct.pack(
