@@ -487,6 +487,22 @@ def sketch_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").orderBy("event_type")
 
 
+@register("sketch_grouped_kll", None)
+def sketch_grouped_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KLL quantiles (vectorized mass extraction) with
+    exact per-group percentiles as self-check columns — the rank-error
+    twin of sketch_grouped_tdigest."""
+    from .api import grouped_quantiles_kll
+
+    ev = load(spark, sf_dir, "events")
+    est = grouped_quantiles_kll(ev, ["event_type"], "value", [0.5, 0.95], k=200)
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 # J1/J3 — broadcast dim-join enrichment (the reference's channel-entity
 # memo lookup, workers/tg.rs:13-34, generalized to a star join)
 @register(
