@@ -115,20 +115,14 @@ def test_grouped_quantiles_kll(spark, sf001_dir):
             ev, ["event_type"], "value", [0.5, 0.95], k=200
         ).collect()
     }
-    exact = {
-        r["event_type"]: (r["e50"], r["e95"], r["lo50"], r["hi50"])
-        for r in ev.groupBy("event_type")
-        .agg(
-            F.expr("percentile(value, 0.5)").alias("e50"),
-            F.expr("percentile(value, 0.95)").alias("e95"),
-            F.expr("percentile(value, 0.45)").alias("lo50"),
-            F.expr("percentile(value, 0.55)").alias("hi50"),
-        )
-        .collect()
-    }
-    assert set(got) == set(exact)
+    # rank-based check (the bound KLL actually guarantees): the
+    # fraction of group values <= estimate must be near q, with 1/n
+    # slack for the inclusive-rank discretization at any group size
+    pdf = ev.select("event_type", "value").toPandas()
+    assert set(got) == set(pdf["event_type"].unique())
     for et, (p50, p95) in got.items():
-        e50, e95, lo50, hi50 = exact[et]
-        # rank-error bound: p50 within the [q-eps, q+eps] value band
-        assert lo50 <= p50 <= hi50, (et, p50, lo50, hi50)
-        assert abs(p95 - e95) / max(abs(e95), 1) < 0.2
+        vals = pdf.loc[pdf["event_type"] == et, "value"].to_numpy()
+        n = len(vals)
+        for est, q in ((p50, 0.5), (p95, 0.95)):
+            rank = (vals <= est).mean()
+            assert abs(rank - q) <= 0.05 + 1.0 / n, (et, q, est, rank)

@@ -470,6 +470,20 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_group_anchors(ev: DataFrame, key: str, qs: list[float]) -> DataFrame:
+    """Per-group exact percentiles — the shared self-check anchor the
+    grouped sketch rows join against (one definition so the
+    float-safety policy can't drift between the tdigest/KLL twins)."""
+    return ev.groupBy(key).agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(
+                f"exact_p{int(q * 100)}"
+            )
+            for q in qs
+        ]
+    )
+
+
 @register("sketch_grouped_tdigest", None)
 def sketch_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type t-digest quantiles (salted two-stage merge) with
@@ -480,10 +494,7 @@ def sketch_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = grouped_quantiles(
         ev, ["event_type"], "value", [0.5, 0.95], method="salted"
     )
-    exact = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("exact_p50"),
-        F.expr("percentile(value, 0.95)").alias("exact_p95"),
-    )
+    exact = _exact_group_anchors(ev, "event_type", [0.5, 0.95])
     return est.join(exact, "event_type").orderBy("event_type")
 
 
@@ -496,10 +507,7 @@ def sketch_grouped_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     est = grouped_quantiles_kll(ev, ["event_type"], "value", [0.5, 0.95], k=200)
-    exact = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("exact_p50"),
-        F.expr("percentile(value, 0.95)").alias("exact_p95"),
-    )
+    exact = _exact_group_anchors(ev, "event_type", [0.5, 0.95])
     return est.join(exact, "event_type").orderBy("event_type")
 
 

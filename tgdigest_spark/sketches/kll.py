@@ -175,15 +175,13 @@ class KLL(Sketch):
         so all segments share one int64 key space (per-segment cums
         offset by a running base) and a single searchsorted answers
         every (blob, q) with no floating-point drift."""
-        import struct as _struct
-
         p = len(blobs)
         qs_arr = np.atleast_1d(np.asarray(qs, dtype=np.float64))
         nq = qs_arr.size
         out = np.full((p, nq), np.nan)
         if p == 0:
             return out
-        head = _struct.Struct("<4sHIQddBB")
+        head = struct.Struct("<4sHIQddBB")
         mins = np.empty(p)
         maxs = np.empty(p)
         totals = np.zeros(p, dtype=np.int64)
@@ -191,12 +189,12 @@ class KLL(Sketch):
         wts_parts: list[np.ndarray] = []
         item_counts = np.zeros(p, dtype=np.int64)
         for i, b in enumerate(blobs):
-            magic, ver, _k, n, mn, mx, n_levels, _flip = head.unpack_from(b, 0)
+            magic, ver, _k, _n, mn, mx, n_levels, _flip = head.unpack_from(b, 0)
             if magic != cls.MAGIC or ver != cls.VERSION:
                 raise ValueError("bad KLL blob header")
             mins[i], maxs[i] = mn, mx
             off = head.size
-            sizes = _struct.unpack_from(f"<{n_levels}Q", b, off)
+            sizes = struct.unpack_from(f"<{n_levels}Q", b, off)
             off += 8 * n_levels
             for lvl, sz in enumerate(sizes):
                 if sz:
@@ -220,7 +218,6 @@ class KLL(Sketch):
         order = np.lexsort((v, seg_of))
         v_s, w_s = v[order], w[order]
         ends = np.cumsum(seg_sizes)
-        starts = ends - seg_sizes
         cs = np.cumsum(w_s)
         cs_before = np.concatenate(([np.int64(0)], cs[ends[:-1] - 1]))
         cum = cs - cs_before[seg_of]  # per-segment cum, exact int64
@@ -232,11 +229,19 @@ class KLL(Sketch):
         targets = np.clip(qs_arr, 0.0, 1.0)[None, :] * tot_live[:, None].astype(
             np.float64
         )
+        # NaN q: per-blob clip(NaN)->NaN target makes searchsorted land
+        # past the end, i.e. the segment's LARGEST item — mirror that
+        # (ceil/int64-cast on NaN would otherwise emit INT64_MIN junk).
+        nan_q = np.isnan(qs_arr)
+        targets = np.where(nan_q[None, :], 1.0, targets)
         t_int = np.maximum(np.ceil(targets), 1.0).astype(np.int64)
         t_int = np.minimum(t_int, tot_live[:, None])  # stay inside segment
         tkeys = (base[:, None] + t_int).ravel()
         idx = np.searchsorted(keys, tkeys, side="left")
         est = v_s[idx].reshape(live.size, nq)
+        if nan_q.any():
+            last_item = v_s[ends - 1]
+            est[:, nan_q] = last_item[:, None]
         est = np.where(qs_arr[None, :] <= 0.0, mins[live][:, None], est)
         est = np.where(qs_arr[None, :] >= 1.0, maxs[live][:, None], est)
         out[live] = est
