@@ -81,15 +81,25 @@ class SketchCheckpointStore:
         return f"{safe}-{digest}"
 
     def _blob_path(self, key: str) -> str:
-        path = os.path.join(self.parts_dir, f"{self._safe_name(key)}.bin")
-        # migration: stores written before the hash suffix used
-        # '{safe}.bin'; read those if present so old checkpoints still
-        # resume as no-ops (writes always go to the injective path).
-        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
-        legacy = os.path.join(self.parts_dir, f"{safe}.bin")
+        """READ-side resolution. Migration: stores written before the
+        hash suffix used '{safe}.bin'; read those if present so old
+        checkpoints still resume as no-ops. Writes must NOT go through
+        this fallback (on a migrated store, rebuilding key 'a/b' would
+        land in non-injective 'a_b.bin' and clobber key 'a_b') — they
+        use :meth:`_blob_write_path`."""
+        path = self._blob_write_path(key)
+        legacy = self._legacy_blob_path(key)
         if not os.path.exists(path) and os.path.exists(legacy):
             return legacy
         return path
+
+    def _blob_write_path(self, key: str) -> str:
+        """WRITE-side resolution: always the injective hashed stem."""
+        return os.path.join(self.parts_dir, f"{self._safe_name(key)}.bin")
+
+    def _legacy_blob_path(self, key: str) -> str:
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
+        return os.path.join(self.parts_dir, f"{safe}.bin")
 
     def blob_file(self, key: str, entry: dict | None = None) -> str:
         """Resolved blob path: a manifest entry may carry an explicit
@@ -231,11 +241,15 @@ def build_checkpointed(
 
     lineage = []
     for r in rows:
-        path = store._blob_path(r["part"])
+        path = store._blob_write_path(r["part"])
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(bytes(r["sketch"]))
         os.replace(tmp, path)
+        # NOTE: a stale legacy-named file is deliberately left in place —
+        # legacy names are non-injective, so "a/b"'s legacy file may be
+        # some other key's ("a_b") only copy; reads prefer the injective
+        # path once it exists, so the leftover is inert for this key.
         frac = r["rows"] / total_rows if total_rows else 0.0
         entry = {
             "status": "done",

@@ -54,11 +54,16 @@ def merge_batch_into_store(
     would double-count any bucket whose blob was replaced before the
     crash.)
 
-    ``run_id`` scopes the dedup marker: Structured Streaming restarts
-    epoch ids at 0 per checkpointLocation, so two runs writing to one
-    store would otherwise collide on epoch numbers and silently skip
-    each other's batches (``sketch_stream_to_store`` passes its
-    checkpoint location automatically).
+    ``run_id`` scopes BOTH the dedup marker AND the blob filename:
+    Structured Streaming restarts epoch ids at 0 per checkpointLocation,
+    so two runs writing to one store would otherwise (a) silently skip
+    each other's batches via the marker and (b) collide on the
+    epoch-versioned filename — run B's epoch-0 file would equal the
+    basename of run A's epoch-0 file, putting the LIVE blob on the GC
+    list while the manifest still points at it (and replacing it
+    in-place, breaking the prior-manifest-reader guarantee).
+    (``sketch_stream_to_store`` passes its checkpoint location
+    automatically.)
 
     GC is DEFERRED one commit: files superseded by THIS commit are only
     recorded; files recorded by the PREVIOUS commit are deleted now.
@@ -75,9 +80,12 @@ def merge_batch_into_store(
             factory,
         )
     ).collect()
+    import hashlib
+
     manifest = store.manifest()
     deser = type(factory()).deserialize
     marker = f"{run_id or ''}#{int(epoch_id)}"
+    run_tag = hashlib.sha1((run_id or "").encode()).hexdigest()[:8]
     obsolete: list[str] = []
     dirty = False
     for r in rows:
@@ -88,15 +96,18 @@ def merge_batch_into_store(
         if entry.get("last_commit") == marker:
             continue  # replayed epoch (same run): already committed
         old_path = store.blob_file(key, entry)
+        # injective stem (NOT _blob_path, whose legacy fallback would
+        # let sanitization-colliding keys share one epoch file); the
+        # run tag keeps cross-run epoch-number reuse from colliding on
+        # the filename of the still-live blob
+        new_name = f"{store._safe_name(key)}.{run_tag}.e{int(epoch_id)}.bin"
         blob = bytes(r["sketch"])
         if os.path.exists(old_path):
             with open(old_path, "rb") as f:
                 merged = deser(f.read()).merge(deser(blob))
             blob = merged.serialize()
-            obsolete.append(os.path.basename(old_path))
-        # injective stem (NOT _blob_path, whose legacy fallback would
-        # let sanitization-colliding keys share one epoch file)
-        new_name = f"{store._safe_name(key)}.e{int(epoch_id)}.bin"
+            if os.path.basename(old_path) != new_name:
+                obsolete.append(os.path.basename(old_path))
         new_path = os.path.join(store.parts_dir, new_name)
         tmp = new_path + ".tmp"
         with open(tmp, "wb") as f:
