@@ -96,11 +96,14 @@ def main() -> int:
     metrics["stages"]["after_exact_dedup"] = deduped.count()
 
     pairs = lsh_candidate_pairs(deduped, num_perm=128)
-    release = pairs.release_cache
+    release = pairs.release_cache  # capture BEFORE transformations
     near = pairs.where(F.col("est_jaccard") >= args.neardup_jaccard)
     surviving = dedup_survivors(deduped, near)
     metrics["stages"]["after_near_dedup"] = surviving.count()
-    release()
+    # NOTE: release() is deferred to the end — `surviving` -> `final`
+    # still depends on the LSH join, so unpersisting the signature cache
+    # here would force the final write to recompute the whole
+    # signature+band+verify pipeline from scratch.
 
     if args.benchmark or args.benchmark_ids_below is not None:
         bench = (
@@ -134,6 +137,7 @@ def main() -> int:
     metrics["surviving_tokens"] = int(
         out.agg(F.sum("token_cnt")).collect()[0][0] or 0
     )
+    release()
     scored.unpersist()
     deduped.unpersist()
     print(json.dumps(metrics, sort_keys=True))

@@ -80,9 +80,11 @@ def test_simhash_bucket_cap_bounds_adversarial_corpus(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
     pairs = simhash_near_pairs(df, max_hamming=8, max_bucket=500)
     cnt = pairs.count()
-    # every bucket holds all 10k docs -> over the cap -> dropped; an
-    # uncapped join would have generated ~50M pairs here.
-    assert cnt == 0
+    # every bucket holds all 10k docs -> over the cap -> SAMPLED down to
+    # 500 members; an uncapped join would have generated ~50M pairs,
+    # the sampled bucket at most C(500,2) per band (identical sample
+    # across bands here, so the distinct union stays <= C(500,2)).
+    assert 0 < cnt <= 500 * 499 // 2
     pairs.release_cache()
 
 

@@ -63,9 +63,18 @@ def sketch_column(
     df: DataFrame,
     value: Column | str,
     factory: SketchFactory,
-    fanout: int = 64,
+    fanout: int = 512,
 ) -> Sketch:
-    """Build one sketch over ``value`` across the whole DataFrame."""
+    """Build one sketch over ``value`` across the whole DataFrame.
+
+    ``fanout`` bounds the driver's inbox (<= fanout KB-sized blobs
+    collected). The default sits ABOVE the usual
+    ``spark.sql.shuffle.partitions`` (200) on purpose: the partition
+    estimate in :func:`_estimated_partitions` is a conservative upper
+    bound that floors at that conf, and a lower fanout would make every
+    small job pay a repartition+merge round it doesn't need; 512 blobs
+    of a few KB are nothing to a driver, while a 100k-partition scan
+    still triggers the bounded Spark-side reduction."""
     col = F.col(value) if isinstance(value, str) else value
     vals = df.select(col.alias("v"))
 

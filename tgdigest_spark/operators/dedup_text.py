@@ -334,19 +334,26 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """→ DataFrame[id_a, id_b, hamming] — pairs within Hamming distance.
 
     Candidates via 4x16-bit bands (a pair within distance 3 is
     guaranteed to agree on >=1 band; larger distances probabilistically).
     Same capped-bucket topology as ``lsh_candidate_pairs``: ONE shuffle
-    groups (band, band_val) members, pairs are generated inside the
-    bucket with numpy, and buckets larger than ``max_bucket`` are
-    dropped — at 10^9 docs the expected band bucket holds N/65,536 docs,
-    so an uncapped self-join would emit ~d^2 rows per hot bucket (a
-    giant duplicate cluster stays discoverable through its other bands
-    and, transitively, through sampled pairs within the cap).
+    groups (band, band_val) members and pairs are generated inside the
+    bucket with numpy.
+
+    ``max_bucket=None`` (default) is EXACT band semantics — every bucket
+    member pairs. At corpus scale, set a cap: at 10^9 docs the expected
+    band bucket holds N/65,536 docs, so an uncapped bucket emits ~d^2
+    rows per hot bucket. A capped bucket is SAMPLED, not dropped: a
+    deterministic content-hash rank keeps ``max_bucket`` members (the
+    row_number runs BEFORE collect_list, so the hot bucket's member
+    array never materializes either), bounding fan-out at
+    max_bucket^2/2 per bucket while a giant duplicate cluster stays
+    discoverable through its sampled pairs and, transitively, through
+    its other bands.
     """
     sigs = (
         simhash_signatures(df, id_col, text_col)
@@ -376,6 +383,23 @@ def simhash_near_pairs(
         F.col("bb.band_val").alias("band_val"),
     )
 
+    if max_bucket is not None:
+        # deterministic within-bucket sample: rank members by a content
+        # hash (id tiebreak) and keep the first max_bucket. The window's
+        # hash-partition on (band, band_val) satisfies the groupBy's
+        # distribution requirement, so this adds a sort, not a second
+        # shuffle — and the oversized bucket is trimmed before
+        # collect_list ever builds an array.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_val").orderBy(
+            F.xxhash64(F.col(id_col), F.col("simhash")), F.col(id_col)
+        )
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     buckets = (
         banded.groupBy("band", "band_val")
         .agg(
@@ -383,7 +407,7 @@ def simhash_near_pairs(
                 "members"
             )
         )
-        .where((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+        .where(F.size("members") >= 2)
     )
 
     pair_schema = StructType(
