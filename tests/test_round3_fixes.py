@@ -156,3 +156,53 @@ def test_refresh_of_legacy_key_converges_to_injective_path(spark, tmp_path):
         "2024-01-01"
     )
     assert TDigest.deserialize(store.blobs()["2024-01-01"]).count == 3
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #1: large-star/small-star connected components — adversarial
+# long-chain graphs must converge in O(log n) rounds (min-label
+# propagation needed O(diameter) and aborted past 20)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_10k_path_converges_log_rounds(spark):
+    import math
+
+    from tgdigest_spark.operators.dedup_cluster import connected_components
+
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = connected_components(pairs)
+    rounds = labels.cc_rounds
+    rows = labels.collect()
+    # alternating large-star/small-star: ~log2(n) rounds on a path
+    assert rounds <= math.ceil(math.log2(n)) + 3, rounds
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_mixed_shapes_and_self_pairs(spark):
+    """Clique + path + isolated self-pair in one edge list; labels must
+    cover every node that appears in pairs, component = min reachable."""
+    from tgdigest_spark.operators.dedup_cluster import connected_components
+
+    edges = (
+        # 4-clique {0,1,2,3}
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        # path 10-11-12-13-14
+        + [(i, i + 1) for i in range(10, 14)]
+        # duplicate + reversed edges (must not double-label)
+        + [(11, 10), (1, 0)]
+        # self-pair: isolated node labels itself
+        + [(99, 99)]
+    )
+    labels = connected_components(
+        spark.createDataFrame(edges, "id_a long, id_b long")
+    )
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {
+        0: 0, 1: 0, 2: 0, 3: 0,
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        99: 99,
+    }
