@@ -159,6 +159,60 @@ def test_refresh_of_legacy_key_converges_to_injective_path(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT #2: heavy_hitters reduction is width-scaled and multi-round
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_multiround_width_scaled(spark, monkeypatch, tmp_path):
+    """With a small fanout the reduction must run log-depth rounds whose
+    widths shrink by ~fanout each round (every reducer merges ~fanout
+    blobs), ending at the fixed driver-facing tier — and the top-k must
+    equal the exact answer."""
+    # Spark 4: the concrete class overrides pyspark.sql.DataFrame —
+    # patching the base would miss the dispatch
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from tgdigest_spark import api
+
+    rows = [(f"k{i % 11}",) for i in range(4000)]
+    # a 64-file parquet input: the Connect-safe width estimate reads
+    # inputFiles (in-memory frames are invisible to it)
+    path = str(tmp_path / "hh64")
+    spark.createDataFrame(rows, "v string").repartition(64).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    widths: list[int] = []
+    orig_rep = DataFrame.repartition
+
+    def spy(self, *args, **kw):
+        if args and isinstance(args[0], int):
+            widths.append(args[0])
+        return orig_rep(self, *args, **kw)
+
+    monkeypatch.setattr(DataFrame, "repartition", spy)
+    fanout, tier = 2, 2  # tier = max(2, fanout // 8)
+    got = api.heavy_hitters(df, "v", k=5, fanout=fanout)
+    exact = (
+        df.groupBy("v").count().orderBy(F.desc("count"), "v").limit(5).collect()
+    )
+    assert [r["item"] for r in got.collect()] == [r["v"] for r in exact]
+
+    # multiple rounds ran, widths shrink by ~fanout per round, final
+    # round is the fixed tier
+    assert len(widths) >= 3, widths
+    assert widths[-1] == tier
+    import math
+
+    prev = None
+    for w in widths[:-1]:
+        if prev is not None:
+            # per-round reducer input ≈ prev/width <= fanout
+            assert math.ceil(prev / w) <= fanout, widths
+        prev = w
+    # last scaled round's output fits the final tier's fanout*tier bound
+    assert widths[-2] <= fanout * tier, widths
+
+
+# ---------------------------------------------------------------------------
 # VERDICT #1: large-star/small-star connected components — adversarial
 # long-chain graphs must converge in O(log n) rounds (min-label
 # propagation needed O(diameter) and aborted past 20)

@@ -231,13 +231,21 @@ def heavy_hitters(
                 ignore_index=True,
             )
 
-    # ONE Spark-side reduction tier (a small shuffle of the tiny partial
-    # rows): each reducer merges its CM blobs into one and pre-sums its
+    # Spark-side reduction (a small shuffle of the tiny partial rows):
+    # each reducer merges its CM blobs into one and pre-sums its
     # candidate counts, keeping the top cand_cap. Candidate counts are
     # ONLY used to choose which keys to estimate — the returned counts
     # always come from the merged CM — so tier-local truncation keeps
     # the detector semantics while the driver inbox stays at most
     # tier_width x (cand_cap + 1) rows, independent of scan width.
+    #
+    # The reduction is WIDTH-SCALED and MULTI-ROUND (mirrors
+    # agg._tree_merge): while the estimated partial count exceeds
+    # fanout x tier, insert a round wide enough that each reducer merges
+    # ~fanout blobs — an 800k-task scan pays log-depth rounds
+    # (800k -> 12.5k -> 196 -> tier) instead of funneling 800k blobs
+    # into 8 reducers in one round (reducer wall-time O(scan_tasks/8)).
+    # The common case (estimate <= fanout x tier) stays a single round.
     partials = vals.mapInPandas(fused, schema=fused_schema)
     tier = max(2, fanout // 8)
 
@@ -269,6 +277,17 @@ def heavy_hitters(
         )
         yield pd.concat([out, blob_row], ignore_index=True)
 
+    import math
+
+    from .agg import _estimated_partitions
+
+    n_est = _estimated_partitions(partials)
+    while n_est > max(fanout, 1) * tier:
+        width = math.ceil(n_est / max(fanout, 1))
+        partials = partials.repartition(width).mapInPandas(
+            reduce_tier, schema=fused_schema
+        )
+        n_est = width
     rows = (
         partials.repartition(tier)
         .mapInPandas(reduce_tier, schema=fused_schema)
