@@ -159,6 +159,39 @@ def test_refresh_of_legacy_key_converges_to_injective_path(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT #3: grouped-CM probe estimates (one-sided, layout-independent)
+# ---------------------------------------------------------------------------
+
+def test_grouped_cm_counts_one_sided_and_layout_independent(spark):
+    from tgdigest_spark.api import grouped_cm_counts
+
+    rows = [(f"g{i % 3}", f"u{i % 17}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    probes = ["u0", "u5", "u16", "absent"]
+    est = {
+        (r["grp"], r["item"]): r["est_count"]
+        for r in grouped_cm_counts(df, ["grp"], "v", probes).collect()
+    }
+    exact = {
+        (r["grp"], r["v"]): r["c"]
+        for r in df.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert len(est) == 3 * 4
+    for (g, item), e in est.items():
+        true = exact.get((g, item), 0)
+        assert e >= true  # CM one-sided guarantee
+        assert e <= true + 0.001 * 1000 + 1  # eps*group_n slack
+    # layout independence: same estimates under a different partitioning
+    est2 = {
+        (r["grp"], r["item"]): r["est_count"]
+        for r in grouped_cm_counts(
+            df.repartition(13), ["grp"], "v", probes
+        ).collect()
+    }
+    assert est == est2
+
+
+# ---------------------------------------------------------------------------
 # VERDICT #2: heavy_hitters reduction is width-scaled and multi-round
 # ---------------------------------------------------------------------------
 

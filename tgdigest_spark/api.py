@@ -149,6 +149,52 @@ def grouped_distinct_count(
     return blobs.mapInPandas(extract, schema=out_schema)
 
 
+def grouped_cm_counts(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    probes: list[str],
+    eps: float = 0.001,
+    delta: float = 0.01,
+) -> DataFrame:
+    """Per-group count-min frequency estimates for a fixed probe list.
+
+    → DataFrame[keys..., item string, est_count long] — one row per
+    (group, probe). Same map-side-combine topology as every grouped
+    sketch (sketch_by_key): one blob shuffle, skew pre-reduced per
+    task. CM guarantees est_count >= true count within the group.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    factory = lambda: CountMin.from_error(eps, delta)  # noqa: E731
+    blobs = sketch_by_key(df, keys, value, factory)
+    fields = [f for f in blobs.schema.fields if f.name != "sketch"]
+    out_schema = StructType(
+        fields
+        + [
+            StructField("item", StringType(), False),
+            StructField("est_count", LongType(), False),
+        ]
+    )
+    probe_arr = np.array([str(p) for p in probes], dtype=object)
+
+    def extract(batches):
+        for pdf in batches:
+            outs = []
+            for i in range(len(pdf)):
+                cm = CountMin.deserialize(bytes(pdf["sketch"].iloc[i]))
+                ests = cm.estimate(probe_arr)
+                row = {k: np.repeat(pdf[k].iloc[i], len(probe_arr)) for k in
+                       (f.name for f in fields)}
+                row["item"] = probe_arr
+                row["est_count"] = ests.astype(np.int64)
+                outs.append(pd.DataFrame(row))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return blobs.mapInPandas(extract, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # heavy hitters (count-min) — exact counterpart: groupBy().count() top-k
 # ---------------------------------------------------------------------------

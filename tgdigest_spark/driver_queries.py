@@ -511,6 +511,82 @@ def sketch_grouped_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").orderBy("event_type")
 
 
+@register("sketch_grouped_hll", None)
+def sketch_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct user_id (map-side-combine grouped
+    sketch) with the exact per-group countDistinct anchor and relative
+    error as self-check columns (pytest bounds the std error at
+    1.04/sqrt(2^p))."""
+    from .api import grouped_distinct_count
+
+    ev = load(spark, sf_dir, "events")
+    est = grouped_distinct_count(
+        ev, ["event_type"], F.col("user_id").cast("string"), p=14
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "distinct_est",
+            "exact_distinct",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("sketch_grouped_cm", None)
+def sketch_grouped_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type count-min estimates for the 3 globally-heaviest
+    users, with exact per-(group, user) counts and the one-sided
+    overcount as self-check columns (CM guarantees est >= exact)."""
+    from .api import grouped_cm_counts
+
+    ev = load(spark, sf_dir, "events")
+    # deterministic probe set: top-3 global user_ids by count (id asc
+    # tiebreak) — tiny aggregate, also the anchor's building block
+    probes = [
+        str(r["user_id"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id")
+        .limit(3)
+        .collect()
+    ]
+    est = grouped_cm_counts(
+        ev,
+        ["event_type"],
+        F.col("user_id").cast("string"),
+        probes,
+        eps=0.001,
+        delta=0.01,
+    )
+    exact = (
+        ev.where(F.col("user_id").cast("string").isin(probes))
+        .groupBy("event_type", F.col("user_id").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(F.broadcast(exact), ["event_type", "item"], "left")
+        .select(
+            "event_type",
+            "item",
+            "est_count",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+            (
+                F.col("est_count") - F.coalesce("exact_count", F.lit(0))
+            ).alias("overcount"),
+        )
+        .orderBy("event_type", "item")
+    )
+
+
 # J1/J3 — broadcast dim-join enrichment (the reference's channel-entity
 # memo lookup, workers/tg.rs:13-34, generalized to a star join)
 @register(
