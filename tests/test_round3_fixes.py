@@ -159,6 +159,79 @@ def test_refresh_of_legacy_key_converges_to_injective_path(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT #4: fixed-size per-stratum sampling + sequence packing
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_exact_n_and_layout_independent(spark):
+    from tgdigest_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(1000)] + [(9999, "tiny")]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    key = F.md5(F.col("id").cast("string"))
+    got = stratified_sample(df, "stratum", 10, key, tiebreak="id").collect()
+    by_stratum: dict = {}
+    for r in got:
+        by_stratum.setdefault(r["stratum"], set()).add(r["id"])
+    assert {s: len(v) for s, v in by_stratum.items()} == {
+        "s0": 10, "s1": 10, "s2": 10, "s3": 10, "tiny": 1
+    }
+    got2 = stratified_sample(
+        df.repartition(7), "stratum", 10, key, tiebreak="id"
+    ).collect()
+    assert {(r["stratum"], r["id"]) for r in got2} == {
+        (r["stratum"], r["id"]) for r in got
+    }
+
+
+def test_pack_sequences_capacity_and_exactly_once(spark):
+    from tgdigest_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 1 + (i * 37) % 200) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, token_cnt long")
+    packed = pack_sequences(df, budget=256, n_groups=4).collect()
+    # every doc exactly once
+    assert sorted(r["doc_id"] for r in packed) == list(range(800))
+    assert not any(r["oversized"] for r in packed)
+    # no bin exceeds the budget
+    totals: dict = {}
+    for r in packed:
+        totals[r["bin"]] = totals.get(r["bin"], 0) + r["token_cnt"]
+    assert max(totals.values()) <= 256
+    # deterministic under a different physical layout
+    packed2 = pack_sequences(df.repartition(11), budget=256, n_groups=4).collect()
+    assert {(r["doc_id"], r["bin"]) for r in packed2} == {
+        (r["doc_id"], r["bin"]) for r in packed
+    }
+
+
+def test_pack_sequences_oversize_modes(spark):
+    from tgdigest_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 999), (3, 50)], "doc_id long, token_cnt long"
+    )
+    with pytest.raises(Exception, match="exceeds budget"):
+        pack_sequences(df, budget=256, n_groups=1).collect()
+    got = pack_sequences(
+        df, budget=256, n_groups=1, oversize="singleton"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[2]["oversized"] and not by_id[1]["oversized"]
+    # the oversized doc sits alone in its bin
+    assert sum(1 for r in got if r["bin"] == by_id[2]["bin"]) == 1
+
+
+def test_pack_sequences_explicit_group_bins_do_not_cross(spark):
+    from tgdigest_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 60, "a" if i < 50 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, token_cnt long, split string")
+    got = pack_sequences(df, budget=256, group_col="split").collect()
+    for r in got:
+        assert r["bin"].startswith(f"{r['split']}_")
+
+
+# ---------------------------------------------------------------------------
 # VERDICT #3: grouped-CM probe estimates (one-sided, layout-independent)
 # ---------------------------------------------------------------------------
 

@@ -1765,6 +1765,103 @@ def train_val_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stratified_sample_counts",
+    """
+    WITH r AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           MIN(doc_id) AS id_min,
+           MAX(doc_id) AS id_max
+    FROM r WHERE rn <= 20
+    GROUP BY lang
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-20-per-lang sample of documents (md5
+    content-hash order, doc_id tiebreak). The id_sum/min/max columns
+    hash-verify the SELECTION against the SQL mirror, not just the
+    per-stratum counts."""
+    from .operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    samp = stratified_sample(
+        docs,
+        by="lang",
+        n=20,
+        shuffle_key=F.md5(F.col("doc_id").cast("string")),
+        tiebreak="doc_id",
+    )
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )
+
+
+@register("sequence_pack_stats", None)
+def sequence_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window bin packing of document token counts (best-fit-
+    decreasing per hash group). Self-checking single row: every doc
+    packed exactly once (n_docs == n_distinct_docs == sum of bin
+    sizes), no non-oversized bin exceeds the budget
+    (max_bin_total <= budget), and utilization is reported."""
+    from .operators.sampling import pack_sequences
+    from .operators.text_analysis import token_count
+
+    budget = 256
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text"))
+    )
+    packed = pack_sequences(
+        docs,
+        token_col="token_cnt",
+        budget=budget,
+        id_col="doc_id",
+        n_groups=8,
+        oversize="singleton",
+    )
+    bins = packed.groupBy("bin").agg(
+        F.sum("token_cnt").alias("bin_total"),
+        F.max(F.col("oversized").cast("int")).alias("has_oversized"),
+    )
+    summary = packed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("token_cnt").alias("total_tokens"),
+    )
+    bin_stats = bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max(
+            F.when(F.col("has_oversized") == 0, F.col("bin_total"))
+        ).alias("max_bin_total"),
+        F.sum("has_oversized").alias("n_oversized_bins"),
+    )
+    return summary.crossJoin(bin_stats).select(
+        "n_rows",
+        "n_docs",
+        "n_bins",
+        "max_bin_total",
+        F.lit(budget).alias("budget"),
+        (F.col("max_bin_total") <= F.lit(budget)).alias("capacity_ok"),
+        (F.col("n_rows") == F.col("n_docs")).alias("packed_once_ok"),
+        "n_oversized_bins",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_bins") * F.lit(budget)).cast("double")
+        ).alias("utilization"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec[0] for name, spec in REGISTRY.items()}
 

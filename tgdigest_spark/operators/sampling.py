@@ -109,3 +109,154 @@ def assign_splits_exact(
         / F.count(F.lit(1)).over(Window.partitionBy(by_col)).cast("double")
     )
     return df.withColumn(split_col, _case(frac, bounds).alias(split_col))
+
+
+def stratified_sample(
+    df: DataFrame,
+    by: str | Column,
+    n: int,
+    shuffle_key: Column,
+    tiebreak: str | Column | None = None,
+) -> DataFrame:
+    """Deterministic exactly-N-per-stratum sample.
+
+    Keeps the first ``n`` rows of each ``by`` stratum under the
+    ``shuffle_key`` ordering (use a content hash, e.g.
+    ``F.md5(id.cast('string'))``, for a deterministic, seedless,
+    engine-portable pseudo-shuffle; pass ``tiebreak`` — typically the id
+    — to pin the order when shuffle_key collides). Strata smaller than
+    ``n`` pass through whole.
+
+    Fully SQL-expressible (one window), so the driver oracle
+    hash-verifies the SELECTION, not just the counts
+    (driver_queries.stratified_sample_counts). Scale: one
+    hash-partition shuffle on the stratum key; Spark plans the rank
+    filter as WindowGroupLimit, so each task keeps a top-n heap instead
+    of fully sorting its strata.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    by_col = F.col(by) if isinstance(by, str) else by
+    order = [shuffle_key]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak)
+    w = Window.partitionBy(by_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "token_cnt",
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    group_col: str | Column | None = None,
+    n_groups: int = 1024,
+    oversize: str = "error",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Greedy context-window bin packing: assign each doc to a bin whose
+    total ``token_col`` never exceeds ``budget``.
+
+    Packing granularity is a GROUP (first-fit-decreasing is inherently
+    sequential, so it runs per group inside ``applyInPandas``):
+
+    * ``group_col=None`` — docs are bucketed by a content hash of
+      ``id_col`` into ``n_groups`` groups. At 100 TB this bounds each
+      packing task to ~corpus/n_groups docs; raise ``n_groups`` to keep
+      groups executor-sized. Deterministic under any physical layout.
+    * or pass an explicit grouping column (e.g. the train/val split, a
+      date) to keep bins from crossing that boundary.
+
+    Within a group: best-fit-decreasing (sort by tokens desc, id asc;
+    place each doc into the fullest bin that still has room, else open
+    a new bin) — the classic 11/9·OPT+1 offline heuristic family,
+    O(n log n) via a bisect-maintained residual list. Bin ids are
+    globally unique strings ``"{group}_{local_bin}"`` (collision-free
+    for any group value type).
+
+    ``oversize``: 'error' (default) raises on any doc with
+    ``token_col > budget`` (keeps the no-bin-exceeds-budget invariant
+    strict); 'singleton' gives each oversized doc its own bin and
+    marks it in the ``oversized`` output column.
+
+    Returns the input columns + ``bin_col`` (string) + ``oversized``
+    (boolean). Every input row appears exactly once.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if oversize not in ("error", "singleton"):
+        raise ValueError("oversize must be 'error' or 'singleton'")
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    if group_col is None:
+        grp = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(0x5EED)), F.lit(n_groups)
+        )
+    else:
+        grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    work = df.withColumn("_grp", grp.cast("string"))
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(bin_col, StringType(), False),
+            StructField("oversized", BooleanType(), False),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = pdf["_grp"].iloc[0]
+        toks = pdf[token_col].to_numpy()
+        if oversize == "error" and (toks > budget).any():
+            bad = pdf.loc[toks > budget, id_col].iloc[0]
+            raise ValueError(
+                f"pack_sequences: doc {bad!r} exceeds budget {budget} "
+                f"(use oversize='singleton')"
+            )
+        order = np.lexsort((pdf[id_col].to_numpy(), -toks))
+        import bisect
+
+        n_bins = 0
+        res: list[int] = []  # open-bin residuals, ascending
+        res_bin: list[int] = []  # bin index parallel to res
+        assign = np.empty(len(pdf), dtype=np.int64)
+        overs = np.zeros(len(pdf), dtype=bool)
+        for idx in order:
+            t = int(toks[idx])
+            if t > budget:  # oversize == 'singleton'
+                assign[idx] = n_bins
+                overs[idx] = True
+                n_bins += 1  # full bin: never enters the residual list
+                continue
+            i = bisect.bisect_left(res, t)  # tightest bin with room
+            if i < len(res):
+                r, b = res.pop(i), res_bin.pop(i)
+                r -= t
+                j = bisect.bisect_left(res, r)
+                res.insert(j, r)
+                res_bin.insert(j, b)
+                assign[idx] = b
+            else:
+                assign[idx] = n_bins
+                j = bisect.bisect_left(res, budget - t)
+                res.insert(j, budget - t)
+                res_bin.insert(j, n_bins)
+                n_bins += 1
+        out = pdf.drop(columns=["_grp"]).copy()
+        out[bin_col] = [f"{g}_{a}" for a in assign]
+        out["oversized"] = overs
+        return out
+
+    return work.groupBy("_grp").applyInPandas(pack, schema=out_schema)
