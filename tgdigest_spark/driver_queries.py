@@ -1635,7 +1635,14 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def passage_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) passage-overlap tier: doc pairs sharing rolling-
     hash fingerprints (copied spans / boilerplate), summarized (always
-    one row; the w+k-1 shared-passage guarantee is asserted in pytest)."""
+    one row).
+
+    Exact self-check on a bounded sample (doc_id < 1000): the
+    brute-force count of doc pairs sharing a contiguous
+    (window + k - 1)-TOKEN passage (exact string 12-grams, independent
+    of the fingerprint hasher), plus ``missing_guaranteed_pairs`` —
+    winnowing's guarantee says every such pair shares a fingerprint, so
+    this column must be 0 (also asserted in pytest)."""
     from .operators.dedup_text import passage_overlap_pairs
 
     docs = load(spark, sf_dir, "documents")
@@ -1654,11 +1661,73 @@ def passage_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
+
+    # ---- bounded-sample exact anchor (k=5, window=8 → passage = 12
+    # tokens, the operator defaults) -------------------------------------
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    passage_len = 8 + 5 - 1
+    sample = docs.where(F.col("doc_id") < 1000).select("doc_id", "text")
+
+    gram_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("gram", StringType(), False),
+        ]
+    )
+
+    def exact_grams(batches):
+        # same tokenizer as the fingerprint path (str.split whitespace)
+        # but RAW token strings — exact, no hash involved
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                t = ("" if txt is None else str(txt)).split()
+                gs = {
+                    "\x00".join(t[i : i + passage_len])
+                    for i in range(len(t) - passage_len + 1)
+                }
+                ids.extend([int(did)] * len(gs))
+                grams.extend(gs)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    g = sample.mapInPandas(exact_grams, schema=gram_schema)
+    exact_pairs = (
+        g.alias("x")
+        .join(g.alias("y"), "gram")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+        .persist()
+    )
+    n_exact = exact_pairs.count()
+    sample_winnow = pairs.where(
+        (F.col("id_a") < 1000) & (F.col("id_b") < 1000)
+    )
+    # the w+k-1 guarantee: every exact-passage pair must be winnowed
+    missing = exact_pairs.join(
+        sample_winnow, ["id_a", "id_b"], "left_anti"
+    ).count()
+    exact_pairs.unpersist()
     pairs.unpersist()
     release()
     return spark.createDataFrame(
-        [(int(row["n_pairs"]), int(row["max_shared"]), int(docs_involved))],
-        "n_pairs long, max_shared long, docs_involved long",
+        [
+            (
+                int(row["n_pairs"]),
+                int(row["max_shared"]),
+                int(docs_involved),
+                int(n_exact),
+                int(missing),
+            )
+        ],
+        "n_pairs long, max_shared long, docs_involved long, "
+        "sample_exact_passage_pairs long, missing_guaranteed_pairs long",
     )
 
 

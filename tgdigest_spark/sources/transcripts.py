@@ -41,7 +41,14 @@ def write_transcripts_table(
     use_iceberg: bool | None = None,
     target_file_rows: int = 1_000_000,
 ) -> None:
-    """Write the transcripts fact table in the engine's layout."""
+    """Write the transcripts fact table in the engine's layout.
+
+    ``target_file_rows`` bounds rows per output file via
+    ``spark.sql.files.maxRecordsPerFile`` (set for the duration of the
+    write, then restored): the repartition("ts_day") above funnels each
+    day into one task, so without the cap a hot day would produce one
+    giant file no executor can split on read.
+    """
     spark = df.sparkSession
     if use_iceberg is None:
         use_iceberg = iceberg_available(spark)
@@ -50,17 +57,28 @@ def write_transcripts_table(
         .repartition("ts_day")
         .sortWithinPartitions("ts_day", "conv_id", "turn_idx")
     )
-    if use_iceberg:  # pragma: no cover - jars absent in this image
-        (
-            staged.drop("ts_day")
-            .writeTo(path_or_table)
-            .partitionedBy(F.days(F.col("ts")))
-            .createOrReplace()
-        )
-    else:
-        staged.write.mode("overwrite").partitionBy("ts_day").parquet(
-            path_or_table
-        )
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, str(int(target_file_rows)))
+    try:
+        if use_iceberg:  # exercised by tests/test_iceberg_path.py when
+            # the Iceberg runtime jar is on the classpath (recipe in
+            # .claude/skills/verify/SKILL.md)
+            (
+                staged.drop("ts_day")
+                .writeTo(path_or_table)
+                .partitionedBy(F.days(F.col("ts")))
+                .createOrReplace()
+            )
+        else:
+            staged.write.mode("overwrite").partitionBy("ts_day").parquet(
+                path_or_table
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def read_transcripts(

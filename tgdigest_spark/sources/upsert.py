@@ -122,3 +122,26 @@ def touch_fetched_at(
     tmp = target_dir + f".tmp-{uuid.uuid4().hex[:8]}"
     updated.write.mode("overwrite").parquet(tmp)
     _atomic_swap(tmp, target_dir)
+
+
+def merge_into_iceberg(
+    spark, table: str, batch: DataFrame, keys: list[str]
+) -> None:
+    """Iceberg-native exactly-once upsert: ``MERGE INTO`` keyed on
+    ``keys`` — the lakehouse form of :func:`upsert_parquet` (reference
+    INSERT OR REPLACE, cache.rs:322-339). Requires the Iceberg runtime
+    on the classpath and ``table`` in an Iceberg catalog; use
+    :func:`tgdigest_spark.sources.transcripts.iceberg_available` to
+    branch. Matched rows take the batch row; re-running the same batch
+    is a content no-op (ST8)."""
+    view = f"_upsert_batch_{uuid.uuid4().hex[:8]}"
+    batch.dropDuplicates(keys).createOrReplaceTempView(view)
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    try:
+        spark.sql(
+            f"MERGE INTO {table} t USING {view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
