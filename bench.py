@@ -182,24 +182,78 @@ def _queries(spark, transcripts):
     }
 
 
+def _shuffle_totals(spark):
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
+    stages, via the Spark UI REST API. None when the UI is off or the
+    endpoint is unreachable — callers degrade to timings-only."""
+    import json as _json
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = getattr(sc, "uiWebUrl", None)
+    if not url:
+        return None
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{sc.applicationId}/stages", timeout=10
+        ) as r:
+            stages = _json.load(r)
+    except Exception:
+        return None
+    rd = sum(int(s.get("shuffleReadBytes", 0) or 0) for s in stages)
+    wr = sum(int(s.get("shuffleWriteBytes", 0) or 0) for s in stages)
+    return rd, wr
+
+
+def _time_queries(spark, qs: dict) -> tuple[dict, dict]:
+    """warmup + 2 timed runs per query (min); shuffle read/write MB is
+    the REST-metric delta around the second timed run — the measured
+    per-query shuffle profile ('is this the plan you'd want at 100x')."""
+    timings: dict[str, float] = {}
+    shuffle_mb: dict[str, dict] = {}
+    for name, fn in qs.items():
+        fn()  # warmup
+        t0 = time.perf_counter()
+        fn()
+        best = time.perf_counter() - t0
+        s0 = _shuffle_totals(spark)
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+        s1 = _shuffle_totals(spark)
+        timings[name] = round(best, 4)
+        if s0 is not None and s1 is not None:
+            shuffle_mb[name] = {
+                "read_mb": round((s1[0] - s0[0]) / 1e6, 2),
+                "write_mb": round((s1[1] - s0[1]) / 1e6, 2),
+            }
+    return timings, shuffle_mb
+
+
+_BENCH_CONF = {
+    # shuffle-byte deltas come from the UI REST API; keep enough stage
+    # history that cumulative sums never regress mid-bench
+    "spark.ui.enabled": "true",
+    "spark.ui.retainedStages": "20000",
+    "spark.ui.retainedJobs": "20000",
+}
+
+
 def run_bench() -> dict:
     from tgdigest_spark.session import get_spark
 
     tpath = _transcripts_path()
-    spark = get_spark("tgdigest-bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    spark = get_spark(
+        "tgdigest-bench",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf=_BENCH_CONF,
+    )
     transcripts = spark.read.parquet(tpath)
     n_turns = transcripts.count()  # also warms the file scan
 
     qs = _queries(spark, transcripts)
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        fn()  # warmup
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+    timings, shuffle_mb = _time_queries(spark, qs)
 
     total = round(sum(timings.values()), 4)
     turns_per_sec = round(n_turns / timings["q_sketch_build"], 1)
@@ -208,10 +262,85 @@ def run_bench() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "shuffle_mb": shuffle_mb,
         "sf": SF,
         "extra": {
             "n_turns": n_turns,
             "sketch_build_turns_per_sec": turns_per_sec,
+            "cpus": CPUS,
+        },
+    }
+    spark.stop()
+    return result
+
+
+# ---------------------------------------------------------------------------
+# 100x rehearsal mode
+# ---------------------------------------------------------------------------
+
+def run_rehearse100x(target_rows: int = 100_000_000) -> dict:
+    """One-command 100x rehearsal: replicate the sf transcripts to
+    ~10^8 rows ON DISK (written once, cached), run the transcript
+    headline queries, and report wall time + measured per-query shuffle
+    bytes. The point: the shuffle profile at 270x the bench data is
+    MEASURED, not argued — a plan whose shuffle grows with raw rows
+    (instead of with groups/blobs) shows up immediately."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.session import get_spark
+
+    tpath = _transcripts_path()
+    spark = get_spark(
+        "tgdigest-rehearse100x",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf=_BENCH_CONF,
+    )
+    base = spark.read.parquet(tpath)
+    n_base = base.count()
+    rep = max(1, target_rows // n_base)
+    big_path = os.path.join(
+        DATA_DIR, "bench_cache", f"rehearse_sf{SF}_x{rep}"
+    )
+    if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
+        reps = spark.range(rep).withColumnRenamed("id", "rep")
+        (
+            base.crossJoin(reps)
+            .withColumn("conv_id", F.concat_ws("_", "conv_id", "rep"))
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(big_path)
+        )
+    transcripts = spark.read.parquet(big_path)
+    n_turns = transcripts.count()
+
+    all_q = _queries(spark, transcripts)
+    qs = {
+        k: all_q[k]
+        for k in (
+            "q_sketch_build",
+            "q_grouped_sketch",
+            "q_grouped_conv",
+            "q_latency_sketch",
+            "q_hll_distinct",
+            "q_heavy_hitters",
+        )
+    }
+    timings, shuffle_mb = _time_queries(spark, qs)
+    total = round(sum(timings.values()), 4)
+    result = {
+        "metric": "rehearse100x_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "shuffle_mb": shuffle_mb,
+        "sf": SF,
+        "extra": {
+            "n_turns": n_turns,
+            "replication": rep,
+            "sketch_build_turns_per_sec": round(
+                n_turns / timings["q_sketch_build"], 1
+            ),
             "cpus": CPUS,
         },
     }
@@ -331,5 +460,7 @@ def run_scaling(n_small: int = 4, n_big: int = 16, rounds: int = 2) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--rehearse100x" in sys.argv:
+        print(json.dumps(run_rehearse100x()))
     else:
         print(json.dumps(run_bench()))
