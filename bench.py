@@ -308,6 +308,9 @@ def run_rehearse100x(target_rows: int = 100_000_000) -> dict:
             base.crossJoin(reps)
             .withColumn("conv_id", F.concat_ws("_", "conv_id", "rep"))
             .drop("rep")
+            # narrow crossJoin inherits the base scan's few tasks; fan
+            # the 10^8-row write out across the cores
+            .repartition(CPUS * 2)
             .write.mode("overwrite")
             .parquet(big_path)
         )
