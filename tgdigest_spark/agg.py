@@ -194,11 +194,17 @@ def sketch_by_key(
     if method == "combine":
         proto = factory()
         bulk = getattr(proto, "from_sorted_like", None)
+        ser_bulk = getattr(proto, "serialize_sorted_groups_like", None)
 
-        def _bulk_combine(pdf: pd.DataFrame, acc: dict) -> None:
+        def _bulk_partition(pdf: pd.DataFrame) -> pd.DataFrame:
             """Millions-of-tiny-groups fast path (single key column):
-            factorize + lexsort + boundary scan instead of a pandas
-            groupby loop — the numeric work is one vectorized pass."""
+            the WHOLE partition in ONE factorize + lexsort + boundary
+            pass, then blobs via the sketch's bulk serializer (no
+            per-group objects). Operating on the whole partition — not
+            per Arrow batch — matters: under random row order nearly
+            every group spans batches, and the per-batch variant paid
+            one sketch merge + recluster per group per extra batch
+            (measured 8x slower on 10^6 tiny groups)."""
             import numpy as np
 
             k = keys[0]
@@ -208,35 +214,50 @@ def sketch_by_key(
             codes_s, v_s = codes[order], v[order]
             valid = ~np.isnan(v_s)
             codes_v, v_v = codes_s[valid], v_s[valid]
-            if codes_v.size == 0:
-                # batch had only null values: every key still gets an
-                # (empty) sketch below
-                for u in uniq:
-                    acc.setdefault((u,), factory())
-                return
-            bounds = np.flatnonzero(np.r_[True, codes_v[1:] != codes_v[:-1]])
-            ends = np.r_[bounds[1:], codes_v.size]
-            seen_codes = set()
-            for s, e in zip(bounds, ends):
-                key = (uniq[codes_v[s]],)
-                seen_codes.add(int(codes_v[s]))
-                sk = bulk(v_v[s:e])
-                prev = acc.get(key)
-                acc[key] = sk if prev is None else prev.merge(sk)
-            # groups whose values were all-null still get an (empty) sketch
-            for c in set(range(len(uniq))) - seen_codes:
-                acc.setdefault((uniq[c],), factory())
+            if codes_v.size:
+                starts = np.flatnonzero(
+                    np.r_[True, codes_v[1:] != codes_v[:-1]]
+                )
+                ends = np.r_[starts[1:], codes_v.size]
+                seg_codes = codes_v[starts]
+            else:
+                starts = ends = seg_codes = np.empty(0, dtype=np.int64)
+            if ser_bulk is not None:
+                blobs = ser_bulk(v_v, starts, ends)
+            else:
+                blobs = [
+                    bulk(v_v[s:e]).serialize() for s, e in zip(starts, ends)
+                ]
+            out_keys = list(uniq.take(seg_codes))
+            # groups whose values were all-null still get an (empty)
+            # sketch — one shared blob, they are all identical
+            missing = np.setdiff1d(np.arange(len(uniq)), seg_codes)
+            if missing.size:
+                out_keys += list(uniq.take(missing))
+                blobs = list(blobs) + [factory().serialize()] * missing.size
+            return pd.DataFrame({k: out_keys, out_col: blobs})
 
         def combine_partition(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
             # one partial sketch per key per input partition (map-side
             # combine); vectorized per group.
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            if bulk is not None and len(keys) == 1:
+                # concatenating the narrow (key, v) projection holds the
+                # partition in memory once — bounded by the scan split
+                # size, the applyInPandas envelope this stage replaces
+                pdf = (
+                    pdfs[0]
+                    if len(pdfs) == 1
+                    else pd.concat(pdfs, ignore_index=True)
+                )
+                yield _bulk_partition(pdf)
+                return
             acc: dict[tuple, Sketch] = {}
-            for pdf in batches:
-                if bulk is not None and len(keys) == 1:
-                    _bulk_combine(pdf, acc)
-                    continue
+            for pdf in pdfs:
                 for key, grp in pdf.groupby(keys, sort=False, dropna=False):
                     k = key if isinstance(key, tuple) else (key,)
                     sk = acc.get(k)

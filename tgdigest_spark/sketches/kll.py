@@ -93,6 +93,28 @@ class KLL(Sketch):
             kll._compress()
         return kll
 
+    def serialize_sorted_groups_like(self, values, starts, ends) -> list:
+        """Bulk hook: blobs for consecutive sorted group segments,
+        bit-identical to ``from_sorted_like(values[s:e]).serialize()``
+        per group without constructing the objects — a group with
+        n <= k is stored exactly as a single level-0 compactor, so its
+        blob is header + one level size + values."""
+        k = self.k
+        pack = struct.Struct("<4sHIQddBBQ").pack  # header + 1-level size
+        magic, ver = self.MAGIC, self.VERSION
+        out = []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n <= k:
+                seg = values[s:e]
+                out.append(
+                    pack(magic, ver, k, n, seg[0], seg[-1], 1, 0, n)
+                    + seg.tobytes()
+                )
+            else:
+                out.append(self.from_sorted_like(values[s:e]).serialize())
+        return out
+
     # -- protocol --------------------------------------------------------
     def update(self, values) -> "KLL":
         arr = clean_numeric(values)

@@ -36,6 +36,9 @@ from .base import Sketch, clean_numeric
 
 _TWO_PI = 2.0 * np.pi
 
+#: delta → precomputed k1-grid fences (read-only arrays)
+_FENCE_CACHE: dict[int, np.ndarray] = {}
+
 
 class TDigest(Sketch):
     MAGIC = b"TDG1"
@@ -56,11 +59,19 @@ class TDigest(Sketch):
 
         k1 spans [-delta/4, +delta/4] over q in [0,1] → delta/2 clusters,
         each of weight <= W * (q(k+1) - q(k)) ~ 4W*sqrt(q(1-q))/delta.
+
+        Cached per delta (they depend on nothing else): re-deriving the
+        sin grid per recluster dominated million-tiny-group builds.
         """
-        kmin, kmax = -self.delta / 4.0, self.delta / 4.0
-        ks = np.arange(np.ceil(kmin), np.floor(kmax) + 1.0)
-        qs = (np.sin(ks * _TWO_PI / self.delta) + 1.0) / 2.0
-        return qs[(qs > 0.0) & (qs < 1.0)]
+        fences = _FENCE_CACHE.get(self.delta)
+        if fences is None:
+            kmin, kmax = -self.delta / 4.0, self.delta / 4.0
+            ks = np.arange(np.ceil(kmin), np.floor(kmax) + 1.0)
+            qs = (np.sin(ks * _TWO_PI / self.delta) + 1.0) / 2.0
+            fences = qs[(qs > 0.0) & (qs < 1.0)]
+            fences.setflags(write=False)
+            _FENCE_CACHE[self.delta] = fences
+        return fences
 
     # -- core clustering ------------------------------------------------
     def _recluster(self, means: np.ndarray, weights: np.ndarray) -> None:
@@ -107,6 +118,36 @@ class TDigest(Sketch):
     def from_sorted_like(self, arr: np.ndarray) -> "TDigest":
         """Instance hook used by agg's bulk per-group builder."""
         return TDigest.from_sorted(arr, self.delta)
+
+    def serialize_sorted_groups_like(self, values, starts, ends) -> list:
+        """Bulk hook: blobs for consecutive sorted group segments of
+        ``values``, BIT-IDENTICAL to
+        ``from_sorted_like(values[s:e]).serialize()`` per group, without
+        constructing len(starts) TDigest objects — small groups (the
+        10^6-tiny-group hot path) are their own digest, so the blob is
+        header + values + unit weights, built directly."""
+        delta = self.delta
+        small = delta // 2
+        pack = struct.Struct("<4sHIQddd").pack
+        magic, ver = self.MAGIC, self.VERSION
+        ones_b: dict[int, bytes] = {}
+        out = []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n <= small:
+                seg = values[s:e]
+                ob = ones_b.get(n)
+                if ob is None:
+                    ob = np.ones(n).tobytes()
+                    ones_b[n] = ob
+                out.append(
+                    pack(magic, ver, delta, n, seg[0], seg[-1], float(n))
+                    + seg.tobytes()
+                    + ob
+                )
+            else:
+                out.append(TDigest.from_sorted(values[s:e], delta).serialize())
+        return out
 
     # -- protocol --------------------------------------------------------
     def update(self, values) -> "TDigest":
