@@ -393,6 +393,24 @@ for _ in range(3):
     t0 = time.perf_counter(); job1(); best = min(best, time.perf_counter() - t0)
 results["tdigest_build"] = {{"rows": n_turns, "seconds": best,
                              "rows_per_sec": n_turns / best}}
+
+# job 1b: per-conversation grouped digests (~14M tiny groups over the
+# same 24M rows) — the compute-dense north-star workload; the global
+# build above is scan/bus-bound since the r3 combine vectorization
+def job1b():
+    from tgdigest_spark.agg import sketch_by_key
+    from tgdigest_spark.sketches.tdigest import TDigest
+    return sketch_by_key(
+        turns, ["conv_id"], F.col("text_len").cast("double"),
+        lambda: TDigest(200),
+    ).count()
+n_groups = job1b()
+best = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter(); job1b(); best = min(best, time.perf_counter() - t0)
+results["grouped_digest_build"] = {{"rows": n_turns, "groups": n_groups,
+                                    "seconds": best,
+                                    "rows_per_sec": n_turns / best}}
 turns.unpersist()
 
 # job 2: minhash signature build over documents (replicated x96)
@@ -443,7 +461,7 @@ def run_scaling(n_small: int = 4, n_big: int = 16, rounds: int = 2) -> dict:
             runs[cores].append(json.loads(lines[-1][len("SCALE_RESULT ") :]))
     ratio = n_big / n_small
     jobs = {}
-    for job in ("tdigest_build", "minhash_build"):
+    for job in ("tdigest_build", "grouped_digest_build", "minhash_build"):
         best = {
             c: min(rs, key=lambda r: r[job]["seconds"])[job]
             for c, rs in runs.items()

@@ -275,13 +275,50 @@ def sketch_by_key(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
             # all partials of a key are co-located (hash repartition), so
-            # merging is a within-partition concat + single-key groupby;
+            # merging is a within-partition concat + single-key combine;
             # the common case (1 partial per key) passes blobs through
             # without even deserializing.
             pdfs = [p for p in batches if len(p)]
             if not pdfs:
                 return
             allp = pd.concat(pdfs, ignore_index=True)
+            if len(keys) == 1:
+                # factorize + bincount instead of a pandas groupby
+                # transform: at 10^6+ blob rows per reducer the groupby
+                # was the stage's hot spot
+                import numpy as np
+
+                codes, uniq = pd.factorize(
+                    allp[keys[0]], use_na_sentinel=False
+                )
+                cnt = np.bincount(codes, minlength=len(uniq))
+                multi_mask = cnt[codes] > 1
+                out = [allp.loc[~multi_mask, [*keys, out_col]]]
+                if multi_mask.any():
+                    mcodes = codes[multi_mask]
+                    mblobs = allp.loc[multi_mask, out_col].to_numpy()
+                    order = np.argsort(mcodes, kind="stable")
+                    mcodes_s, mblobs_s = mcodes[order], mblobs[order]
+                    starts = np.flatnonzero(
+                        np.r_[True, mcodes_s[1:] != mcodes_s[:-1]]
+                    )
+                    ends = np.r_[starts[1:], mcodes_s.size]
+                    merged = [
+                        _merge_blobs(
+                            factory, list(mblobs_s[s:e])
+                        ).serialize()
+                        for s, e in zip(starts, ends)
+                    ]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                keys[0]: list(uniq.take(mcodes_s[starts])),
+                                out_col: merged,
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+                return
             counts = allp.groupby(keys, sort=False, dropna=False)[
                 out_col
             ].transform("size")
