@@ -184,6 +184,71 @@ def test_bulk_serializers_bit_exact_vs_per_object():
         assert all(a == b for a, b in zip(got, ref)), type(proto).__name__
 
 
+def test_merge_blob_groups_parity():
+    """Reducer bulk merge: tiny merged groups must be EXACTLY the
+    co-located build (bit-identical blob); large/weighted groups must
+    agree with the sequential merge within the digest bound."""
+    from tgdigest_spark.sketches.kll import KLL
+
+    rng = np.random.default_rng(5)
+    for proto in (TDigest(200), KLL(200)):
+        blobs, starts, ends, refs = [], [], [], []
+        cursor = 0
+        for gsize, nparts in [(1, 2), (7, 3), (40, 2), (300, 4), (0, 2)]:
+            vals = np.sort(rng.normal(0, 50, gsize))
+            # split the group's values across nparts partials
+            cuts = np.sort(rng.integers(0, gsize + 1, nparts - 1))
+            parts = np.split(vals, cuts)
+            pblobs = [
+                proto.from_sorted_like(np.sort(p)) .serialize()
+                for p in parts
+            ]
+            blobs.extend(pblobs)
+            starts.append(cursor)
+            cursor += len(pblobs)
+            ends.append(cursor)
+            refs.append((vals, proto.from_sorted_like(vals).serialize()))
+        got = proto.merge_blob_groups_like(
+            np.array(blobs, dtype=object),
+            np.array(starts),
+            np.array(ends),
+        )
+        deser = type(proto).deserialize
+        for (vals, colocated), blob in zip(refs, got):
+            small = (
+                vals.size <= proto.delta // 2
+                if isinstance(proto, TDigest)
+                else vals.size <= proto.k
+            )
+            if small:
+                assert blob == colocated  # exact, split-independent
+            else:
+                est = deser(blob).quantile([0.5])[0]
+                exact = float(np.quantile(vals, 0.5))
+                spread = vals.max() - vals.min()
+                assert abs(est - exact) < 0.05 * spread
+
+
+def test_merge_blob_groups_weighted_fallback():
+    """A group containing a reclustered (non-unit-weight) partial must
+    take the sequential path and still answer within bound."""
+    rng = np.random.default_rng(9)
+    proto = TDigest(100)
+    big = np.sort(rng.normal(0, 10, 2000))  # reclusters → weighted
+    small = np.sort(rng.normal(0, 10, 20))
+    blobs = np.array(
+        [proto.from_sorted_like(big).serialize(),
+         proto.from_sorted_like(small).serialize()],
+        dtype=object,
+    )
+    (blob,) = proto.merge_blob_groups_like(
+        blobs, np.array([0]), np.array([2])
+    )
+    allv = np.concatenate([big, small])
+    est = TDigest.deserialize(blob).quantile([0.5])[0]
+    assert abs(est - float(np.quantile(allv, 0.5))) < 2.0
+
+
 def test_grouped_sketch_batch_composition_within_bound(spark):
     """The concat-first combine must keep grouped quantiles within the
     digest's bound under ANY physical layout (a t-digest's exact value

@@ -303,12 +303,18 @@ def sketch_by_key(
                         np.r_[True, mcodes_s[1:] != mcodes_s[:-1]]
                     )
                     ends = np.r_[starts[1:], mcodes_s.size]
-                    merged = [
-                        _merge_blobs(
-                            factory, list(mblobs_s[s:e])
-                        ).serialize()
-                        for s, e in zip(starts, ends)
-                    ]
+                    merge_bulk = getattr(
+                        proto, "merge_blob_groups_like", None
+                    )
+                    if merge_bulk is not None:
+                        merged = merge_bulk(mblobs_s, starts, ends)
+                    else:
+                        merged = [
+                            _merge_blobs(
+                                factory, list(mblobs_s[s:e])
+                            ).serialize()
+                            for s, e in zip(starts, ends)
+                        ]
                     out.append(
                         pd.DataFrame(
                             {

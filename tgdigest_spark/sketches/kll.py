@@ -105,7 +105,9 @@ class KLL(Sketch):
         out = []
         for s, e in zip(starts, ends):
             n = int(e - s)
-            if n <= k:
+            if n == 0:  # all-null group: the empty sketch's blob
+                out.append(pack(magic, ver, k, 0, np.inf, -np.inf, 1, 0, 0))
+            elif n <= k:
                 seg = values[s:e]
                 out.append(
                     pack(magic, ver, k, n, seg[0], seg[-1], 1, 0, n)
@@ -113,6 +115,61 @@ class KLL(Sketch):
                 )
             else:
                 out.append(self.from_sorted_like(values[s:e]).serialize())
+        return out
+
+    def merge_blob_groups_like(self, blobs, starts, ends) -> list:
+        """Reducer bulk hook (see TDigest.merge_blob_groups_like).
+        Eligible partials are single-level (level-0 only, the tiny-group
+        construction): the group merges as concat + per-group sort +
+        bulk serialization — exact for merged n <= k, one deterministic
+        compaction pass otherwise. Multi-level partials take the
+        sequential path."""
+        import numpy as np
+
+        head = struct.Struct("<4sHIQddBB")
+        off0 = head.size
+        nb = len(blobs)
+        ns = np.empty(nb, np.int64)
+        lvl0: list = [None] * nb
+        single = np.zeros(nb, bool)
+        for i, b in enumerate(blobs):
+            _m, _v, _k, n, _mn, _mx, nlev, _flip = head.unpack_from(b, 0)
+            ns[i] = n
+            if nlev == 1:
+                (sz0,) = struct.unpack_from("<Q", b, off0)
+                lvl0[i] = np.frombuffer(b, np.float64, sz0, off0 + 8)
+                single[i] = True
+        out: list = [None] * len(starts)
+        fast: list[int] = []
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            if single[s:e].all():
+                fast.append(gi)
+            else:
+                acc = KLL.deserialize(blobs[s])
+                for b in blobs[s + 1 : e]:
+                    acc.merge(KLL.deserialize(b))
+                out[gi] = acc.serialize()
+        if fast:
+            glens = np.array(
+                [
+                    int(sum(lvl0[i].size for i in range(starts[gi], ends[gi])))
+                    for gi in fast
+                ],
+                dtype=np.int64,
+            )
+            vals = np.concatenate(
+                [lvl0[i] for gi in fast for i in range(starts[gi], ends[gi])]
+                or [np.empty(0)]
+            )
+            seg = np.repeat(np.arange(len(fast)), glens)
+            order = np.lexsort((vals, seg))
+            gends = np.cumsum(glens)
+            gstarts = gends - glens
+            fast_blobs = self.serialize_sorted_groups_like(
+                vals[order], gstarts, gends
+            )
+            for gi, b in zip(fast, fast_blobs):
+                out[gi] = b
         return out
 
     # -- protocol --------------------------------------------------------

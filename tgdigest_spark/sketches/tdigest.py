@@ -134,6 +134,11 @@ class TDigest(Sketch):
         out = []
         for s, e in zip(starts, ends):
             n = int(e - s)
+            if n == 0:  # all-null group: the empty digest's blob
+                out.append(
+                    pack(magic, ver, delta, 0, np.inf, -np.inf, 0.0)
+                )
+                continue
             if n <= small:
                 seg = values[s:e]
                 ob = ones_b.get(n)
@@ -298,6 +303,65 @@ class TDigest(Sketch):
         if single.size:
             est[single, :] = m[starts[single], None]
         out[live] = est
+        return out
+
+    def merge_blob_groups_like(self, blobs, starts, ends) -> list:
+        """Reducer bulk hook: merge each contiguous group of partial
+        blobs into one blob. Groups whose partials are ALL unit-weight
+        (the tiny-group map-side construction) fast-lane through one
+        concat + lexsort + bulk serialization across every such group —
+        no per-group digest objects. A tiny merged group (n <= delta/2)
+        stays EXACT, identically to a co-located map-side build, which
+        also makes the result independent of how the scan happened to
+        split the group; a large one pays a single recluster (one merge
+        tree level — within the published bound, like any merge order).
+        Groups containing reclustered (weighted) partials take the
+        sequential deserialize/merge path."""
+        head = struct.Struct("<4sHIQddd")
+        off0 = head.size
+        nb = len(blobs)
+        ns = np.empty(nb, np.int64)
+        means: list = [None] * nb
+        unit = np.zeros(nb, bool)
+        for i, b in enumerate(blobs):
+            _m, _v, _d, n, _mn, _mx, cnt = head.unpack_from(b, 0)
+            ns[i] = n
+            means[i] = np.frombuffer(b, np.float64, n, off0)
+            if cnt == n:
+                w = np.frombuffer(b, np.float64, n, off0 + 8 * n)
+                unit[i] = bool((w == 1.0).all())
+        out: list = [None] * len(starts)
+        fast: list[int] = []
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            if unit[s:e].all():
+                fast.append(gi)
+            else:
+                acc = TDigest.deserialize(blobs[s])
+                for b in blobs[s + 1 : e]:
+                    acc.merge(TDigest.deserialize(b))
+                out[gi] = acc.serialize()
+        if fast:
+            glens = np.array(
+                [int(ns[starts[gi] : ends[gi]].sum()) for gi in fast],
+                dtype=np.int64,
+            )
+            vals = np.concatenate(
+                [
+                    means[i]
+                    for gi in fast
+                    for i in range(starts[gi], ends[gi])
+                ]
+                or [np.empty(0)]
+            )
+            seg = np.repeat(np.arange(len(fast)), glens)
+            order = np.lexsort((vals, seg))
+            gends = np.cumsum(glens)
+            gstarts = gends - glens
+            fast_blobs = self.serialize_sorted_groups_like(
+                vals[order], gstarts, gends
+            )
+            for gi, b in zip(fast, fast_blobs):
+                out[gi] = b
         return out
 
     # -- serialization ----------------------------------------------------
