@@ -278,6 +278,57 @@ def run_bench() -> dict:
 # 100x rehearsal mode
 # ---------------------------------------------------------------------------
 
+def _bucketed_rehearsal_queries(spark, big_path: str) -> dict:
+    """The bucketed-layout legs: the same two conv_id-clustered queries
+    whose shuffle the plain layout pays per pass (latency window 2.76 GB,
+    per-conv blobs 2.4 GB at 10^8 rows — BENCH.md), over a
+    bucketBy(conv_id) copy. The co-location shuffle is paid ONCE at
+    write time (cached on disk like the replicated table); the queries
+    should then measure ~zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.api import grouped_quantiles, latency_quantiles
+    from tgdigest_spark.sources.transcripts import (
+        read_transcripts_bucketed,
+        register_bucketed_table,
+        write_transcripts_bucketed,
+    )
+
+    n_buckets = max(CPUS * 2, 16)
+    table = "rehearse_bucketed"
+    bpath = big_path + f"_bucketed{n_buckets}"
+    if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+        base = spark.read.parquet(big_path)
+        # align rows to their bucket before the write: one file per
+        # bucket instead of (write tasks x buckets) shards — this
+        # repartition IS the once-paid co-location shuffle
+        write_transcripts_bucketed(
+            base.repartition(n_buckets, F.col("conv_id")),
+            table,
+            n_buckets=n_buckets,
+            path=bpath,
+        )
+    register_bucketed_table(spark, table, bpath, n_buckets)
+    bucketed = read_transcripts_bucketed(spark, table)
+
+    def q_latency_bucketed():
+        return latency_quantiles(bucketed, [0.5, 0.95, 0.99])
+
+    def q_grouped_conv_bucketed():
+        return grouped_quantiles(
+            bucketed,
+            ["conv_id"],
+            F.length("text").cast("double"),
+            [0.5],
+            method="clustered",
+        ).count()
+
+    return {
+        "q_latency_bucketed": q_latency_bucketed,
+        "q_grouped_conv_bucketed": q_grouped_conv_bucketed,
+    }
+
+
 def run_rehearse100x(target_rows: int = 100_000_000) -> dict:
     """One-command 100x rehearsal: replicate the sf transcripts to
     ~10^8 rows ON DISK (written once, cached), run the transcript
@@ -329,6 +380,7 @@ def run_rehearse100x(target_rows: int = 100_000_000) -> dict:
             "q_heavy_hitters",
         )
     }
+    qs.update(_bucketed_rehearsal_queries(spark, big_path))
     timings, shuffle_mb = _time_queries(spark, qs)
     total = round(sum(timings.values()), 4)
     result = {

@@ -21,6 +21,14 @@ exercised locally on local[N]):
     (north_rule): groupBy(key, salt=pmod(xxhash64(salt_col), S)) →
     partial → groupBy(key) → merge. Use when per-partition key
     cardinality is so high that map-side dicts would blow memory.
+  - ``method='clustered'``: ZERO-shuffle single pass for input that is
+    already co-located by the key — a conv_id-bucketed table read
+    (sources/transcripts.py:write_transcripts_bucketed) or the output
+    of an upstream repartition(keys). The map-side combine then IS the
+    final answer, so the blob shuffle + merge stage is dropped
+    entirely. Caller contract: every row of a key must live in ONE
+    input partition; violating it yields one row per (key, partition
+    touched) instead of per key.
 
 All data movement is Arrow-batched; sketch updates are numpy-vectorized
 (see sketches/). No per-row Python anywhere.
@@ -171,7 +179,8 @@ def sketch_by_key(
     """One serialized sketch per distinct ``keys`` tuple.
 
     Returns DataFrame[keys..., out_col binary]. See module docstring for
-    the two shuffle topologies.
+    the three shuffle topologies (``combine`` / ``salted`` /
+    ``clustered``).
     """
     col = F.col(value) if isinstance(value, str) else value
     proj = df.select(*keys, col.alias("v"))
@@ -191,7 +200,7 @@ def sketch_by_key(
         row[out_col] = [merged.serialize()]
         return pd.DataFrame(row)
 
-    if method == "combine":
+    if method in ("combine", "clustered"):
         proto = factory()
         bulk = getattr(proto, "from_sorted_like", None)
         ser_bulk = getattr(proto, "serialize_sorted_groups_like", None)
@@ -339,6 +348,11 @@ def sketch_by_key(
             yield pd.concat(out, ignore_index=True)
 
         partials = proj.mapInPandas(combine_partition, schema=out_schema)
+        if method == "clustered":
+            # input partitions already hold every row of their keys
+            # (bucketed read / upstream repartition): the map-side
+            # combine is complete — no blob shuffle, no merge stage.
+            return partials
         # hash-repartition by key at spark.sql.shuffle.partitions (AQE
         # coalesces the tiny-blob exchange); probing .rdd for a count
         # here would materialize the plan and break under Spark Connect.

@@ -96,6 +96,87 @@ def read_transcripts(
     return df
 
 
+def write_transcripts_bucketed(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Write the per-conversation analytics layout: a bucketed table
+    ``bucketBy(n_buckets, conv_id) sortBy(conv_id, turn_idx)``.
+
+    Why it exists: the one raw-row shuffle left in the engine is
+    co-locating conversations (lag-latency window, per-conv digests) —
+    measured 2.7 GB shuffled per pass at 10^8 rows (BENCH.md rehearsal
+    table). A bucketed scan reports HashPartitioning(conv_id), so
+    Catalyst drops the Exchange for every operator that clusters by
+    conv_id: the window query becomes shuffle-free automatically, and
+    ``sketch_by_key(..., method='clustered')`` turns per-conversation
+    sketches into a single map pass. The shuffle is paid ONCE at write
+    time instead of once per query — the right trade for a fact table
+    read by many per-conversation queries.
+
+    Sizing ``n_buckets``: one scan task reads one whole bucket, so pick
+    n_buckets ≈ table_bytes / target_split (e.g. 256 MB); too few
+    buckets caps read parallelism and makes the clustered combine hold
+    an oversized partition.
+
+    ``path`` makes the table external (required for cross-session
+    reuse — pair with :func:`register_bucketed_table`).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def register_bucketed_table(
+    spark, table_name: str, path: str, n_buckets: int
+) -> None:
+    """Re-attach an existing bucketed directory in a fresh session.
+
+    The in-memory catalog forgets tables between sessions; the files
+    carry bucket ids in their names, but the BUCKET SPEC lives in the
+    catalog — without re-registering it Spark reads the directory as a
+    plain (unclustered) parquet scan and every co-location guarantee
+    silently vanishes. On a real cluster a persistent metastore (or
+    Iceberg catalog) makes this a one-time operation.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(
+        f"CREATE TABLE {table_name} ({TRANSCRIPTS_SCHEMA}) USING parquet "
+        f"CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx) "
+        f"INTO {int(n_buckets)} BUCKETS LOCATION '{path}'"
+    )
+
+
+def read_transcripts_bucketed(
+    spark, table_name: str, force_bucketed_scan: bool = True
+):
+    """Read the bucketed layout for per-conversation analytics.
+
+    ``force_bucketed_scan=True`` disables
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` for the
+    SESSION: by default Spark falls back to size-split scans when no
+    operator *requires* the hash distribution, which would silently
+    break the co-location contract of ``method='clustered'`` sketches
+    (a pure mapInPandas declares no required distribution). Window /
+    groupBy consumers don't need the flag — their required distribution
+    triggers the bucketed scan on its own — but leaving it set is safe:
+    it only pins bucket-aligned reads of bucketed tables.
+    """
+    if force_bucketed_scan:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+    return spark.table(table_name)
+
+
 def range_scan(
     df: DataFrame, start: str, end: str, ts_col: str = "ts"
 ) -> DataFrame:
