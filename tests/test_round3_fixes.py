@@ -486,6 +486,22 @@ def test_heavy_hitters_multiround_width_scaled(spark, monkeypatch, tmp_path):
     assert widths[-2] <= fanout * tier, widths
 
 
+def test_heavy_hitters_degenerate_fanout_terminates(spark):
+    """fanout=1 can never shrink the round width (ceil(n/1) == n): the
+    loop must bail to the fixed final tier instead of spinning forever
+    (review finding; mirrors agg._tree_merge's break guard)."""
+    df = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(500)], "v string"
+    )
+    from tgdigest_spark import api
+
+    got = api.heavy_hitters(df, "v", k=3, fanout=1)
+    exact = (
+        df.groupBy("v").count().orderBy(F.desc("count"), "v").limit(3).collect()
+    )
+    assert [r["item"] for r in got.collect()] == [r["v"] for r in exact]
+
+
 # ---------------------------------------------------------------------------
 # VERDICT #1: large-star/small-star connected components — adversarial
 # long-chain graphs must converge in O(log n) rounds (min-label

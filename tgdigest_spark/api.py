@@ -330,6 +330,11 @@ def heavy_hitters(
     n_est = _estimated_partitions(partials)
     while n_est > max(fanout, 1) * tier:
         width = math.ceil(n_est / max(fanout, 1))
+        if width >= n_est:
+            # fanout <= 1 can't shrink the width: bail to the fixed
+            # final tier instead of looping forever (mirrors the
+            # `target > fanout: break` guard in agg._tree_merge)
+            break
         partials = partials.repartition(width).mapInPandas(
             reduce_tier, schema=fused_schema
         )

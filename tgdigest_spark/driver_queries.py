@@ -1694,7 +1694,7 @@ def passage_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ids:
                 yield pd.DataFrame({"doc_id": ids, "gram": grams})
 
-    g = sample.mapInPandas(exact_grams, schema=gram_schema)
+    g = sample.mapInPandas(exact_grams, schema=gram_schema).persist()
     exact_pairs = (
         g.alias("x")
         .join(g.alias("y"), "gram")
@@ -1706,13 +1706,22 @@ def passage_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n_exact = exact_pairs.count()
-    sample_winnow = pairs.where(
-        (F.col("id_a") < 1000) & (F.col("id_b") < 1000)
+    # the w+k-1 guarantee holds for UNCAPPED winnowing only: the
+    # corpus-wide `pairs` above prunes fingerprints with df > max_df,
+    # which may legitimately drop a guaranteed pair whose only shared
+    # fingerprint is boilerplate. The anchor therefore re-runs the
+    # operator over the bounded sample with max_df=None — small enough
+    # that the quadratic boilerplate risk the cap guards against is
+    # moot — so `missing` == 0 is a sound invariant.
+    sample_winnow = passage_overlap_pairs(
+        docs.where(F.col("doc_id") < 1000), min_shared=1, max_df=None
     )
-    # the w+k-1 guarantee: every exact-passage pair must be winnowed
+    sample_release = sample_winnow.release_cache
     missing = exact_pairs.join(
         sample_winnow, ["id_a", "id_b"], "left_anti"
     ).count()
+    sample_release()
+    g.unpersist()
     exact_pairs.unpersist()
     pairs.unpersist()
     release()

@@ -58,6 +58,54 @@ class Sketch(ABC):
         return vals[2:], struct.calcsize(full)
 
 
+def merge_blob_groups_bulk(sketch, blobs, starts, ends, extract_unit) -> list:
+    """Shared reducer bulk hook behind ``merge_blob_groups_like``.
+
+    ``extract_unit(blob) -> np.ndarray | None`` returns the blob's raw
+    unit-weight values when it is bulk-eligible (the tiny-group map-side
+    construction: unit-weight t-digest / single-level KLL), else None.
+    Groups whose partials are ALL eligible fast-lane through ONE
+    concat + lexsort + ``sketch.serialize_sorted_groups_like`` pass
+    across every such group — no per-sketch objects; any other group
+    falls back to sequential deserialize/merge. Each sketch class keeps
+    only its format-specific header parse in ``extract_unit``.
+    """
+    cls = type(sketch)
+    raw = [extract_unit(b) for b in blobs]
+    out: list = [None] * len(starts)
+    fast: list[int] = []
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        if all(raw[i] is not None for i in range(s, e)):
+            fast.append(gi)
+        else:
+            acc = cls.deserialize(blobs[s])
+            for b in blobs[s + 1 : e]:
+                acc.merge(cls.deserialize(b))
+            out[gi] = acc.serialize()
+    if fast:
+        glens = np.array(
+            [
+                int(sum(raw[i].size for i in range(starts[gi], ends[gi])))
+                for gi in fast
+            ],
+            dtype=np.int64,
+        )
+        vals = np.concatenate(
+            [raw[i] for gi in fast for i in range(starts[gi], ends[gi])]
+            or [np.empty(0)]
+        )
+        seg = np.repeat(np.arange(len(fast)), glens)
+        order = np.lexsort((vals, seg))
+        gends = np.cumsum(glens)
+        gstarts = gends - glens
+        fast_blobs = sketch.serialize_sorted_groups_like(
+            vals[order], gstarts, gends
+        )
+        for gi, b in zip(fast, fast_blobs):
+            out[gi] = b
+    return out
+
+
 def clean_numeric(values) -> np.ndarray:
     """Batch → float64 ndarray with NaN/None dropped.
 

@@ -126,51 +126,21 @@ class KLL(Sketch):
         sequential path."""
         import numpy as np
 
+        from .base import merge_blob_groups_bulk
+
         head = struct.Struct("<4sHIQddBB")
         off0 = head.size
-        nb = len(blobs)
-        ns = np.empty(nb, np.int64)
-        lvl0: list = [None] * nb
-        single = np.zeros(nb, bool)
-        for i, b in enumerate(blobs):
+
+        def extract_unit(b):
+            # eligible iff single-level (level-0 only): its values are
+            # the raw inputs, weight 1 each
             _m, _v, _k, n, _mn, _mx, nlev, _flip = head.unpack_from(b, 0)
-            ns[i] = n
-            if nlev == 1:
-                (sz0,) = struct.unpack_from("<Q", b, off0)
-                lvl0[i] = np.frombuffer(b, np.float64, sz0, off0 + 8)
-                single[i] = True
-        out: list = [None] * len(starts)
-        fast: list[int] = []
-        for gi, (s, e) in enumerate(zip(starts, ends)):
-            if single[s:e].all():
-                fast.append(gi)
-            else:
-                acc = KLL.deserialize(blobs[s])
-                for b in blobs[s + 1 : e]:
-                    acc.merge(KLL.deserialize(b))
-                out[gi] = acc.serialize()
-        if fast:
-            glens = np.array(
-                [
-                    int(sum(lvl0[i].size for i in range(starts[gi], ends[gi])))
-                    for gi in fast
-                ],
-                dtype=np.int64,
-            )
-            vals = np.concatenate(
-                [lvl0[i] for gi in fast for i in range(starts[gi], ends[gi])]
-                or [np.empty(0)]
-            )
-            seg = np.repeat(np.arange(len(fast)), glens)
-            order = np.lexsort((vals, seg))
-            gends = np.cumsum(glens)
-            gstarts = gends - glens
-            fast_blobs = self.serialize_sorted_groups_like(
-                vals[order], gstarts, gends
-            )
-            for gi, b in zip(fast, fast_blobs):
-                out[gi] = b
-        return out
+            if nlev != 1:
+                return None
+            (sz0,) = struct.unpack_from("<Q", b, off0)
+            return np.frombuffer(b, np.float64, sz0, off0 + 8)
+
+        return merge_blob_groups_bulk(self, blobs, starts, ends, extract_unit)
 
     # -- protocol --------------------------------------------------------
     def update(self, values) -> "KLL":

@@ -317,52 +317,23 @@ class TDigest(Sketch):
         tree level — within the published bound, like any merge order).
         Groups containing reclustered (weighted) partials take the
         sequential deserialize/merge path."""
+        from .base import merge_blob_groups_bulk
+
         head = struct.Struct("<4sHIQddd")
         off0 = head.size
-        nb = len(blobs)
-        ns = np.empty(nb, np.int64)
-        means: list = [None] * nb
-        unit = np.zeros(nb, bool)
-        for i, b in enumerate(blobs):
+
+        def extract_unit(b):
+            # eligible iff every centroid is unit-weight (count == n
+            # and weights all 1.0): the means ARE the raw values
             _m, _v, _d, n, _mn, _mx, cnt = head.unpack_from(b, 0)
-            ns[i] = n
-            means[i] = np.frombuffer(b, np.float64, n, off0)
-            if cnt == n:
-                w = np.frombuffer(b, np.float64, n, off0 + 8 * n)
-                unit[i] = bool((w == 1.0).all())
-        out: list = [None] * len(starts)
-        fast: list[int] = []
-        for gi, (s, e) in enumerate(zip(starts, ends)):
-            if unit[s:e].all():
-                fast.append(gi)
-            else:
-                acc = TDigest.deserialize(blobs[s])
-                for b in blobs[s + 1 : e]:
-                    acc.merge(TDigest.deserialize(b))
-                out[gi] = acc.serialize()
-        if fast:
-            glens = np.array(
-                [int(ns[starts[gi] : ends[gi]].sum()) for gi in fast],
-                dtype=np.int64,
-            )
-            vals = np.concatenate(
-                [
-                    means[i]
-                    for gi in fast
-                    for i in range(starts[gi], ends[gi])
-                ]
-                or [np.empty(0)]
-            )
-            seg = np.repeat(np.arange(len(fast)), glens)
-            order = np.lexsort((vals, seg))
-            gends = np.cumsum(glens)
-            gstarts = gends - glens
-            fast_blobs = self.serialize_sorted_groups_like(
-                vals[order], gstarts, gends
-            )
-            for gi, b in zip(fast, fast_blobs):
-                out[gi] = b
-        return out
+            if cnt != n:
+                return None
+            w = np.frombuffer(b, np.float64, n, off0 + 8 * n)
+            if not (w == 1.0).all():
+                return None
+            return np.frombuffer(b, np.float64, n, off0)
+
+        return merge_blob_groups_bulk(self, blobs, starts, ends, extract_unit)
 
     # -- serialization ----------------------------------------------------
     def serialize(self) -> bytes:
