@@ -1,0 +1,179 @@
+"""asof_join vs pandas merge_asof (the single-node reference semantics)
+plus the struct-carry and plan-shape guarantees."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk_frames(seed: int, n_left=400, n_right=150, n_keys=7):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10**6, n_left), "s"),
+            "lval": rng.normal(size=n_left).round(3),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_right),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10**6, n_right), "s"),
+            "rval": rng.normal(size=n_right).round(3),
+            "tag": rng.integers(0, 1000, n_right),
+        }
+    )
+    # unique (k, ts) on the right: merge_asof and the window carry are
+    # only both deterministic without right-side timestamp ties
+    right = right.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+    return left, right
+
+
+def _spark_asof(spark, left, right, **kw):
+    from tgdigest_spark.operators.asof import asof_join
+
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="ts",
+        **kw,
+    )
+    pdf = out.toPandas().sort_values(["k", "ts", "lval"]).reset_index(drop=True)
+    return pdf
+
+
+def _pandas_asof(left, right, direction="backward", strict=False, tol=None):
+    kw = {}
+    if tol is not None:
+        kw["tolerance"] = pd.Timedelta(microseconds=tol)
+    m = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").rename(columns={"ts": "ts_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        by="k",
+        direction=direction,
+        allow_exact_matches=not strict,
+        **kw,
+    )
+    return m.sort_values(["k", "ts", "lval"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_matches_pandas(spark, direction, strict):
+    left, right = _mk_frames(seed=42)
+    got = _spark_asof(spark, left, right, direction=direction, strict=strict)
+    want = _pandas_asof(left, right, direction=direction, strict=strict)
+    for col in ("rval", "tag"):
+        pd.testing.assert_series_equal(
+            got[col], want[col], check_names=False, check_dtype=False
+        )
+    pd.testing.assert_series_equal(
+        got["ts_r"], want["ts_r"], check_names=False, check_dtype=False
+    )
+
+
+def test_asof_tolerance(spark):
+    left, right = _mk_frames(seed=7)
+    tol = 3600 * 10**6  # 1 hour in µs
+    got = _spark_asof(spark, left, right, tolerance_us=tol)
+    want = _pandas_asof(left, right, tol=tol)
+    pd.testing.assert_series_equal(
+        got["rval"], want["rval"], check_names=False, check_dtype=False
+    )
+
+
+def test_asof_null_field_does_not_reach_through(spark):
+    """The matched right row's NULL field must stay NULL — carrying
+    columns independently (instead of one struct) would pull the value
+    from an older right row."""
+    left = pd.DataFrame(
+        {"k": [1], "ts": [pd.Timestamp("2024-01-10")], "lval": [0.0]}
+    )
+    rdf = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 111.0, "old"),
+            (1, "2024-01-05 00:00:00", None, "new"),
+        ],
+        "k long, ts string, rval double, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from tgdigest_spark.operators.asof import asof_join
+
+    row = asof_join(
+        spark.createDataFrame(left), rdf, on="k", left_ts="ts"
+    ).collect()[0]
+    assert row["tag"] == "new"
+    assert row["rval"] is None  # NOT 111.0
+
+
+def test_asof_right_tiebreak_largest_wins(spark):
+    left = pd.DataFrame(
+        {"k": [1], "ts": [pd.Timestamp("2024-01-10")], "lval": [0.0]}
+    )
+    from tgdigest_spark.operators.asof import asof_join
+
+    # tied right rows on the qualifying side of the left ts for each
+    # direction: before it for backward, after it for forward
+    for direction, rts in (
+        ("backward", "2024-01-05 00:00:00"),
+        ("forward", "2024-01-15 00:00:00"),
+    ):
+        rows = [(1, rts, float(t), t) for t in (3, 9, 1)]
+        rdf = spark.createDataFrame(
+            rows, "k long, ts string, rval double, tag long"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        row = asof_join(
+            spark.createDataFrame(left),
+            rdf,
+            on="k",
+            left_ts="ts",
+            direction=direction,
+            right_tiebreak="tag",
+        ).collect()[0]
+        assert row["tag"] == 9, direction
+
+
+def test_asof_no_match_and_empty_right(spark):
+    left = pd.DataFrame(
+        {"k": [5], "ts": [pd.Timestamp("2024-01-01")], "lval": [1.0]}
+    )
+    _, right = _mk_frames(seed=3)
+    right = right[right["k"] != 5]
+    got = _spark_asof(spark, left, right)
+    assert got["rval"].isna().all() and got["ts_r"].isna().all()
+    # empty right side (schema must be explicit: pandas inference can't
+    # see types in a 0-row frame)
+    from tgdigest_spark.operators.asof import asof_join
+
+    empty_r = spark.createDataFrame(right).where(F.lit(False))
+    got2 = asof_join(
+        spark.createDataFrame(left), empty_r, on="k", left_ts="ts"
+    ).toPandas()
+    assert got2["rval"].isna().all()
+
+
+def test_asof_plan_is_single_exchange_no_udf(spark):
+    """Scale shape: one hash Exchange on the key, window codegen, no
+    Python evaluation anywhere."""
+    left, right = _mk_frames(seed=1)
+    from tgdigest_spark.operators.asof import asof_join
+
+    plan = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            left_ts="ts",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "BatchEval" not in plan

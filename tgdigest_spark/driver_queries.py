@@ -656,6 +656,74 @@ def neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# as-of join — point-in-time enrichment (operators/asof.py): every
+# event picks up its user's most recent at-or-before order. Oracle is
+# DuckDB's NATIVE ASOF LEFT JOIN, so the window-carry composition is
+# checked against an independent first-class implementation. Right side
+# deduped on (custkey, orderdate) first — both engines' as-of semantics
+# are only deterministic without right-timestamp ties.
+@register(
+    "asof_join_orders",
+    """
+    WITH r AS (
+        SELECT * FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           COUNT(r.o_orderkey) AS n_matched,
+           CAST(SUM(CAST(r.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS matched_price,
+           COALESCE(SUM((epoch_us(e.ts) - epoch_us(r.o_orderdate))
+               // 1000000), 0) AS total_gap_sec
+    FROM events e
+    ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    wdup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    r = (
+        orders.withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    j = asof_join(ev, r, on="user_id", left_ts="ts")
+    gap = F.expr(
+        "(unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(ts_r as timestamp))) div 1000000"
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("o_orderkey").alias("n_matched"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("matched_price"),
+            F.coalesce(F.sum(gap), F.lit(0)).alias("total_gap_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # sessionization — lag + gap>threshold cumsum (the engine-side analog of
 # the reference's debounce/TTL freshness tiers applied to event streams)
 @register(

@@ -1,0 +1,161 @@
+"""Distributed as-of join — the time-series point-in-time lookup.
+
+For every left row, find the single right row with the same key whose
+timestamp is the latest at-or-before (``backward``, the default) or the
+earliest at-or-after (``forward``) the left row's timestamp. The
+classic uses: enrich an event stream with the most recent prior state
+(latest order, last config change, prevailing price), or align two
+sensor/metric streams sampled on different clocks.
+
+Spark has no built-in as-of join, so this is the composition the task
+calls for: UNION the two sides (right rows carry their payload as ONE
+non-null struct, left rows carry null), then a window
+``partitionBy(key) orderBy(ts, precedence)`` with
+``last(payload, ignorenulls=True)`` carries the most recent right
+payload forward onto each left row. Packing the payload in a struct is
+load-bearing: carrying columns independently would let a NULL field in
+the matched right row "reach through" to an older row's value.
+
+Scale shape: ONE hash shuffle on the key (the union is narrow), then a
+codegen window — no UDF, no driver collect. This is the same
+sort-within-key the single-node engines (pandas ``merge_asof``, DuckDB
+``ASOF JOIN``) do, sharded by key; skewed keys behave exactly like any
+window over the same key. Over a key-bucketed layout
+(sources/transcripts.py) the Exchange drops like any other
+conv_id-clustered window.
+
+Determinism: if several right rows share (key, ts), pass
+``right_tiebreak`` — the row with the LARGEST tiebreak wins; without
+it Spark's sort is free to pick any of the tied rows (same caveat as
+DuckDB ASOF JOIN on duplicate timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_TS_US = "__asof_ts_us"
+_PREC = "__asof_prec"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance_us: int | None = None,
+    right_tiebreak: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the matched right row's
+    payload columns (null when no right row qualifies).
+
+    ``on``: equality key column name(s), same name on both sides.
+    ``right_ts``: defaults to ``left_ts``.
+    ``strict``: exclude right rows with exactly equal timestamps.
+    ``tolerance_us``: max |gap| in microseconds for a match to count.
+    ``suffix``: appended to right payload columns that collide with a
+    left column name.
+
+    Output: all left columns + right payload columns (right side minus
+    key/timestamp; the matched right timestamp is exposed as
+    ``<right_ts><suffix>``).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+
+    left_cols = left.columns
+    payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    out_names = {
+        c: (c + suffix if c in left_cols else c) for c in payload_cols
+    }
+    matched_ts_name = right_ts + suffix
+
+    def us(col: str):  # NTZ-safe microsecond epoch for ordering
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    # payload struct: matched right ts first (for tolerance + output),
+    # then the carried columns — one non-null struct per right row
+    r = right.select(
+        *keys,
+        us(right_ts).alias(_TS_US),
+        F.struct(
+            us(right_ts).alias("__rts_us"),
+            *[F.col(c) for c in payload_cols],
+        ).alias(_PAYLOAD),
+        (
+            F.col(right_tiebreak)
+            if right_tiebreak is not None
+            else F.lit(0)
+        ).alias("__tb"),
+    )
+    l = left.select(
+        *left_cols, us(left_ts).alias(_TS_US), F.lit(None).alias("__tb")
+    )
+
+    # precedence at equal timestamps: inclusive → right first (the left
+    # row sees it); strict → left first (it doesn't)
+    right_prec, left_prec = (0, 1) if not strict else (1, 0)
+    u = l.select(
+        *[F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD)],
+        F.lit(left_prec).alias(_PREC),
+        F.lit(1).alias("__is_left"),
+        _TS_US,
+        "__tb",
+        *left_cols,
+    ).unionByName(
+        r.select(
+            _PAYLOAD,
+            F.lit(right_prec).alias(_PREC),
+            F.lit(0).alias("__is_left"),
+            _TS_US,
+            "__tb",
+            *keys,
+            *[
+                F.lit(None).cast(dict(zip(left.columns, left.schema))[c].dataType).alias(c)
+                for c in left_cols
+                if c not in keys
+            ],
+        )
+    )
+
+    if direction == "backward":
+        order = [F.col(_TS_US).asc(), F.col(_PREC).asc(), F.col("__tb").asc_nulls_last()]
+    else:
+        # forward: scan time DESCENDING so "carry forward" yields the
+        # earliest at-or-after row; among equal (ts, prec) right rows
+        # last(…) picks the one sorted LAST, so tiebreak stays ASC for
+        # largest-tiebreak-wins in both directions
+        order = [F.col(_TS_US).desc(), F.col(_PREC).asc(), F.col("__tb").asc_nulls_last()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(_PAYLOAD, ignorenulls=True).over(w)
+
+    out = (
+        u.withColumn(_PAYLOAD, carried)
+        .where(F.col("__is_left") == 1)
+    )
+    if tolerance_us is not None:
+        gap = F.abs(F.col(_TS_US) - F.col(_PAYLOAD)["__rts_us"])
+        out = out.withColumn(
+            _PAYLOAD,
+            F.when(gap <= F.lit(int(tolerance_us)), F.col(_PAYLOAD)),
+        )
+    return out.select(
+        *left_cols,
+        F.timestamp_micros(F.col(_PAYLOAD)["__rts_us"]).alias(matched_ts_name),
+        *[
+            F.col(_PAYLOAD)[c].alias(out_names[c])
+            for c in payload_cols
+        ],
+    )
