@@ -724,6 +724,63 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# range join — point-in-interval matching (operators/range_join.py):
+# events land in per-user validity windows derived deterministically
+# from each order (orders predate the events by decades, so the window
+# is re-based into the events' month: start = 2024-01-01 +
+# (o_orderkey % 30) days, length (o_orderkey % 7 + 1) days). The
+# binned equi-join must reproduce DuckDB's plain inequality join
+# exactly.
+@register(
+    "range_join_windows",
+    """
+    SELECT e.event_type,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT e.event_id) AS n_events_matched
+    FROM events e JOIN orders o
+      ON e.user_id = o.o_custkey
+     AND epoch_us(e.ts)
+         BETWEEN 1704067200000000 + (o.o_orderkey % 30) * 86400000000
+             AND 1704067200000000 + (o.o_orderkey % 30) * 86400000000
+                 + (o.o_orderkey % 7 + 1) * 86400000000
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.range_join import range_join
+
+    day_us = 86_400 * 10**6
+    base_us = 1_704_067_200 * 10**6  # 2024-01-01 UTC
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p"),
+    )
+    s_expr = (
+        F.lit(base_us) + (F.col("o_orderkey") % 30) * F.lit(day_us)
+    )
+    iv = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        s_expr.alias("s"),
+        (s_expr + (F.col("o_orderkey") % 7 + 1) * F.lit(day_us)).alias("e"),
+        "o_orderkey",
+    )
+    j = range_join(
+        ev, iv, point="p", start="s", end="e", on="user_id",
+        bin_width=4 * day_us,
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_events_matched"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # sessionization — lag + gap>threshold cumsum (the engine-side analog of
 # the reference's debounce/TTL freshness tiers applied to event streams)
 @register(
