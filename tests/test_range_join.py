@@ -136,3 +136,65 @@ def test_estimate_bin_width(spark):
     )
     w = estimate_bin_width(iv, "s", "e")
     assert 10 <= w <= 40
+
+
+# ---------------------------------------------------------------------------
+# interval × interval overlap join
+# ---------------------------------------------------------------------------
+
+def _mk_iv(seed: int, n=150, n_keys=5, max_len=5000, prefix="a"):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, 100_000, n)
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n),
+            f"{prefix}s": s,
+            f"{prefix}e": s + rng.integers(0, max_len, n),
+            f"{prefix}id": np.arange(n),
+        }
+    )
+
+
+def _brute_overlap(l: pd.DataFrame, r: pd.DataFrame, keyed=True) -> set:
+    m = l.merge(r, on="k") if keyed else l.merge(r, how="cross")
+    m = m[(m["as"] <= m["be"]) & (m["bs"] <= m["ae"])]
+    return set(zip(m["aid"], m["bid"]))
+
+
+@pytest.mark.parametrize("long_cap,bin_width", [(10**6, 1000), (2, 1000), (10**6, None)])
+def test_interval_overlap_matches_brute_force(spark, long_cap, bin_width):
+    from tgdigest_spark.operators.range_join import interval_overlap_join
+
+    l = _mk_iv(seed=21, prefix="a")
+    r = _mk_iv(seed=22, prefix="b", max_len=12_000)
+    out = interval_overlap_join(
+        spark.createDataFrame(l),
+        spark.createDataFrame(r),
+        "as", "ae", "bs", "be",
+        on="k",
+        bin_width=bin_width,
+        long_cap=long_cap,
+    )
+    rows = out.select("aid", "bid").collect()
+    got = set((x["aid"], x["bid"]) for x in rows)
+    assert got == _brute_overlap(l, r)
+    assert len(rows) == len(got)  # exactly-once per pair
+
+
+def test_interval_overlap_keyless(spark):
+    from tgdigest_spark.operators.range_join import interval_overlap_join
+
+    l = _mk_iv(seed=31, n=40, prefix="a").drop(columns=["k"])
+    r = _mk_iv(seed=32, n=30, prefix="b").drop(columns=["k"])
+    out = interval_overlap_join(
+        spark.createDataFrame(l),
+        spark.createDataFrame(r),
+        "as", "ae", "bs", "be",
+        bin_width=2000,
+    )
+    m = l.merge(r, how="cross")
+    m = m[(m["as"] <= m["be"]) & (m["bs"] <= m["ae"])]
+    rows = out.select("aid", "bid").collect()
+    got = set((x["aid"], x["bid"]) for x in rows)
+    assert got == set(zip(m["aid"], m["bid"]))
+    assert len(rows) == len(got)

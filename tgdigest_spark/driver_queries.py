@@ -781,6 +781,65 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# interval overlap join — same deterministic order windows, self-joined
+# per customer: pairs of orders whose validity windows overlap, with
+# the summed overlap length. Exactly-once comes from the bin-ownership
+# rule in operators/range_join.py:interval_overlap_join; DuckDB mirrors
+# with a plain inequality self-join.
+@register(
+    "interval_overlap_orders",
+    """
+    WITH iv AS (
+        SELECT o_custkey AS k, o_orderkey AS ok,
+               1704067200000000 + (o_orderkey % 30) * 86400000000 AS s,
+               1704067200000000 + (o_orderkey % 30) * 86400000000
+                   + (o_orderkey % 7 + 1) * 86400000000 AS e
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COALESCE(SUM((least(a.e, b.e) - greatest(a.s, b.s))
+               // 1000000), 0) AS total_overlap_sec,
+           COUNT(DISTINCT a.k) AS n_custs
+    FROM iv a JOIN iv b
+      ON a.k = b.k AND a.s <= b.e AND b.s <= a.e AND a.ok < b.ok
+    """,
+)
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.range_join import interval_overlap_join
+
+    day_us = 86_400 * 10**6
+    base_us = 1_704_067_200 * 10**6
+
+    def windows(sa: str, ea: str, oka: str) -> DataFrame:
+        s_expr = F.lit(base_us) + (F.col("o_orderkey") % 30) * F.lit(day_us)
+        return load(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("k"),
+            s_expr.alias(sa),
+            (s_expr + (F.col("o_orderkey") % 7 + 1) * F.lit(day_us)).alias(ea),
+            F.col("o_orderkey").alias(oka),
+        )
+
+    j = interval_overlap_join(
+        windows("s1", "e1", "ok1"),
+        windows("s2", "e2", "ok2"),
+        "s1", "e1", "s2", "e2",
+        on="k",
+        bin_width=4 * day_us,
+    ).where(F.col("ok1") < F.col("ok2"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "(least(e1, e2) - greatest(s1, s2)) div 1000000"
+                )
+            ),
+            F.lit(0),
+        ).alias("total_overlap_sec"),
+        F.countDistinct("k").alias("n_custs"),
+    )
+
+
 # sessionization — lag + gap>threshold cumsum (the engine-side analog of
 # the reference's debounce/TTL freshness tiers applied to event streams)
 @register(

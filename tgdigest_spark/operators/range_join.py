@@ -110,3 +110,74 @@ def range_join(
     else:
         long_hits = points.join(F.broadcast(long_), contained)
     return short_hits.unionByName(long_hits)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: str | list[str] | None = None,
+    bin_width: int | None = None,
+    long_cap: int = 256,
+) -> DataFrame:
+    """Interval × interval overlap join (closed intervals:
+    ``left_start <= right_end AND right_start <= left_end``), same
+    binning discipline as :func:`range_join`.
+
+    Dedup without a distinct: two overlapping intervals both contain
+    the overlap's start ``max(left_start, right_start)``, so both
+    explode to its bin — the pair is emitted only from that one
+    OWNING bin (``bin == greatest(ls, rs) div w``). Exactly-once by
+    construction, no shuffle-the-output dedup step.
+
+    Long intervals (> ``long_cap`` bins) on either side skip the
+    explode and broadcast instead: long-left × all-right and
+    short-left × long-right cover every long-involving pair exactly
+    once. Column names must be disjoint across the two inputs apart
+    from the equality keys (alias beforehand — keeps the operator
+    mechanical, like range_join).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    if bin_width is None:
+        bin_width = estimate_bin_width(right, right_start, right_end)
+    w = int(bin_width)
+
+    def b(col: str):
+        return F.expr(f"cast({col} as long) div {w}")
+
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    own = F.col(_BIN) == F.expr(
+        f"greatest(cast({left_start} as long), cast({right_start} as long))"
+        f" div {w}"
+    )
+
+    def split(df, s, e):
+        span = b(e) - b(s)
+        return df.where(span < F.lit(long_cap)), df.where(
+            span >= F.lit(long_cap)
+        )
+
+    short_l, long_l = split(left, left_start, left_end)
+    short_r, long_r = split(right, right_start, right_end)
+
+    def explode_bins(df, s, e):
+        return df.withColumn(_BIN, F.explode(F.sequence(b(s), b(e))))
+
+    a = (
+        explode_bins(short_l, left_start, left_end)
+        .join(explode_bins(short_r, right_start, right_end), keys + [_BIN])
+        .where(overlap & own)
+        .drop(_BIN)
+    )
+    if keys:
+        b_hits = right.join(F.broadcast(long_l), on=keys).where(overlap)
+        c_hits = short_l.join(F.broadcast(long_r), on=keys).where(overlap)
+    else:
+        b_hits = right.join(F.broadcast(long_l), overlap)
+        c_hits = short_l.join(F.broadcast(long_r), overlap)
+    return a.unionByName(b_hits).unionByName(c_hits)
