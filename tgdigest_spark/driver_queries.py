@@ -840,6 +840,67 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# weighted sampling without replacement (Efraimidis-Spirakis) — 50 docs
+# per lang with inclusion probability ∝ n_chars, deterministic via the
+# md5 content-hash uniform. The oracle recomputes the EXACT same
+# exponential rank in DuckDB (rank rounded to 9dp + id tiebreak — raw
+# transcendental doubles are not ulp-identical across libms) and
+# hash-verifies the SELECTION via per-lang id aggregates.
+@register(
+    "weighted_sample_docs",
+    """
+    WITH s AS (
+        SELECT *,
+               round(-ln((CAST(('0x' || substring(md5(
+                   CAST(doc_id AS VARCHAR) || chr(31) || 'ws42'), 1, 15))
+                   AS BIGINT) + 1) / 1152921504606846976.0)
+                   / n_chars, 9) AS ek
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), pick AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY ek, doc_id) AS rn
+            FROM s
+        ) WHERE rn <= 50
+    )
+    SELECT lang,
+           COUNT(*) AS n,
+           SUM(doc_id) AS sum_id,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id,
+           SUM(n_chars) AS sum_chars
+    FROM pick
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    pick = weighted_sample(
+        docs,
+        50,
+        weight="n_chars",
+        key="doc_id",
+        by="lang",
+        seed="ws42",
+        tiebreak="doc_id",
+    )
+    return (
+        pick.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_id"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # sessionization — lag + gap>threshold cumsum (the engine-side analog of
 # the reference's debounce/TTL freshness tiers applied to event streams)
 @register(

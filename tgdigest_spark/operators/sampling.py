@@ -260,3 +260,72 @@ def pack_sequences(
         return out
 
     return work.groupBy("_grp").applyInPandas(pack, schema=out_schema)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight: str | Column,
+    key: str | Column,
+    by: str | Column | None = None,
+    seed: str = "",
+    tiebreak: str | Column | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006): keep the ``n`` rows with the smallest
+    exponential rank ``-ln(u) / weight``, where ``u`` is a uniform
+    derived from a CONTENT hash of ``key`` (+ ``seed``) — so inclusion
+    probability is proportional to weight, yet the draw is a pure
+    function of (row key, seed): reproducible under any physical
+    layout, re-runnable, auditable (same contract as assign_splits).
+
+    Use: quality-weighted corpus selection ("sample 1M docs ∝ quality
+    score"), temperature-style source rebalancing.
+
+    ``by``: optional stratum — n rows PER stratum via one windowed
+    top-n (WindowGroupLimit: each task keeps an n-heap, shuffle moves
+    ~n rows per task per stratum). Without ``by`` the global top-n is a
+    TakeOrdered (orderBy + limit) — no single-partition window.
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    well-defined inclusion probability). The rank is ROUNDED to 9
+    decimals and tie-broken by ``tiebreak`` (pass the id): ranking on a
+    raw transcendental double is not reproducible across engines (ulp
+    differences between libm implementations) — same convention as the
+    cross-engine cosine ranking. Fully SQL-expressible → DuckDB-oracle
+    verifiable (driver_queries.weighted_sample_docs).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w_col = F.col(weight) if isinstance(weight, str) else weight
+    k_col = F.col(key) if isinstance(key, str) else key
+    # uniform in (0, 1]: first 15 md5 hex chars (60 bits, exact in a
+    # double) — identical in Spark (conv) and DuckDB ('0x' cast)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", k_col.cast("string"), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**15))
+    rank = F.round(-F.log(u) / w_col.cast("double"), 9)
+    out = df.where(w_col.isNotNull() & (w_col > 0)).withColumn(
+        "_wrank", rank
+    )
+    order = [F.col("_wrank")]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak)
+    if by is None:
+        return out.orderBy(*order).limit(n).drop("_wrank")
+    by_col = F.col(by) if isinstance(by, str) else by
+    win = Window.partitionBy(by_col).orderBy(*order)
+    return (
+        out.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= n)
+        .drop("_rn", "_wrank")
+    )
