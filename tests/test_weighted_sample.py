@@ -76,3 +76,20 @@ def test_rejects_bad_n(spark, items):
 
     with pytest.raises(ValueError):
         weighted_sample(items, 0, weight="w", key="id")
+
+
+def test_stratified_plan_uses_window_group_limit(spark, items):
+    """Scale shape: the per-stratum top-n must plan as WindowGroupLimit
+    (each task keeps an n-heap) — not a full sort of every stratum."""
+    from tgdigest_spark.operators.sampling import weighted_sample
+
+    plan = (
+        weighted_sample(
+            items, 5, weight="w", key="id", by="grp", tiebreak="id"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan  # built-ins only
