@@ -657,11 +657,16 @@ def neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # as-of join — point-in-time enrichment (operators/asof.py): every
-# event picks up its user's most recent at-or-before order. Oracle is
-# DuckDB's NATIVE ASOF LEFT JOIN, so the window-carry composition is
-# checked against an independent first-class implementation. Right side
-# deduped on (custkey, orderdate) first — both engines' as-of semantics
-# are only deterministic without right-timestamp ties.
+# event picks up its user's most recent at-or-before order. The oracle
+# expresses the same semantics relationally (per-event MAX qualifying
+# orderdate, then an equi-join back for the payload) instead of
+# DuckDB's native ASOF LEFT JOIN: the native operator produced a
+# one-off row divergence under DuckDB 1.0's parallel execution during
+# driver-sim, and a correctness gate must not sit on a flaky oracle.
+# (The independent-implementation check lives in test_asof.py's pandas
+# merge_asof parity suite.) Right side deduped on (custkey, orderdate)
+# first — as-of semantics are only deterministic without
+# right-timestamp ties.
 @register(
     "asof_join_orders",
     """
@@ -672,19 +677,26 @@ def neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY o_orderkey DESC) AS rn
             FROM orders
         ) WHERE rn = 1
+    ), m AS (
+        SELECT e.event_id, e.event_type, e.user_id, e.ts,
+               MAX(r.o_orderdate) AS mdate
+        FROM events e
+        LEFT JOIN r
+          ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+        GROUP BY e.event_id, e.event_type, e.user_id, e.ts
     )
-    SELECT e.event_type,
+    SELECT m.event_type,
            COUNT(*) AS n_events,
            COUNT(r.o_orderkey) AS n_matched,
            CAST(SUM(CAST(r.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                AS matched_price,
-           COALESCE(SUM((epoch_us(e.ts) - epoch_us(r.o_orderdate))
+           COALESCE(SUM((epoch_us(m.ts) - epoch_us(r.o_orderdate))
                // 1000000), 0) AS total_gap_sec
-    FROM events e
-    ASOF LEFT JOIN r
-      ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
-    GROUP BY e.event_type
-    ORDER BY e.event_type
+    FROM m
+    LEFT JOIN r
+      ON m.user_id = r.o_custkey AND m.mdate = r.o_orderdate
+    GROUP BY m.event_type
+    ORDER BY m.event_type
     """,
 )
 def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
