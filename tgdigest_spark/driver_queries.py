@@ -658,15 +658,17 @@ def neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # as-of join — point-in-time enrichment (operators/asof.py): every
 # event picks up its user's most recent at-or-before order. The oracle
-# expresses the same semantics relationally (per-event MAX qualifying
-# orderdate, then an equi-join back for the payload) instead of
-# DuckDB's native ASOF LEFT JOIN: the native operator produced a
-# one-off row divergence under DuckDB 1.0's parallel execution during
-# driver-sim, and a correctness gate must not sit on a flaky oracle.
-# (The independent-implementation check lives in test_asof.py's pandas
-# merge_asof parity suite.) Right side deduped on (custkey, orderdate)
-# first — as-of semantics are only deterministic without
-# right-timestamp ties.
+# expresses the semantics relationally (per-event MAX qualifying
+# orderdate, then an equi-join back for the payload); DuckDB's native
+# ASOF LEFT JOIN gives the same rows, but the relational form keeps the
+# oracle engine-version-agnostic. total_gap_sec is CAST AS BIGINT:
+# DuckDB SUM(BIGINT) returns HUGEINT which lands in pandas as float64,
+# and any comparator that rounds a ~1e12 float to N decimals loses the
+# low bits (v*1e6 exceeds the 53-bit mantissa) — int64 on both sides
+# removes the hazard. (Independent-implementation coverage of the
+# operator is test_asof.py's pandas merge_asof parity suite.) Right
+# side deduped on (custkey, orderdate) first — as-of semantics are only
+# deterministic without right-timestamp ties.
 @register(
     "asof_join_orders",
     """
@@ -690,8 +692,8 @@ def neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(r.o_orderkey) AS n_matched,
            CAST(SUM(CAST(r.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                AS matched_price,
-           COALESCE(SUM((epoch_us(m.ts) - epoch_us(r.o_orderdate))
-               // 1000000), 0) AS total_gap_sec
+           CAST(COALESCE(SUM((epoch_us(m.ts) - epoch_us(r.o_orderdate))
+               // 1000000), 0) AS BIGINT) AS total_gap_sec
     FROM m
     LEFT JOIN r
       ON m.user_id = r.o_custkey AND m.mdate = r.o_orderdate
@@ -809,8 +811,8 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT COUNT(*) AS n_pairs,
-           COALESCE(SUM((least(a.e, b.e) - greatest(a.s, b.s))
-               // 1000000), 0) AS total_overlap_sec,
+           CAST(COALESCE(SUM((least(a.e, b.e) - greatest(a.s, b.s))
+               // 1000000), 0) AS BIGINT) AS total_overlap_sec,
            COUNT(DISTINCT a.k) AS n_custs
     FROM iv a JOIN iv b
       ON a.k = b.k AND a.s <= b.e AND b.s <= a.e AND a.ok < b.ok
