@@ -1221,6 +1221,50 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, top_n=20)
 
 
+# prefix-filtered exact-threshold Jaccard join (Bayardo et al. WWW'07)
+# — same answer as the brute-force shingle join at >= 0.5, but the
+# self-join runs on rare-first prefixes only. Oracle = the full
+# inequality-free DuckDB shingle join with a HAVING on the exact
+# jaccard (IEEE division of small ints — bit-identical cross-engine).
+@register(
+    "jaccard_prefix_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+          >= 0.5 - 1e-12
+    ORDER BY id_a, id_b
+    """,
+)
+def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_text import jaccard_prefix_join
+
+    docs = load(spark, sf_dir, "documents")
+    out = jaccard_prefix_join(docs, threshold=0.5)
+    release = out.release_cache  # capture before transforming
+    rows = out.orderBy("id_a", "id_b").collect()
+    release()
+    return spark.createDataFrame(rows, out.schema)
+
+
 @register("minhash_lsh_neardup", None)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: top-20 by estimated Jaccard

@@ -34,7 +34,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -713,4 +713,110 @@ def ngram_jaccard_pairs(
         out = out.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(top_n)
     if release is not None:
         out.release_cache = release  # same contract as lsh/simhash pairs
+    return out
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All doc pairs with shingle-Jaccard >= ``threshold``, EXACTLY —
+    via prefix filtering (Bayardo, Ma & Srikant, WWW 2007; the
+    AllPairs/PPJoin family), not an LSH approximation.
+
+    The scale trick: order each doc's shingles by GLOBAL rarity
+    (document frequency ascending); if Jaccard(x, y) >= t then x and y
+    must share a shingle inside each one's first
+    ``|x| - ceil(t·|x|) + 1`` shingles (else the <= |x|-p remaining
+    overlap can't reach the required intersection). So the self-join
+    runs on PREFIXES only — for t=0.5 roughly the rarest half of each
+    doc — and rare-first ordering makes those join keys the most
+    selective ones. A length filter (|y| >= t·|x|) prunes further;
+    candidates are then verified with one JVM-side
+    ``array_intersect`` against the full shingle sets. Completeness is
+    a theorem, so output == brute force (pinned in pytest vs
+    ngram_jaccard_pairs).
+
+    vs ``ngram_jaccard_pairs``: same answer above t, but the join fan
+    -out drops from every shared shingle (hot shingles go quadratic —
+    hence that operator's max_df cap, which CHANGES semantics) to
+    shared rare-prefix shingles, with no semantic change. The right
+    exact-threshold tier for corpus-scale dedup.
+
+    Returns DataFrame[id_a, id_b, jaccard] (id_a < id_b).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    exploded = _exploded_shingles(df, id_col, text_col, k).persist()
+    sets = exploded.groupBy("id").agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # fp-safe ceil(t*n): round to 9dp first so 3.0000000000000004-style
+    # representation error can't lengthen (harmless) or SHORTEN
+    # (correctness-breaking) the prefix
+    t = float(threshold)
+    minlen = F.ceil(F.round(F.lit(t) * F.col("n_sh"), 9)).cast("long")
+    prefix_len = (F.col("n_sh") - minlen + F.lit(1)).cast("long")
+    ranked = (
+        exploded.join(dfreq, "shingle")
+        .join(sets.select("id", "n_sh"), "id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "shingle")
+            ),
+        )
+        .where(F.col("pos") <= prefix_len)
+        .select("id", "shingle", "n_sh")
+    )
+    a = ranked.select(
+        F.col("id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: Jaccard >= t forces t <= |y|/|x| <= 1/t
+            & (
+                F.col("n_b")
+                >= F.ceil(F.round(F.lit(t) * F.col("n_a"), 9)).cast("long")
+            )
+            & (
+                F.col("n_a")
+                >= F.ceil(F.round(F.lit(t) * F.col("n_b"), 9)).cast("long")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (F.col("n_a") + F.col("n_b") - inter)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(t) - F.lit(1e-12))
+    )
+    out.release_cache = exploded.unpersist  # caller releases after use
     return out
