@@ -854,6 +854,46 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# distributed exact budget cutoff — "longest docs until 100k chars":
+# the scale-correct form of the A8 running-sum cutoff
+# (operators/sampling.py:select_until_budget — binned two-pass prefix
+# sums, no single-partition window). Oracle = the naive global-window
+# cumsum; both sides sum in decimal.
+@register(
+    "budget_cutoff_docs",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               SUM(CAST(n_chars AS DECIMAL(30,6))) OVER (
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+        WHERE n_chars IS NOT NULL
+    )
+    SELECT doc_id, CAST(cum AS DOUBLE) AS cum_chars
+    FROM s WHERE cum <= 100000
+    ORDER BY doc_id
+    """,
+)
+def budget_cutoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import select_until_budget
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        select_until_budget(
+            docs,
+            "n_chars",
+            "n_chars",
+            100_000,
+            descending=True,
+            tiebreak="doc_id",
+            out_col="cum_chars",
+        )
+        .select("doc_id", "cum_chars")
+        .orderBy("doc_id")
+    )
+
+
 # weighted sampling without replacement (Efraimidis-Spirakis) — 50 docs
 # per lang with inclusion probability ∝ n_chars, deterministic via the
 # md5 content-hash uniform. The oracle recomputes the EXACT same

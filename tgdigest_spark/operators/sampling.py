@@ -329,3 +329,110 @@ def weighted_sample(
         .where(F.col("_rn") <= n)
         .drop("_rn", "_wrank")
     )
+
+
+def select_until_budget(
+    df: DataFrame,
+    order_col: str | Column,
+    amount: str | Column,
+    budget,
+    descending: bool = True,
+    tiebreak: str | Column | None = None,
+    n_bins: int = 256,
+    out_col: str = "cum_amount",
+) -> DataFrame:
+    """Distributed EXACT running-sum cutoff: walk rows in
+    (``order_col``, ``tiebreak``) order and keep every row whose
+    cumulative ``amount`` stays <= ``budget`` — "take the
+    highest-quality documents until the token budget is spent".
+
+    The naive plan (global ``Window.orderBy`` cumsum, the reference's
+    A8 shape in driver_queries.running_sum_cutoff) funnels the whole
+    table through ONE partition. This operator keeps the identical
+    semantics with bounded shuffles:
+
+    1. bin rows by VALUE RANGES of the order key (boundaries from
+       approxQuantile — a bad split only unbalances bins, never
+       changes the answer, so layout-dependence of the estimate is
+       harmless);
+    2. per-bin decimal sums (``n_bins`` rows) to the driver, prefix
+       them, and broadcast each bin's starting offset back;
+    3. one window PARTITIONED BY BIN adds the exact within-bin cumsum
+       to the offset; rows filter on ``offset + cum <= budget``.
+
+    Equal order-key values always share a bin, so the bin walk is a
+    refinement of the total order. Sums are exact decimal (fp
+    associativity would make the cutoff layout-dependent); the output
+    column is cast to double at the end. Rows with NULL amount are
+    excluded. Fully SQL-expressible → DuckDB oracle
+    (driver_queries.budget_cutoff_docs).
+    """
+    from decimal import Decimal
+
+    o = F.col(order_col) if isinstance(order_col, str) else order_col
+    a = (F.col(amount) if isinstance(amount, str) else amount).cast(
+        "decimal(30,6)"
+    )
+    base = df.where(a.isNotNull()).withColumn("_amt", a)
+    probe = "_budget_probe"
+    base = base.withColumn(probe, o.cast("double"))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = sorted(set(base.stat.approxQuantile(probe, qs, 0.001)))
+    # bin id increases along the WALK order (bin 0 is walked first):
+    # count of ascending boundaries below the key, flipped for
+    # descending walks — built as a BALANCED binary-search CASE tree
+    # (depth log2 B). A flat 255-deep WHEN chain trips Catalyst's
+    # optimizer iteration budget, and a higher-order size(filter(...))
+    # with an outer column reference mis-resolves under column pruning
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), so neither alternative
+    # survives contact with real plans. Rows with equal keys take the
+    # same branch → same bin; a NULL key counts no boundaries (walked
+    # last on a descending walk, matching desc()'s nulls-last).
+    def _count_below(bs: list[float], base: int):
+        if not bs:
+            return F.lit(base)
+        mid = len(bs) // 2
+        return F.when(
+            F.col(probe) > F.lit(bs[mid]),
+            _count_below(bs[mid + 1 :], base + mid + 1),
+        ).otherwise(_count_below(bs[:mid], base))
+
+    bin_expr = _count_below([float(x) for x in bounds], 0)
+    if descending:
+        bin_expr = F.lit(len(bounds)) - bin_expr
+    binned = base.withColumn("_bin", bin_expr)
+    sums = {
+        int(r["_bin"]): r["s"]
+        for r in binned.groupBy("_bin").agg(F.sum("_amt").alias("s")).collect()
+    }
+    offsets, acc = {}, Decimal(0)
+    budget_d = Decimal(str(budget))
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+    keep_bins = [b for b in sorted(sums) if offsets[b] <= budget_d]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, offsets[b]) for b in keep_bins],
+            "_bin int, _off decimal(30,6)",
+        )
+    )
+    order = [o.desc() if descending else o.asc()]
+    if tiebreak is not None:
+        order.append(
+            F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+        )
+    w = (
+        Window.partitionBy("_bin")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.col("_off") + F.sum("_amt").over(w)).cast("decimal(30,6)")
+    return (
+        binned.join(off_df, "_bin")
+        .withColumn("_cum", cum)
+        .where(F.col("_cum") <= F.lit(budget_d))
+        .withColumn(out_col, F.col("_cum").cast("double"))
+        .drop("_bin", "_amt", "_off", "_cum", probe)
+    )
