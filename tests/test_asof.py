@@ -177,3 +177,20 @@ def test_asof_plan_is_single_exchange_no_udf(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equality semantics: NULL keys match nothing — a NULL-key
+    left row keeps a null payload even when NULL-key right rows exist."""
+    from tgdigest_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, "2024-01-10 00:00:00", 1.0), (1, "2024-01-10 00:00:00", 2.0)],
+        "k long, ts string, lval double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(None, "2024-01-05 00:00:00", 99.0), (1, "2024-01-05 00:00:00", 7.0)],
+        "k long, ts string, rval double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {r["lval"]: r["rval"] for r in asof_join(left, right, on="k").collect()}
+    assert rows == {1.0: None, 2.0: 7.0}

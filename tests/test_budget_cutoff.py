@@ -81,3 +81,15 @@ def test_budget_cutoff_no_single_partition_window(spark, rows_df):
     )
     assert "SinglePartition" not in plan
     assert "Exchange hashpartitioning(_bin" in plan
+
+
+def test_budget_cutoff_rejects_negative_amounts(spark):
+    """Bin pruning assumes a monotone running sum; negative amounts
+    would silently diverge from the naive window, so they must raise."""
+    from tgdigest_spark.operators.sampling import select_until_budget
+
+    df = spark.createDataFrame(
+        [(1, 10, 60), (2, 5, -20), (3, 1, 30)], "id long, quality long, tokens long"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        select_until_budget(df, "quality", "tokens", 50, tiebreak="id").collect()

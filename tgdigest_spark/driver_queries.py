@@ -906,8 +906,8 @@ def budget_cutoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT *,
                round(-ln((CAST(('0x' || substring(md5(
-                   CAST(doc_id AS VARCHAR) || chr(31) || 'ws42'), 1, 15))
-                   AS BIGINT) + 1) / 1152921504606846976.0)
+                   CAST(doc_id AS VARCHAR) || chr(31) || 'ws42'), 1, 13))
+                   AS BIGINT) + 1) / 4503599627370496.0)
                    / n_chars, 9) AS ek
         FROM documents
         WHERE n_chars IS NOT NULL AND n_chars > 0
@@ -1297,7 +1297,12 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup_text import jaccard_prefix_join
 
-    docs = load(spark, sf_dir, "documents")
+    # match the oracle's >= 3-token scope (same convention as
+    # ngram_jaccard_topk): the operator's <k-token full-run-shingle
+    # fallback has no SQL mirror in the toks CTE
+    docs = load(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
     out = jaccard_prefix_join(docs, threshold=0.5)
     release = out.release_cache  # capture before transforming
     rows = out.orderBy("id_a", "id_b").collect()

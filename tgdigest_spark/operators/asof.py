@@ -81,6 +81,14 @@ def asof_join(
     def us(col: str):  # NTZ-safe microsecond epoch for ordering
         return F.unix_micros(F.col(col).cast("timestamp"))
 
+    # SQL equality semantics: NULL keys never match. The window would
+    # happily group NULL-key rows into one partition and hand a
+    # NULL-key left row a NULL-key right row's payload, so NULL-key
+    # RIGHT rows are dropped up front (they can match nothing); a
+    # NULL-key LEFT row then sits in a right-free partition and keeps
+    # a null payload, exactly like a SQL left join.
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
     # payload struct: matched right ts first (for tolerance + output),
     # then the carried columns — one non-null struct per right row
     r = right.select(

@@ -751,10 +751,14 @@ def jaccard_prefix_join(
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
     exploded = _exploded_shingles(df, id_col, text_col, k).persist()
+    # persisted too: ranked's n_sh join and BOTH verify sides consume
+    # it, and the id_a/id_b aliasing defeats ReuseExchange (same trap
+    # passage_overlap_pairs documents) — without this the collect_set
+    # shuffle runs three times
     sets = exploded.groupBy("id").agg(
         F.collect_set("shingle").alias("sh_set"),
         F.count(F.lit(1)).alias("n_sh"),
-    )
+    ).persist()
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # fp-safe ceil(t*n): round to 9dp first so 3.0000000000000004-style
     # representation error can't lengthen (harmless) or SHORTEN
@@ -818,5 +822,9 @@ def jaccard_prefix_join(
         )
         .where(F.col("jaccard") >= F.lit(t) - F.lit(1e-12))
     )
-    out.release_cache = exploded.unpersist  # caller releases after use
+    def _release():
+        sets.unpersist()
+        exploded.unpersist()
+
+    out.release_cache = _release  # caller releases after use
     return out

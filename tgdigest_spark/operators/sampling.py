@@ -295,24 +295,27 @@ def weighted_sample(
     cross-engine cosine ranking. Fully SQL-expressible → DuckDB-oracle
     verifiable (driver_queries.weighted_sample_docs).
     """
+    # 13 hex chars = 52 bits: exactly representable in a double, so
+    # Spark's fl(v)+1.0 and an oracle's integer v+1 agree bit-for-bit
+    # (15 chars = 60 bits would round fl(v) and diverge ~1e-7/row)
     if n <= 0:
         raise ValueError("n must be positive")
     w_col = F.col(weight) if isinstance(weight, str) else weight
     k_col = F.col(key) if isinstance(key, str) else key
-    # uniform in (0, 1]: first 15 md5 hex chars (60 bits, exact in a
-    # double) — identical in Spark (conv) and DuckDB ('0x' cast)
+    # uniform in (0, 1]: first 13 md5 hex chars — identical in Spark
+    # (conv) and DuckDB ('0x' cast)
     u = (
         F.conv(
             F.substring(
                 F.md5(F.concat_ws("\x1f", k_col.cast("string"), F.lit(seed))),
                 1,
-                15,
+                13,
             ),
             16,
             10,
         ).cast("double")
         + F.lit(1.0)
-    ) / F.lit(float(16**15))
+    ) / F.lit(float(16**13))
     rank = F.round(-F.log(u) / w_col.cast("double"), 9)
     out = df.where(w_col.isNotNull() & (w_col > 0)).withColumn(
         "_wrank", rank
@@ -401,10 +404,22 @@ def select_until_budget(
     if descending:
         bin_expr = F.lit(len(bounds)) - bin_expr
     binned = base.withColumn("_bin", bin_expr)
-    sums = {
-        int(r["_bin"]): r["s"]
-        for r in binned.groupBy("_bin").agg(F.sum("_amt").alias("s")).collect()
+    stats = {
+        int(r["_bin"]): (r["s"], r["mn"])
+        for r in binned.groupBy("_bin")
+        .agg(F.sum("_amt").alias("s"), F.min("_amt").alias("mn"))
+        .collect()
     }
+    # bin pruning (offsets[b] > budget ⇒ whole bin out) relies on the
+    # running sum being MONOTONE — negative amounts break that and
+    # would silently diverge from the naive global-window semantics
+    if any(mn < 0 for _, mn in stats.values()):
+        raise ValueError(
+            "select_until_budget requires non-negative amounts: the "
+            "running-sum cutoff is only monotone (and bin pruning only "
+            "sound) without negative contributions"
+        )
+    sums = {b: s for b, (s, _) in stats.items()}
     offsets, acc = {}, Decimal(0)
     budget_d = Decimal(str(budget))
     for b in sorted(sums):
