@@ -194,3 +194,32 @@ def test_asof_null_keys_never_match(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     rows = {r["lval"]: r["rval"] for r in asof_join(left, right, on="k").collect()}
     assert rows == {1.0: None, 2.0: 7.0}
+
+
+def test_build_validity_intervals_chain_and_current(spark):
+    """Per key: versions chain (valid_to == next valid_from), exactly
+    one current version, ties chain through the tiebreak."""
+    from tgdigest_spark.operators.asof import build_validity_intervals
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10),
+        (1, "2024-01-05 00:00:00", 11),
+        (1, "2024-01-05 00:00:00", 12),  # tie on ts → tiebreak chains
+        (2, "2024-02-01 00:00:00", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts string, change_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    v = build_validity_intervals(df, key="k", ts="ts", tiebreak="change_id")
+    got = {
+        r["change_id"]: (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in v.collect()
+    }
+    assert got[10][1] == got[11][0] and not got[10][2]
+    # tied versions: 11's interval is zero-length ending at 12's start
+    assert got[11][1] == got[12][0] and got[11][0] == got[11][1]
+    assert got[12][1] is None and got[12][2]
+    assert got[20][1] is None and got[20][2]
+    # exactly one current per key
+    cur = v.where("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur) and len(cur) == 2

@@ -795,6 +795,51 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SCD-2 validity intervals (operators/asof.py:build_validity_intervals)
+# — each order becomes a [valid_from, valid_to) state version of its
+# customer; summarized per order status. BIGINT cast on the seconds sum
+# (HUGEINT→float64 would corrupt under 6dp rounding).
+@register(
+    "scd2_order_history",
+    """
+    WITH v AS (
+        SELECT o_orderstatus, o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS valid_to
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_versions,
+           SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+           CAST(COALESCE(SUM((epoch_us(valid_to) - epoch_us(valid_from))
+               // 1000000), 0) AS BIGINT) AS total_valid_sec
+    FROM v
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import build_validity_intervals
+
+    orders = load(spark, sf_dir, "orders")
+    v = build_validity_intervals(
+        orders, key="o_custkey", ts="o_orderdate", tiebreak="o_orderkey"
+    )
+    dur = F.expr(
+        "(unix_micros(cast(valid_to as timestamp))"
+        " - unix_micros(cast(valid_from as timestamp))) div 1000000"
+    )
+    return (
+        v.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.col("is_current").cast("long")).alias("n_current"),
+            F.coalesce(F.sum(dur), F.lit(0)).alias("total_valid_sec"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # interval overlap join — same deterministic order windows, self-joined
 # per customer: pairs of orders whose validity windows overlap, with
 # the summed overlap length. Exactly-once comes from the bin-ownership

@@ -167,3 +167,36 @@ def asof_join(
             for c in payload_cols
         ],
     )
+
+
+def build_validity_intervals(
+    df: DataFrame,
+    key: str | list[str],
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Turn a change-event stream into SCD-2 validity intervals: each
+    row gains ``valid_from`` (its own timestamp) and ``valid_to`` (the
+    key's NEXT change, NULL while current) — the half-open
+    ``[valid_from, valid_to)`` periods that :func:`asof_join` and
+    interval joins consume, and the standard warehouse shape for
+    "what was this entity's state at time T".
+
+    One window per key (``lead`` over (ts, tiebreak)); no UDF, no extra
+    shuffle beyond the key partitioning — over a key-bucketed layout
+    the Exchange drops entirely. Ties on (key, ts) chain through the
+    tiebreak, giving zero-length intervals rather than ambiguity (pass
+    the change id). Fully SQL-expressible → DuckDB oracle
+    (driver_queries.scd2_order_history).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("valid_from", F.col(ts))
+        .withColumn("valid_to", F.lead(ts).over(w))
+        .withColumn(current_flag, F.col("valid_to").isNull())
+    )
