@@ -20,9 +20,10 @@ Scale shape: ONE hash shuffle on the key (the union is narrow), then a
 codegen window — no UDF, no driver collect. This is the same
 sort-within-key the single-node engines (pandas ``merge_asof``, DuckDB
 ``ASOF JOIN``) do, sharded by key; skewed keys behave exactly like any
-window over the same key. Over a key-bucketed layout
-(sources/transcripts.py) the Exchange drops like any other
-conv_id-clustered window.
+window over the same key. Note the shuffle survives even over a
+key-bucketed layout (verified): ``Union`` reports unknown partitioning
+regardless of its children, so the window must re-exchange — unlike
+the single-source bucketed windows in tests/test_bucketed_layout.py.
 
 Determinism: if several right rows share (key, ts), pass
 ``right_tiebreak`` — the row with the LARGEST tiebreak wins; without
