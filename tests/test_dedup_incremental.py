@@ -1,0 +1,74 @@
+"""Incremental near-dedup: store lifecycle, cross-batch drops,
+re-delivery convergence, and parameter pinning."""
+
+from __future__ import annotations
+
+import pytest
+
+WORDS = [f"tok{i}" for i in range(80)]
+
+
+def _doc(rng, n=30):
+    return " ".join(rng.choice(WORDS, size=n))
+
+
+@pytest.fixture()
+def corpus_batches(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    b1 = [(i, _doc(rng)) for i in range(20)]
+    # batch 2: 5 near-copies of batch-1 docs (1 token changed), 5 fresh,
+    # plus an internal dup pair (ids 205/206 identical)
+    near = []
+    for j in range(5):
+        toks = b1[j][1].split()
+        toks[3] = "CHANGED"
+        near.append((200 + j, " ".join(toks)))
+    fresh = [(210 + j, _doc(rng)) for j in range(5)]
+    dup_text = _doc(rng)
+    b2 = near + fresh + [(205, dup_text), (206, dup_text)]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(b1), mk(b2)
+
+
+def test_incremental_dedup_lifecycle(spark, corpus_batches, tmp_path):
+    from tgdigest_spark.operators.dedup_incremental import (
+        incremental_near_dedup,
+        init_signature_store,
+    )
+
+    store = str(tmp_path / "sigstore")
+    init_signature_store(store)
+    b1, b2 = corpus_batches
+
+    s1, st1 = incremental_near_dedup(b1, store, threshold=0.7)
+    assert st1["store_existed"] is False
+    assert st1["survivors"] == 20 and s1.count() == 20  # clean first batch
+    s1.release_cache()
+
+    s2, st2 = incremental_near_dedup(b2, store, threshold=0.7)
+    ids = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    s2.release_cache()
+    assert st2["store_existed"] is True
+    assert st2["dropped_vs_store"] == 5  # the 5 near-copies of batch 1
+    assert st2["dropped_internal_only"] == 1  # 206 loses to 205
+    assert 205 in ids and 206 not in ids
+    assert all(i not in ids for i in range(200, 205))
+    assert st2["survivors"] == len(ids) == 6
+
+    # re-delivery of batch 2: every survivor now matches its own stored
+    # copy — converges to zero instead of double-inserting
+    s2b, st2b = incremental_near_dedup(b2, store, threshold=0.7)
+    assert st2b["survivors"] == 0 and s2b.count() == 0
+    s2b.release_cache()
+
+
+def test_store_parameter_pinning(tmp_path):
+    from tgdigest_spark.operators.dedup_incremental import init_signature_store
+
+    store = str(tmp_path / "s2")
+    init_signature_store(store, num_perm=128)
+    init_signature_store(store, num_perm=128)  # idempotent
+    with pytest.raises(ValueError, match="not comparable"):
+        init_signature_store(store, num_perm=64)

@@ -1355,6 +1355,70 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+# incremental near-dedup (operators/dedup_incremental.py): documents
+# ingested as two batches through a fresh signature store — batch 2 is
+# deduped against batch 1's STORED signatures, nothing recomputed.
+# Side-effectful (store writes) → rows-only, with an exact-tier anchor:
+# the true count of batch-2 docs having an exact-Jaccard >= threshold
+# match in batch 1 (prefix join), next to the minhash-estimated drop
+# count (agreement within the ~1/sqrt(num_perm) estimator error).
+@register("incremental_dedup_batches", None)
+def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.dedup_incremental import (
+        incremental_near_dedup,
+        init_signature_store,
+    )
+    from .operators.dedup_text import jaccard_prefix_join
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    cut = 250
+    b1 = docs.where(F.col("doc_id") < cut)
+    b2 = docs.where(F.col("doc_id") >= cut)
+    store = tempfile.mkdtemp(prefix="sigstore_")
+    init_signature_store(store)
+    s1, st1 = incremental_near_dedup(b1, store, threshold=0.5)
+    s1.release_cache()
+    s2, st2 = incremental_near_dedup(b2, store, threshold=0.5)
+    s2.release_cache()
+
+    # exact anchor: batch-2 docs with a true-Jaccard >= 0.5 match in
+    # batch 1 (cross-batch pairs only; survivors of batch-1's own
+    # internal dedup are what the store holds, so compare against s1's
+    # ids — here batch 1 survived whole unless it self-dups)
+    exact_pairs = jaccard_prefix_join(docs, threshold=0.5)
+    release = exact_pairs.release_cache
+    exact_cross = (
+        exact_pairs.where(
+            (F.col("id_a") < cut) & (F.col("id_b") >= cut)
+        )
+        .select("id_b")
+        .distinct()
+        .count()
+    )
+    release()
+    return spark.createDataFrame(
+        [
+            (
+                st1["batch_docs"],
+                st1["survivors"],
+                st2["batch_docs"],
+                st2["dropped_vs_store"],
+                st2["dropped_internal_only"],
+                st2["survivors"],
+                int(exact_cross),
+                abs(st2["dropped_vs_store"] - int(exact_cross)),
+            )
+        ],
+        "b1_docs long, b1_survivors long, b2_docs long, "
+        "b2_dropped_vs_store long, b2_dropped_internal long, "
+        "b2_survivors long, exact_cross_matches long, est_vs_exact_gap long",
+    )
+
+
 @register("minhash_lsh_neardup", None)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: top-20 by estimated Jaccard

@@ -1,0 +1,202 @@
+"""Incremental near-dedup against a persisted signature store.
+
+Production corpora grow in batches; recomputing MinHash signatures for
+petabytes of already-ingested documents on every delivery is the
+classic accidental-quadratic of naive dedup pipelines. This module
+keeps the accepted corpus's LSH state ON DISK and dedups each new
+batch with work proportional to the BATCH, not the corpus:
+
+  store/
+    _meta.json        LSH parameters (must match across batches)
+    sigs/   parquet   (doc_id, sig array<long>)   one row per survivor
+    bands/  parquet   (doc_id, band, band_hash)   survivor band keys
+
+Per batch: compute signatures + bands for the new docs only; candidate
+cross-matches come from ONE equi-join of new bands against stored
+bands (band, band_hash) — the stored side is a pruned columnar scan,
+never re-hashed — verified by minhash agreement against the stored
+signatures. New-vs-new duplicates reuse the in-batch LSH path. The
+surviving docs' signatures and bands are appended to the store, so a
+re-delivered batch finds its own prior copies and drops itself
+(self-converging re-ingest; the append is the one side effect and
+happens after the survivor set is materialized).
+
+Scale: the bands join is shuffle ~ |batch bands| + matching store
+buckets (partition-prunable by band); signature verification joins
+only candidate ids. Nothing rescans or recomputes the old corpus.
+The same layout is what a production deployment would keep as an
+Iceberg table (MERGE INTO appends) — plain parquet here, same plan
+shapes (cf. sources/transcripts.py's catalog notes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup_text import lsh_bands, lsh_candidate_pairs, minhash_signatures
+
+_META = "_meta.json"
+
+
+def _meta_path(store: str) -> str:
+    return os.path.join(store, _META)
+
+
+def init_signature_store(
+    store: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    shingle_k: int = 3,
+) -> dict:
+    """Create an empty store directory with pinned LSH parameters.
+    Idempotent if the existing parameters match; raises otherwise."""
+    params = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "rows": rows,
+        "shingle_k": shingle_k,
+    }
+    os.makedirs(store, exist_ok=True)
+    if os.path.exists(_meta_path(store)):
+        existing = json.load(open(_meta_path(store)))
+        if existing != params:
+            raise ValueError(
+                f"signature store {store} has parameters {existing}, "
+                f"asked for {params}: signatures are not comparable "
+                "across parameter changes — use a new store"
+            )
+        return params
+    with open(_meta_path(store), "w") as f:
+        json.dump(params, f)
+    return params
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, dict]:
+    """Dedup ``new_docs`` against the store AND within the batch, then
+    append the survivors' LSH state to the store.
+
+    Returns ``(survivors, stats)`` — survivors is the new-docs subset
+    that is not a near-duplicate (minhash-estimated Jaccard >=
+    ``threshold``) of any stored doc or of a smaller-id batch peer;
+    stats carries the batch accounting. The survivors DataFrame is
+    MATERIALIZED (the store append is the side effect that must happen
+    exactly once, after the survivor set is final), so stats are exact
+    for this batch.
+
+    Doc ids must be unique across the corpus lifetime (they key the
+    store); re-ingesting a batch under the same ids drops every doc
+    against its stored copy — re-delivery converges to zero survivors
+    instead of double-inserting.
+    """
+    meta = json.load(open(_meta_path(store)))
+    spark = new_docs.sparkSession
+    sigs = minhash_signatures(
+        new_docs, id_col, text_col, meta["num_perm"], meta["shingle_k"]
+    ).persist()
+    bands_new = lsh_bands(sigs, id_col, meta["bands"], meta["rows"])
+
+    n_new = new_docs.count()
+    sig_dir = os.path.join(store, "sigs")
+    band_dir = os.path.join(store, "bands")
+    have_store = os.path.exists(os.path.join(band_dir, "_SUCCESS"))
+
+    est = F.when(
+        F.size("sig_a") > 0,
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        )
+        / F.size("sig_a"),
+    ).otherwise(F.lit(0.0))
+
+    dropped_vs_store = 0
+    hit_store = None
+    if have_store:
+        old_bands = spark.read.parquet(band_dir).select(
+            F.col(id_col).alias("old_id"), "band", "band_hash"
+        )
+        cand = (
+            bands_new.join(old_bands, ["band", "band_hash"])
+            .select(F.col(id_col).alias("new_id"), "old_id")
+            .distinct()
+        )
+        old_sigs = spark.read.parquet(sig_dir).select(
+            F.col(id_col).alias("old_id"), F.col("sig").alias("sig_b")
+        )
+        new_sigs = sigs.select(
+            F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a")
+        )
+        hit_store = (
+            cand.join(new_sigs, "new_id")
+            .join(old_sigs, "old_id")
+            .where(est >= F.lit(threshold))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+            .persist()
+        )
+        dropped_vs_store = hit_store.count()
+
+    # new-vs-new: keep the smallest id of each near-dup pair
+    pairs = lsh_candidate_pairs(
+        new_docs,
+        id_col,
+        text_col,
+        meta["num_perm"],
+        meta["bands"],
+        meta["rows"],
+        meta["shingle_k"],
+        max_bucket,
+    )
+    release_pairs = pairs.release_cache
+    internal_losers = (
+        pairs.where(F.col("est_jaccard") >= F.lit(threshold))
+        .select(F.greatest("id_a", "id_b").alias(id_col))
+        .distinct()
+    )
+
+    drop = internal_losers
+    if hit_store is not None:
+        drop = drop.union(hit_store).distinct()
+    # localCheckpoint, not persist: the survivor plan READS the store
+    # parquet, and the append below writes to that same path — Spark's
+    # CacheManager auto-recaches cache entries whose plans reference a
+    # written path, so a merely-persisted survivors frame would be
+    # silently recomputed against the grown store (dropping everything
+    # as a dup of itself). Truncating the lineage pins the result.
+    survivors = new_docs.join(drop, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_surv = survivors.count()
+
+    # append the survivors' LSH state — after the survivor set is final
+    surv_ids = survivors.select(id_col)
+    sigs.join(surv_ids, id_col).write.mode("append").parquet(sig_dir)
+    bands_new.join(surv_ids, id_col).write.mode("append").parquet(band_dir)
+
+    stats = {
+        "batch_docs": int(n_new),
+        "dropped_vs_store": int(dropped_vs_store),
+        # docs dropped only by the in-batch pass (a doc matching both a
+        # stored copy and a batch peer counts under dropped_vs_store)
+        "dropped_internal_only": int(n_new - n_surv - dropped_vs_store),
+        "survivors": int(n_surv),
+        "store_existed": bool(have_store),
+    }
+    release_pairs()
+    sigs.unpersist()
+    if hit_store is not None:
+        hit_store.unpersist()
+    # localCheckpoint blocks are freed by the context cleaner on GC;
+    # the handle keeps the call-site convention uniform
+    survivors.release_cache = survivors.unpersist
+    return survivors, stats
