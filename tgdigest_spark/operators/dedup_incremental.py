@@ -98,6 +98,14 @@ def incremental_near_dedup(
     store); re-ingesting a batch under the same ids drops every doc
     against its stored copy — re-delivery converges to zero survivors
     instead of double-inserting.
+
+    Crash semantics: the two appends are not atomic. A crash between
+    them leaves half-written rows, which read as "doc not in store"
+    (matching needs BOTH a band candidate and a signature), so the
+    correct recovery is simply re-delivering the batch; the duplicate
+    store rows that recovery can create are tolerated by the
+    ``distinct()`` on candidate ids. A production deployment would
+    make the append a single Iceberg transaction instead.
     """
     meta = json.load(open(_meta_path(store)))
     spark = new_docs.sparkSession
