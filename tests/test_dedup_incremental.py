@@ -57,10 +57,25 @@ def test_incremental_dedup_lifecycle(spark, corpus_batches, tmp_path):
     assert all(i not in ids for i in range(200, 205))
     assert st2["survivors"] == len(ids) == 6
 
-    # re-delivery of batch 2: every survivor now matches its own stored
-    # copy — converges to zero instead of double-inserting
+    # store consistency: every stored signature has its band rows (the
+    # recache-on-path-write hazard broke exactly this — sigs appended,
+    # bands appended empty)
+    sig_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/sigs").select("doc_id").collect()
+    }
+    band_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/bands").select("doc_id").collect()
+    }
+    assert band_ids == sig_ids
+    assert sig_ids == set(range(20)) | set(ids)
+
+    # re-delivery of batch 2: every survivor is dropped by the id
+    # contract or matches its stored copy — converges to zero
     s2b, st2b = incremental_near_dedup(b2, store, threshold=0.7)
     assert st2b["survivors"] == 0 and s2b.count() == 0
+    assert st2b["dropped_redelivered"] == 6
     s2b.release_cache()
 
 
@@ -72,3 +87,27 @@ def test_store_parameter_pinning(tmp_path):
     init_signature_store(store, num_perm=128)  # idempotent
     with pytest.raises(ValueError, match="not comparable"):
         init_signature_store(store, num_perm=64)
+
+
+def test_empty_doc_converges_via_id_contract(spark, tmp_path):
+    """Docs too short to produce LSH bands (empty text → empty
+    signature) can never signature-match; the enforced id-uniqueness
+    contract still makes their re-delivery converge to zero instead of
+    duplicate-appending store rows forever."""
+    from tgdigest_spark.operators.dedup_incremental import (
+        incremental_near_dedup,
+        init_signature_store,
+    )
+
+    store = str(tmp_path / "s3")
+    init_signature_store(store)
+    batch = spark.createDataFrame(
+        [(300, ""), (301, "one"), (302, "regular text with tokens here")],
+        "doc_id long, text string",
+    )
+    s, st = incremental_near_dedup(batch, store, threshold=0.7)
+    assert st["survivors"] == 3
+    s.release_cache()
+    s2, st2 = incremental_near_dedup(batch, store, threshold=0.7)
+    assert st2["dropped_redelivered"] == 3 and st2["survivors"] == 0
+    s2.release_cache()

@@ -1375,25 +1375,32 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
+    import shutil
+
     cut = 250
     b1 = docs.where(F.col("doc_id") < cut)
     b2 = docs.where(F.col("doc_id") >= cut)
     store = tempfile.mkdtemp(prefix="sigstore_")
-    init_signature_store(store)
-    s1, st1 = incremental_near_dedup(b1, store, threshold=0.5)
-    s1.release_cache()
-    s2, st2 = incremental_near_dedup(b2, store, threshold=0.5)
-    s2.release_cache()
+    try:
+        init_signature_store(store)
+        s1, st1 = incremental_near_dedup(b1, store, threshold=0.5)
+        s1_ids = [r["doc_id"] for r in s1.select("doc_id").collect()]
+        s1.release_cache()
+        s2, st2 = incremental_near_dedup(b2, store, threshold=0.5)
+        s2.release_cache()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
-    # exact anchor: batch-2 docs with a true-Jaccard >= 0.5 match in
-    # batch 1 (cross-batch pairs only; survivors of batch-1's own
-    # internal dedup are what the store holds, so compare against s1's
-    # ids — here batch 1 survived whole unless it self-dups)
+    # exact anchor: batch-2 docs with a true-Jaccard >= 0.5 match among
+    # the docs the store actually HOLDS (batch-1 SURVIVORS — a batch-1
+    # doc dropped by its own internal dedup never entered the store, so
+    # counting matches against it would misattribute scoping as
+    # estimator error)
     exact_pairs = jaccard_prefix_join(docs, threshold=0.5)
     release = exact_pairs.release_cache
     exact_cross = (
         exact_pairs.where(
-            (F.col("id_a") < cut) & (F.col("id_b") >= cut)
+            F.col("id_a").isin(s1_ids) & (F.col("id_b") >= cut)
         )
         .select("id_b")
         .distinct()

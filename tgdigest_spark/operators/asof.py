@@ -188,16 +188,28 @@ def build_validity_intervals(
     shuffle beyond the key partitioning — over a key-bucketed layout
     the Exchange drops entirely. Ties on (key, ts) chain through the
     tiebreak, giving zero-length intervals rather than ambiguity (pass
-    the change id). Fully SQL-expressible → DuckDB oracle
-    (driver_queries.scd2_order_history).
+    the change id). NULL change timestamps order LAST (matching SQL's
+    default ``ASC NULLS LAST`` — a NULL-ts row becomes the final,
+    open-ended version rather than a bogus earliest one). Output
+    column COLLISIONS RAISE rather than silently clobbering an
+    existing SCD-2 shape. Fully SQL-expressible
+    → DuckDB oracle (driver_queries.scd2_order_history).
     """
     keys = [key] if isinstance(key, str) else list(key)
-    order = [F.col(ts).asc()]
+    from_col, to_col = "valid_from", "valid_to"
+    clash = [c for c in (from_col, to_col, current_flag) if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"output column(s) {clash} already exist on the input — "
+            "rename or drop them first (rebuilding intervals from an "
+            "SCD-2 table should not silently overwrite its history)"
+        )
+    order = [F.col(ts).asc_nulls_last()]
     if tiebreak is not None:
-        order.append(F.col(tiebreak).asc())
+        order.append(F.col(tiebreak).asc_nulls_last())
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
-        df.withColumn("valid_from", F.col(ts))
-        .withColumn("valid_to", F.lead(ts).over(w))
-        .withColumn(current_flag, F.col("valid_to").isNull())
+        df.withColumn(from_col, F.col(ts))
+        .withColumn(to_col, F.lead(ts).over(w))
+        .withColumn(current_flag, F.col(to_col).isNull())
     )

@@ -36,7 +36,12 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup_text import lsh_bands, lsh_candidate_pairs, minhash_signatures
+from .dedup_text import (
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_agreement_expr,
+    minhash_signatures,
+)
 
 _META = "_meta.json"
 
@@ -95,9 +100,12 @@ def incremental_near_dedup(
     for this batch.
 
     Doc ids must be unique across the corpus lifetime (they key the
-    store); re-ingesting a batch under the same ids drops every doc
-    against its stored copy — re-delivery converges to zero survivors
-    instead of double-inserting.
+    store), and the contract is ENFORCED: incoming doc ids already
+    present in the store are dropped up front as re-deliveries
+    (``dropped_redelivered``). That — not signature matching — is what
+    makes re-ingest converge for every doc, including ones too short
+    to produce LSH bands; content near-dups under fresh ids are then
+    caught by the signature tiers as usual.
 
     Crash semantics: the two appends are not atomic. A crash between
     them leaves half-written rows, which read as "doc not in store"
@@ -109,23 +117,36 @@ def incremental_near_dedup(
     """
     meta = json.load(open(_meta_path(store)))
     spark = new_docs.sparkSession
-    sigs = minhash_signatures(
-        new_docs, id_col, text_col, meta["num_perm"], meta["shingle_k"]
-    ).persist()
-    bands_new = lsh_bands(sigs, id_col, meta["bands"], meta["rows"])
-
-    n_new = new_docs.count()
+    n_delivered = new_docs.count()
     sig_dir = os.path.join(store, "sigs")
     band_dir = os.path.join(store, "bands")
-    have_store = os.path.exists(os.path.join(band_dir, "_SUCCESS"))
+    have_store = os.path.exists(os.path.join(sig_dir, "_SUCCESS"))
 
-    est = F.when(
-        F.size("sig_a") > 0,
-        F.size(
-            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-        )
-        / F.size("sig_a"),
-    ).otherwise(F.lit(0.0))
+    # id-contract enforcement: ids already in the store are
+    # re-deliveries — drop them before any hashing (this, not LSH
+    # matching, is what makes re-ingest converge even for docs too
+    # short to band)
+    dropped_redelivered = 0
+    if have_store:
+        known = spark.read.parquet(sig_dir).select(id_col).distinct()
+        new_docs = new_docs.join(known, id_col, "left_anti").persist()
+        n_new = new_docs.count()
+        dropped_redelivered = n_delivered - n_new
+    else:
+        n_new = n_delivered
+
+    # localCheckpoint, not persist: through the re-delivery filter the
+    # signature plan READS the store's sigs path, and the append below
+    # WRITES it — CacheManager's recache-on-path-write would silently
+    # recompute sigs against the grown store between the two appends
+    # (the bands append would then write an empty survivor set, leaving
+    # sigs and bands inconsistent). Same hazard as `survivors` below.
+    sigs = minhash_signatures(
+        new_docs, id_col, text_col, meta["num_perm"], meta["shingle_k"]
+    ).localCheckpoint(eager=True)
+    bands_new = lsh_bands(sigs, id_col, meta["bands"], meta["rows"])
+
+    est = minhash_agreement_expr()
 
     dropped_vs_store = 0
     hit_store = None
@@ -133,6 +154,18 @@ def incremental_near_dedup(
         old_bands = spark.read.parquet(band_dir).select(
             F.col(id_col).alias("old_id"), "band", "band_hash"
         )
+        # hot-bucket cap, same discipline as lsh_candidate_pairs: a
+        # (band, band_hash) key accumulating sub-threshold templated
+        # docs batch after batch would otherwise fan every matching new
+        # doc out against the whole bucket (quadratic in corpus age) —
+        # one 2-column agg over the store prunes them
+        eligible = (
+            old_bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        old_bands = old_bands.join(eligible, ["band", "band_hash"])
         cand = (
             bands_new.join(old_bands, ["band", "band_hash"])
             .select(F.col(id_col).alias("new_id"), "old_id")
@@ -154,7 +187,9 @@ def incremental_near_dedup(
         )
         dropped_vs_store = hit_store.count()
 
-    # new-vs-new: keep the smallest id of each near-dup pair
+    # new-vs-new: keep the smallest id of each near-dup pair —
+    # reusing the signatures already computed above (precomputed_sigs
+    # skips the second hashing pass)
     pairs = lsh_candidate_pairs(
         new_docs,
         id_col,
@@ -164,6 +199,7 @@ def incremental_near_dedup(
         meta["rows"],
         meta["shingle_k"],
         max_bucket,
+        precomputed_sigs=sigs,
     )
     release_pairs = pairs.release_cache
     internal_losers = (
@@ -192,7 +228,8 @@ def incremental_near_dedup(
     bands_new.join(surv_ids, id_col).write.mode("append").parquet(band_dir)
 
     stats = {
-        "batch_docs": int(n_new),
+        "batch_docs": int(n_delivered),
+        "dropped_redelivered": int(dropped_redelivered),
         "dropped_vs_store": int(dropped_vs_store),
         # docs dropped only by the in-batch pass (a doc matching both a
         # stored copy and a batch peer counts under dropped_vs_store)
@@ -201,6 +238,8 @@ def incremental_near_dedup(
         "store_existed": bool(have_store),
     }
     release_pairs()
+    if have_store:
+        new_docs.unpersist()  # the re-delivery-filtered frame
     sigs.unpersist()
     if hit_store is not None:
         hit_store.unpersist()

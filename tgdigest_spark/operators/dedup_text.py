@@ -189,6 +189,18 @@ def lsh_bands(
     return sigs.mapInPandas(explode, schema=schema)
 
 
+def minhash_agreement_expr(sig_a: str = "sig_a", sig_b: str = "sig_b"):
+    """Fraction of equal minhash components between two signature
+    columns — the unbiased Jaccard estimator shared by the batch and
+    incremental dedup paths (one definition; empty-signature guard
+    included)."""
+    return F.when(
+        F.size(sig_a) > 0,
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v))
+        / F.size(sig_a),
+    ).otherwise(F.lit(0.0))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -198,17 +210,28 @@ def lsh_candidate_pairs(
     rows: int = 4,
     shingle_k: int = 3,
     max_bucket: int = 1000,
+    precomputed_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """→ DataFrame[id_a, id_b, est_jaccard] — near-dup candidates.
 
     est_jaccard = fraction of equal minhash components (unbiased
     estimator of true Jaccard). Pairs are generated ONLY within LSH
     buckets (equi-join on (band, band_hash)); giant buckets are capped.
+
+    ``precomputed_sigs``: pass an already-computed (and ideally
+    persisted) ``minhash_signatures`` frame to skip the compute-dense
+    hashing stage — the incremental path computes signatures once and
+    reuses them here. The caller then owns that frame's lifecycle
+    (``release_cache`` becomes a no-op).
     """
     if bands * rows > num_perm:
         bands = num_perm // rows  # fit banding to the signature length
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
-    sigs = sigs.persist()
+    caller_owns_sigs = precomputed_sigs is not None
+    if caller_owns_sigs:
+        sigs = precomputed_sigs
+    else:
+        sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+        sigs = sigs.persist()
     bands_df = lsh_bands(sigs, id_col, bands, rows)
 
     # ONE shuffle: bucket members collected per (band, band_hash); pairs
@@ -257,11 +280,7 @@ def lsh_candidate_pairs(
     )
     joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
 
-    est = F.when(
-        F.size("sig_a") > 0,
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.size("sig_a"),
-    ).otherwise(F.lit(0.0))
+    est = minhash_agreement_expr()
     out = joined.select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
     # The signatures frame is consumed three times (bands + both sides of
     # the verification join), so it stays persisted until the caller's
@@ -269,7 +288,9 @@ def lsh_candidate_pairs(
     # release the executor storage afterwards via this handle. NOTE:
     # capture the handle BEFORE transforming — DataFrame transformations
     # return new objects that do not carry the attribute.
-    out.release_cache = lambda: sigs.unpersist()
+    out.release_cache = (
+        (lambda: None) if caller_owns_sigs else (lambda: sigs.unpersist())
+    )
     return out
 
 
