@@ -13,6 +13,7 @@ vs DuckDB. Raw (unaggregated) doubles pass through untouched.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -496,6 +497,91 @@ def sketch_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = _exact_group_anchors(ev, "event_type", [0.5, 0.95])
     return est.join(exact, "event_type").orderBy("event_type")
+
+
+# bucketed-layout round trip in the correctness gate: events written
+# bucketBy(user_id), read back with the bucket spec, per-user KLL via
+# the ZERO-SHUFFLE clustered topology — self-checked for exact
+# per-group equality against the shuffled combine topology over the
+# plain layout, plus the no-Exchange plan flag. Side-effectful (temp
+# table + dir) → rows-only.
+@register("bucketed_clustered_kll", None)
+def bucketed_clustered_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .api import grouped_quantiles_kll
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    table = "events_bucketed_gate"
+    path = tempfile.mkdtemp(prefix="evb_") + "/t"
+    prev = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    try:
+        (
+            ev.repartition(8, F.col("user_id"))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .option("path", path)
+            .saveAsTable(table)
+        )
+        # a distribution-less consumer (mapInPandas) needs the pinned
+        # bucketed scan — same contract as read_transcripts_bucketed
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        bucketed = spark.table(table)
+        clustered = grouped_quantiles_kll(
+            bucketed, ["user_id"], "value", [0.5, 0.95], k=200,
+            method="clustered",
+        )
+        no_exchange = "Exchange" not in (
+            clustered._jdf.queryExecution().executedPlan().toString()
+        )
+        combined = grouped_quantiles_kll(
+            ev, ["user_id"], "value", [0.5, 0.95], k=200, method="combine"
+        )
+        a = clustered.select(
+            "user_id",
+            F.col("p50").alias("c50"),
+            F.col("p95").alias("c95"),
+        )
+        b = combined.select(
+            "user_id",
+            F.col("p50").alias("m50"),
+            F.col("p95").alias("m95"),
+        )
+        j = a.join(b, "user_id", "full")
+        row = j.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(
+                (
+                    (F.col("c50") == F.col("m50"))
+                    & (F.col("c95") == F.col("m95"))
+                ).cast("long")
+            ).alias("n_equal"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    int(row["n_groups"]),
+                    int(row["n_equal"]),
+                    bool(no_exchange),
+                    int(row["n_groups"]) == int(row["n_equal"]),
+                )
+            ],
+            "n_groups long, n_equal long, plan_no_exchange boolean, "
+            "all_groups_equal boolean",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
 @register("sketch_grouped_kll", None)
