@@ -8,7 +8,9 @@ the corpus, and the store compacted when appends have fragmented it.
 Re-running a crashed or re-delivered batch converges instead of
 double-inserting (the store's doc-id contract).
 
-    quality filter → incremental near-dedup vs store → corpus append
+    quality filter → incremental near-dedup vs store
+                   → corpus append (BEFORE the store append: at-least-
+                     once, never silent loss — see incremental_near_dedup)
                    → store compaction (when fragmented) → metrics
 
 Usage:
@@ -40,6 +42,10 @@ def main() -> int:
         default=64,
         help="compact store tables once they exceed this many files",
     )
+    ap.add_argument("--num-perm", type=int, default=128)
+    ap.add_argument("--bands", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=4)
+    ap.add_argument("--shingle-k", type=int, default=3)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,19 +66,40 @@ def main() -> int:
     from tgdigest_spark.operators.text_analysis import quality_score
     from tgdigest_spark.sources.maintenance import compact_signature_store
 
-    init_signature_store(args.store)  # no-op when params already pinned
+    # idempotent when the pinned store params match; raises with a
+    # clear message on a parameter mismatch (signatures would not be
+    # comparable)
+    init_signature_store(
+        args.store,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        rows=args.rows,
+        shingle_k=args.shingle_k,
+    )
 
     batch = spark.read.parquet(args.batch)
     n_in = batch.count()
-    good = batch.where(quality_score(F.col("text")) >= args.min_quality)
-    n_good = good.count()
+    # persisted: the scoring expressions feed the dedup counts, the
+    # signature build, and the survivor anti-join (same reason
+    # prep_corpus persists its scored frame)
+    good = batch.where(
+        quality_score(F.col("text")) >= args.min_quality
+    ).persist()
+
+    def append_to_corpus(survivors):
+        # runs BEFORE the store append (at-least-once: a crash between
+        # this write and the store append re-delivers into the corpus,
+        # recoverable by doc_id; appending after the store would
+        # silently LOSE the batch on that same crash)
+        if survivors.limit(1).count() > 0:
+            survivors.write.mode("append").parquet(args.corpus)
 
     survivors, stats = incremental_near_dedup(
-        good, args.store, threshold=args.threshold
+        good, args.store, threshold=args.threshold,
+        on_survivors=append_to_corpus,
     )
-    if stats["survivors"] > 0:
-        survivors.write.mode("append").parquet(args.corpus)
     survivors.release_cache()
+    good.unpersist()
 
     frag = 0
     for t in ("sigs", "bands"):
@@ -87,11 +114,14 @@ def main() -> int:
         compaction = compact_signature_store(spark, args.store)
 
     metrics = {
+        **stats,  # spread FIRST: its batch_docs is the post-filter count
         "batch_docs": int(n_in),
-        "failed_quality": int(n_in - n_good),
-        **stats,
+        "failed_quality": int(n_in - stats["batch_docs"]),
         "appended_to_corpus": int(stats["survivors"]),
-        "store_compacted": bool(compaction),
+        "store_compacted": bool(
+            compaction
+            and any(v.get("compacted") for v in compaction.values())
+        ),
     }
     print(json.dumps(metrics, sort_keys=True))
     spark.stop()

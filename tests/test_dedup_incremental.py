@@ -111,3 +111,33 @@ def test_empty_doc_converges_via_id_contract(spark, tmp_path):
     s2, st2 = incremental_near_dedup(batch, store, threshold=0.7)
     assert st2["dropped_redelivered"] == 3 and st2["survivors"] == 0
     s2.release_cache()
+
+
+def test_on_survivors_runs_before_store_append(spark, tmp_path):
+    """The downstream-sink hook must see the survivors BEFORE their ids
+    land in the store — the ordering that makes a crash re-deliverable
+    (at-least-once) instead of silently lost (at-most-once)."""
+    from tgdigest_spark.operators.dedup_incremental import (
+        incremental_near_dedup,
+        init_signature_store,
+    )
+
+    store = str(tmp_path / "s4")
+    init_signature_store(store)
+    batch = spark.createDataFrame(
+        [(i, f"doc text number {i} with several words") for i in range(5)],
+        "doc_id long, text string",
+    )
+    seen = {}
+
+    def hook(survivors):
+        import os
+
+        seen["ids"] = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+        seen["store_has_sigs"] = os.path.exists(f"{store}/sigs/_SUCCESS")
+
+    _, st = incremental_near_dedup(batch, store, threshold=0.9, on_survivors=hook)
+    assert seen["ids"] == set(range(5))
+    assert seen["store_has_sigs"] is False  # store append strictly after
+    # and the append did happen afterwards
+    assert spark.read.parquet(f"{store}/sigs").count() == 5

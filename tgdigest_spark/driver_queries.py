@@ -534,15 +534,27 @@ def bucketed_clustered_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
         )
         bucketed = spark.table(table)
+        # k=2048 >> any per-user group size at gate scales: every KLL
+        # stays single-level (stores its values exactly), so clustered
+        # and combine are bit-equal REGARDLESS of how the scan split
+        # the plain layout — with k below a group's size the combine
+        # topology's merge tree could legitimately diverge within the
+        # rank-error bound and fail a bit-equality check on correct
+        # code. max_group_n in the row documents the condition held.
+        k = 2048
         clustered = grouped_quantiles_kll(
-            bucketed, ["user_id"], "value", [0.5, 0.95], k=200,
+            bucketed, ["user_id"], "value", [0.5, 0.95], k=k,
             method="clustered",
         )
         no_exchange = "Exchange" not in (
             clustered._jdf.queryExecution().executedPlan().toString()
         )
         combined = grouped_quantiles_kll(
-            ev, ["user_id"], "value", [0.5, 0.95], k=200, method="combine"
+            ev, ["user_id"], "value", [0.5, 0.95], k=k, method="combine"
+        )
+        max_group_n = (
+            ev.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+            or 0
         )
         a = clustered.select(
             "user_id",
@@ -564,17 +576,22 @@ def bucketed_clustered_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("n_equal"),
         ).collect()[0]
+        n_groups = int(row["n_groups"] or 0)
+        n_equal = int(row["n_equal"] or 0)  # SUM over 0 rows is NULL
         return spark.createDataFrame(
             [
                 (
-                    int(row["n_groups"]),
-                    int(row["n_equal"]),
+                    n_groups,
+                    n_equal,
                     bool(no_exchange),
-                    int(row["n_groups"]) == int(row["n_equal"]),
+                    n_groups == n_equal,
+                    int(max_group_n),
+                    int(max_group_n) <= k,
                 )
             ],
             "n_groups long, n_equal long, plan_no_exchange boolean, "
-            "all_groups_equal boolean",
+            "all_groups_equal boolean, max_group_n long, "
+            "exactness_condition_held boolean",
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -87,6 +87,7 @@ def incremental_near_dedup(
     text_col: str = "text",
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    on_survivors=None,
 ) -> tuple[DataFrame, dict]:
     """Dedup ``new_docs`` against the store AND within the batch, then
     append the survivors' LSH state to the store.
@@ -107,13 +108,24 @@ def incremental_near_dedup(
     to produce LSH bands; content near-dups under fresh ids are then
     caught by the signature tiers as usual.
 
-    Crash semantics: the two appends are not atomic. A crash between
-    them leaves half-written rows, which read as "doc not in store"
-    (matching needs BOTH a band candidate and a signature), so the
-    correct recovery is simply re-delivering the batch; the duplicate
-    store rows that recovery can create are tolerated by the
-    ``distinct()`` on candidate ids. A production deployment would
-    make the append a single Iceberg transaction instead.
+    ``on_survivors``: optional callable invoked with the materialized
+    survivors frame BEFORE the store appends. A downstream sink (the
+    ingest job's corpus append) must run here, not after this function
+    returns: once the store append lands, a crash-then-redeliver drops
+    these ids as re-deliveries and a post-return sink would never see
+    them (silent loss — at-most-once). With the hook the pipeline is
+    at-least-once: a crash between the sink and the store append can
+    re-deliver survivors INTO THE SINK twice, which is recoverable
+    downstream by id (the ids are unique by contract), never lost.
+
+    Crash semantics of the store itself: the two appends are not
+    atomic. A crash between them leaves half-written rows, which read
+    as "doc not in store" (matching needs BOTH a band candidate and a
+    signature), so the correct recovery is simply re-delivering the
+    batch; the duplicate store rows that recovery can create are
+    tolerated by the ``distinct()`` on candidate ids. A production
+    deployment would make sink + store appends a single Iceberg
+    transaction instead.
     """
     meta = json.load(open(_meta_path(store)))
     spark = new_docs.sparkSession
@@ -221,6 +233,10 @@ def incremental_near_dedup(
         eager=True
     )
     n_surv = survivors.count()
+
+    if on_survivors is not None:
+        # downstream sink BEFORE the store append — see docstring
+        on_survivors(survivors)
 
     # append the survivors' LSH state — after the survivor set is final
     surv_ids = survivors.select(id_col)
