@@ -137,11 +137,23 @@ def incremental_near_dedup(
     # id-contract enforcement: ids already in the store are
     # re-deliveries — drop them before any hashing (this, not LSH
     # matching, is what makes re-ingest converge even for docs too
-    # short to band)
+    # short to band). Shuffle discipline: the store side must never
+    # shuffle (it is the CORPUS — O(corpus) motion per delivery would
+    # defeat the module's purpose), so the batch's ids broadcast INTO
+    # a semi probe over the store scan (map-side, parquet-stat
+    # prunable) and only the batch-sized result joins back.
     dropped_redelivered = 0
     if have_store:
-        known = spark.read.parquet(sig_dir).select(id_col).distinct()
-        new_docs = new_docs.join(known, id_col, "left_anti").persist()
+        batch_ids = new_docs.select(id_col).distinct()
+        redelivered = (
+            spark.read.parquet(sig_dir)
+            .select(id_col)
+            .join(F.broadcast(batch_ids), id_col, "left_semi")
+            .distinct()
+        )
+        new_docs = new_docs.join(
+            F.broadcast(redelivered), id_col, "left_anti"
+        ).persist()
         n_new = new_docs.count()
         dropped_redelivered = n_delivered - n_new
     else:
@@ -163,35 +175,43 @@ def incremental_near_dedup(
     dropped_vs_store = 0
     hit_store = None
     if have_store:
+        # same shuffle discipline as the id filter: every store-side
+        # frame is a columnar scan probed by a BROADCAST of batch-sized
+        # data — the corpus never shuffles per delivery.
         old_bands = spark.read.parquet(band_dir).select(
             F.col(id_col).alias("old_id"), "band", "band_hash"
         )
+        probe_keys = bands_new.select("band", "band_hash").distinct()
+        # full store buckets whose key appears in the batch (semi keeps
+        # every member, so the cap below counts TRUE bucket sizes)
+        touched = old_bands.join(
+            F.broadcast(probe_keys), ["band", "band_hash"], "left_semi"
+        ).localCheckpoint(eager=True)  # small; also pins vs the append
         # hot-bucket cap, same discipline as lsh_candidate_pairs: a
         # (band, band_hash) key accumulating sub-threshold templated
         # docs batch after batch would otherwise fan every matching new
-        # doc out against the whole bucket (quadratic in corpus age) —
-        # one 2-column agg over the store prunes them
+        # doc out against the whole bucket (quadratic in corpus age)
         eligible = (
-            old_bands.groupBy("band", "band_hash")
+            touched.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") <= max_bucket)
             .select("band", "band_hash")
         )
-        old_bands = old_bands.join(eligible, ["band", "band_hash"])
         cand = (
-            bands_new.join(old_bands, ["band", "band_hash"])
+            touched.join(F.broadcast(eligible), ["band", "band_hash"])
+            .join(F.broadcast(bands_new), ["band", "band_hash"])
             .select(F.col(id_col).alias("new_id"), "old_id")
             .distinct()
-        )
-        old_sigs = spark.read.parquet(sig_dir).select(
-            F.col(id_col).alias("old_id"), F.col("sig").alias("sig_b")
         )
         new_sigs = sigs.select(
             F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a")
         )
+        enriched = cand.join(new_sigs, "new_id")
+        old_sigs = spark.read.parquet(sig_dir).select(
+            F.col(id_col).alias("old_id"), F.col("sig").alias("sig_b")
+        )
         hit_store = (
-            cand.join(new_sigs, "new_id")
-            .join(old_sigs, "old_id")
+            old_sigs.join(F.broadcast(enriched), "old_id")
             .where(est >= F.lit(threshold))
             .select(F.col("new_id").alias(id_col))
             .distinct()
