@@ -196,6 +196,36 @@ def test_asof_null_keys_never_match(spark):
     assert rows == {1.0: None, 2.0: 7.0}
 
 
+def test_asof_null_timestamps_never_match(spark):
+    """Three-valued comparison for timestamps, mirroring the NULL-key
+    rule: a NULL-ts RIGHT row matches no left row (backward would
+    otherwise carry its payload onto every match-less left row), and a
+    NULL-ts LEFT row matches nothing in either direction (forward's
+    desc scan would otherwise hand it the minimum-ts right row)."""
+    from tgdigest_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00", 1.0), (1, None, 2.0)],
+        "k long, ts string, lval double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, "2024-01-20 00:00:00", 7.0)],
+        "k long, ts string, rval double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    # backward: left@Jan10 has no at-or-before right row (the NULL-ts
+    # right row must NOT fabricate a match); NULL-ts left matches nothing
+    back = {r["lval"]: r["rval"] for r in asof_join(left, right, on="k").collect()}
+    assert back == {1.0: None, 2.0: None}
+
+    # forward: left@Jan10 → Jan20 right row; NULL-ts left still nothing
+    fwd = {
+        r["lval"]: r["rval"]
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    assert fwd == {1.0: 7.0, 2.0: None}
+
+
 def test_build_validity_intervals_chain_and_current(spark):
     """Per key: versions chain (valid_to == next valid_from), exactly
     one current version, ties chain through the tiebreak."""

@@ -79,6 +79,99 @@ def test_incremental_dedup_lifecycle(spark, corpus_batches, tmp_path):
     s2b.release_cache()
 
 
+def test_crash_between_appends_recovers_on_redelivery(spark, tmp_path, monkeypatch):
+    """Bands land strictly before sigs, so a crash between the two
+    appends leaves a bands-without-sigs state that reads as 'not in
+    store': re-delivering the batch recovers every doc (the old
+    sigs-first ordering permanently orphaned the crashed batch — its
+    ids were dropped as re-deliveries while their band rows never
+    landed)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from tgdigest_spark.operators.dedup_incremental import (
+        incremental_near_dedup,
+        init_signature_store,
+    )
+
+    store = str(tmp_path / "s_crash")
+    init_signature_store(store)
+    b1 = spark.createDataFrame(
+        [(i, f"stable corpus document {i} with several words") for i in range(4)],
+        "doc_id long, text string",
+    )
+    incremental_near_dedup(b1, store, threshold=0.9)[0].release_cache()
+
+    b2 = spark.createDataFrame(
+        [(100 + i, f"second delivery text {i} more tokens here") for i in range(3)],
+        "doc_id long, text string",
+    )
+    real_parquet = DataFrameWriter.parquet
+
+    def crash_on_sigs(self, path, *a, **kw):
+        if path.rstrip("/").endswith("sigs"):
+            raise RuntimeError("injected crash before sigs append")
+        return real_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_sigs)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_near_dedup(b2, store, threshold=0.9)
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    # bands hold dangling rows for the crashed batch; sigs do not
+    sig_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/sigs").select("doc_id").collect()
+    }
+    assert sig_ids == set(range(4))
+
+    # re-delivery recovers: nothing dropped as 'redelivered', all land
+    s2, st2 = incremental_near_dedup(b2, store, threshold=0.9)
+    assert st2["dropped_redelivered"] == 0
+    assert st2["survivors"] == 3
+    s2.release_cache()
+    sig_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/sigs").select("doc_id").collect()
+    }
+    band_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/bands").select("doc_id").collect()
+    }
+    assert sig_ids == set(range(4)) | {100, 101, 102}
+    assert band_ids == sig_ids  # duplicates tolerated, ids complete
+
+    # and the recovered docs are genuinely matchable: a near-copy of a
+    # crashed-batch doc is dropped vs the store
+    b3 = spark.createDataFrame(
+        [(200, "second delivery text 0 more tokens here")],
+        "doc_id long, text string",
+    )
+    s3, st3 = incremental_near_dedup(b3, store, threshold=0.9)
+    assert st3["dropped_vs_store"] == 1 and st3["survivors"] == 0
+    s3.release_cache()
+
+
+def test_sigs_without_bands_store_rejected(spark, tmp_path):
+    """External damage (sigs committed, bands missing) is detected up
+    front instead of silently never matching stored docs."""
+    import os
+
+    from tgdigest_spark.operators.dedup_incremental import (
+        incremental_near_dedup,
+        init_signature_store,
+    )
+
+    store = str(tmp_path / "s_damaged")
+    init_signature_store(store)
+    b1 = spark.createDataFrame(
+        [(1, "a document with words in it")], "doc_id long, text string"
+    )
+    incremental_near_dedup(b1, store, threshold=0.9)[0].release_cache()
+    os.remove(f"{store}/bands/_SUCCESS")
+    with pytest.raises(ValueError, match="inconsistent"):
+        incremental_near_dedup(b1, store, threshold=0.9)
+
+
 def test_store_parameter_pinning(tmp_path):
     from tgdigest_spark.operators.dedup_incremental import init_signature_store
 

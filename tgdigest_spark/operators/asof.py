@@ -90,6 +90,12 @@ def asof_join(
     # a null payload, exactly like a SQL left join.
     for k in keys:
         right = right.where(F.col(k).isNotNull())
+    # Same three-valued-comparison rule for timestamps: a NULL-ts right
+    # row satisfies neither ts<=T nor ts>=T, so it can match nothing —
+    # left in, the backward scan (nulls-first asc) would carry its
+    # payload onto every left row with no real match, fabricating
+    # joins whose matched ts is null but whose payload is populated.
+    right = right.where(F.col(right_ts).isNotNull())
     # payload struct: matched right ts first (for tolerance + output),
     # then the carried columns — one non-null struct per right row
     r = right.select(
@@ -135,14 +141,21 @@ def asof_join(
         )
     )
 
+    # NULL-ts rows at this point are LEFT rows only (NULL-ts right rows
+    # were dropped above). They must sort BEFORE every right row in
+    # BOTH directions so the carry sees no payload yet — NULL compared
+    # to any bound is unknown, so such a row matches nothing. asc's
+    # default nulls-first already does that; desc needs it explicit
+    # (default nulls-last would hand a NULL-ts left row the minimum-ts
+    # right row in forward mode).
     if direction == "backward":
-        order = [F.col(_TS_US).asc(), F.col(_PREC).asc(), F.col("__tb").asc_nulls_last()]
+        order = [F.col(_TS_US).asc_nulls_first(), F.col(_PREC).asc(), F.col("__tb").asc_nulls_last()]
     else:
         # forward: scan time DESCENDING so "carry forward" yields the
         # earliest at-or-after row; among equal (ts, prec) right rows
         # last(…) picks the one sorted LAST, so tiebreak stays ASC for
         # largest-tiebreak-wins in both directions
-        order = [F.col(_TS_US).desc(), F.col(_PREC).asc(), F.col("__tb").asc_nulls_last()]
+        order = [F.col(_TS_US).desc_nulls_first(), F.col(_PREC).asc(), F.col("__tb").asc_nulls_last()]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

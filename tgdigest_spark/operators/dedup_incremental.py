@@ -119,11 +119,18 @@ def incremental_near_dedup(
     downstream by id (the ids are unique by contract), never lost.
 
     Crash semantics of the store itself: the two appends are not
-    atomic. A crash between them leaves half-written rows, which read
-    as "doc not in store" (matching needs BOTH a band candidate and a
-    signature), so the correct recovery is simply re-delivering the
-    batch; the duplicate store rows that recovery can create are
-    tolerated by the ``distinct()`` on candidate ids. A production
+    atomic, so the ORDER is load-bearing — bands are appended BEFORE
+    signatures. Store presence (``have_store``) and the re-delivery
+    filter both key on ``sigs``, so a crash between the appends leaves
+    band rows without signatures, which reads as "doc not in store"
+    everywhere: re-delivery is not filtered out, matching needs both a
+    band candidate AND a stored signature (the dangling band rows
+    verify against nothing), and recovery is simply re-delivering the
+    batch. The duplicate band rows recovery creates are tolerated by
+    the ``distinct()`` on candidate ids. The reverse order would
+    permanently orphan the crashed batch: its ids would be dropped up
+    front as re-deliveries while their band rows never land, making
+    the docs invisible to all future store matching. A production
     deployment would make sink + store appends a single Iceberg
     transaction instead.
     """
@@ -133,6 +140,15 @@ def incremental_near_dedup(
     sig_dir = os.path.join(store, "sigs")
     band_dir = os.path.join(store, "bands")
     have_store = os.path.exists(os.path.join(sig_dir, "_SUCCESS"))
+    if have_store and not os.path.exists(os.path.join(band_dir, "_SUCCESS")):
+        # cannot arise from this code's crash ordering (bands land
+        # strictly before sigs); a sigs-without-bands store means
+        # external damage — its docs would be invisible to matching
+        raise ValueError(
+            f"signature store {store} is inconsistent: sigs/ committed "
+            "without bands/ — stored docs would silently never match; "
+            "rebuild the store from the corpus"
+        )
 
     # id-contract enforcement: ids already in the store are
     # re-deliveries — drop them before any hashing (this, not LSH
@@ -258,10 +274,14 @@ def incremental_near_dedup(
         # downstream sink BEFORE the store append — see docstring
         on_survivors(survivors)
 
-    # append the survivors' LSH state — after the survivor set is final
+    # append the survivors' LSH state — after the survivor set is
+    # final, and BANDS strictly BEFORE SIGS: store presence and the
+    # re-delivery filter key on sigs, so a crash between the two
+    # appends reads as "not in store" and re-delivery recovers (see
+    # docstring crash semantics)
     surv_ids = survivors.select(id_col)
-    sigs.join(surv_ids, id_col).write.mode("append").parquet(sig_dir)
     bands_new.join(surv_ids, id_col).write.mode("append").parquet(band_dir)
+    sigs.join(surv_ids, id_col).write.mode("append").parquet(sig_dir)
 
     stats = {
         "batch_docs": int(n_delivered),
