@@ -71,6 +71,50 @@ def test_stratified_exact_n_and_exclusions(spark, items):
     assert all(i < 1000 for v in per.values() for i in v)  # bad weights out
 
 
+def test_selection_invariant_to_ulp_perturbation():
+    """Cross-engine robustness by construction: the 6dp rank rounding
+    must absorb libm ulp differences — perturbing the -ln(u) input by
+    ±1 ulp (the worst divergence a correctly-rounded-vs-not libm can
+    produce) must not change the selected set on real data. Pure-numpy
+    replica of the operator's formula over the sf0.001 documents table."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars", "lang"]
+    ).to_pandas()
+    t = t[t["n_chars"].notna() & (t["n_chars"] > 0)]
+    ids = t["doc_id"].to_numpy()
+    w = t["n_chars"].to_numpy(dtype=np.float64)
+    u = np.array(
+        [
+            (int(hashlib.md5(f"{i}\x1fws42".encode()).hexdigest()[:13], 16) + 1)
+            / float(16**13)
+            for i in ids
+        ]
+    )
+    neglog = -np.log(u)
+
+    def select(nl):
+        rank = np.round(nl / w, 6)
+        order = np.lexsort((ids, rank))  # rank, then id tiebreak
+        picked = {}
+        out = []
+        for idx in order:
+            g = t["lang"].iat[idx]
+            if picked.get(g, 0) < 50:
+                picked[g] = picked.get(g, 0) + 1
+                out.append(ids[idx])
+        return sorted(out)
+
+    base = select(neglog)
+    up = select(np.nextafter(neglog, np.inf))
+    down = select(np.nextafter(neglog, -np.inf))
+    assert base == up == down
+
+
 def test_rejects_bad_n(spark, items):
     from tgdigest_spark.operators.sampling import weighted_sample
 

@@ -1045,9 +1045,10 @@ def budget_cutoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weighted sampling without replacement (Efraimidis-Spirakis) — 50 docs
 # per lang with inclusion probability ∝ n_chars, deterministic via the
 # md5 content-hash uniform. The oracle recomputes the EXACT same
-# exponential rank in DuckDB (rank rounded to 9dp + id tiebreak — raw
-# transcendental doubles are not ulp-identical across libms) and
-# hash-verifies the SELECTION via per-lang id aggregates.
+# exponential rank in DuckDB (rank rounded to 6dp + id tiebreak — raw
+# transcendental doubles are not ulp-identical across libms, and 6dp
+# keeps ~10 orders of magnitude between ulp noise and the rounding
+# boundary) and hash-verifies the SELECTION via per-lang id aggregates.
 @register(
     "weighted_sample_docs",
     """
@@ -1056,7 +1057,7 @@ def budget_cutoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(-ln((CAST(('0x' || substring(md5(
                    CAST(doc_id AS VARCHAR) || chr(31) || 'ws42'), 1, 13))
                    AS BIGINT) + 1) / 4503599627370496.0)
-                   / n_chars, 9) AS ek
+                   / n_chars, 6) AS ek
         FROM documents
         WHERE n_chars IS NOT NULL AND n_chars > 0
     ), pick AS (
@@ -1068,10 +1069,10 @@ def budget_cutoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n,
-           SUM(doc_id) AS sum_id,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
            MIN(doc_id) AS min_id,
            MAX(doc_id) AS max_id,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM pick
     GROUP BY lang
     ORDER BY lang

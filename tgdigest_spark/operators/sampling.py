@@ -288,12 +288,17 @@ def weighted_sample(
     TakeOrdered (orderBy + limit) — no single-partition window.
 
     Rows with NULL or non-positive weight are excluded (they have no
-    well-defined inclusion probability). The rank is ROUNDED to 9
+    well-defined inclusion probability). The rank is ROUNDED to 6
     decimals and tie-broken by ``tiebreak`` (pass the id): ranking on a
     raw transcendental double is not reproducible across engines (ulp
     differences between libm implementations) — same convention as the
-    cross-engine cosine ranking. Fully SQL-expressible → DuckDB-oracle
-    verifiable (driver_queries.weighted_sample_docs).
+    cross-engine cosine ranking. 6dp (not 9) leaves ~10 orders of
+    magnitude between a double's ulp and the nearest rounding boundary,
+    so a ±1-ulp libm difference cannot flip a rounded digit in
+    practice; the ties 6dp creates fall to the deterministic tiebreak,
+    and selection stays weight-proportional (the rank is still a
+    continuous function of the weight). Fully SQL-expressible →
+    DuckDB-oracle verifiable (driver_queries.weighted_sample_docs).
     """
     # 13 hex chars = 52 bits: exactly representable in a double, so
     # Spark's fl(v)+1.0 and an oracle's integer v+1 agree bit-for-bit
@@ -316,7 +321,7 @@ def weighted_sample(
         ).cast("double")
         + F.lit(1.0)
     ) / F.lit(float(16**13))
-    rank = F.round(-F.log(u) / w_col.cast("double"), 9)
+    rank = F.round(-F.log(u) / w_col.cast("double"), 6)
     out = df.where(w_col.isNotNull() & (w_col > 0)).withColumn(
         "_wrank", rank
     )
