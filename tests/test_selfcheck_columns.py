@@ -1,26 +1,24 @@
-"""Assert the invariants the no_oracle driver rows' self-check columns
-promise.
+"""Assert the invariants the sketch-family driver rows' guarantee
+flags promise, at a DIFFERENT scale than the oracle gate.
 
-The rows-only driver queries carry machine-checkable columns (exact
-anchors, one-sided errors, guarantee flags); the driver gate only
-verifies the rows are non-empty, so these tests are where the columns'
-documented invariants are actually enforced:
+Since round 4 these rows are oracle-exact: they emit exact anchors +
+boolean within-bound flags, and the DuckDB oracle pins the flags to
+literal TRUE at sf0.01. These tests re-assert the flags at sf0.001 (a
+regime with much smaller groups), so a flag that only accidentally
+holds at the gate scale still fails here:
 
-- count-min (global + grouped): est >= exact for every probed item;
-- grouped HLL: relative error within a multiple of the published
+- count-min (global + grouped): est_ge_exact (structural
+  one-sidedness) and overcount_within_bound (eps*N);
+- grouped/global HLL: within-bound at 6x the published
   1.04/sqrt(2^p) standard error;
+- t-digest/KLL rows: rank-accuracy flags;
 - winnowing: missing_guaranteed_pairs == 0 (every exact
   (window+k-1)-token passage pair is winnowed — checked against the
   UNCAPPED sample run, see passage_overlap_summary);
-- sequence packing: capacity_ok and packed_once_ok both hold;
-- t-digest/KLL global rows: the max_abs_err column equals the real
-  estimate-vs-exact gap and stays within a generous quantile-accuracy
-  envelope for delta=200/k=200.
+- sequence packing: capacity_ok and packed_once_ok both hold.
 """
 
 from __future__ import annotations
-
-import math
 
 import pytest
 
@@ -31,28 +29,24 @@ def _row(spark, sf_dir, name):
     return queries()[name](spark, sf_dir).collect()
 
 
-def test_cm_rows_are_one_sided(spark, sf001_dir):
-    for r in _row(spark, sf001_dir, "sketch_cm_heavy_hitters"):
-        assert r["overcount"] >= 0
-        assert r["est_count"] == r["exact_count"] + r["overcount"]
+_FLAG_QUERIES = {
+    "sketch_cm_heavy_hitters": ["est_ge_exact", "overcount_within_bound"],
+    "sketch_grouped_cm": ["est_ge_exact", "overcount_within_bound"],
+    "sketch_grouped_hll": ["within_bound"],
+    "sketch_hll_distinct": ["hll_within_bound", "hllpp_within_bound"],
+    "sketch_grouped_tdigest": ["p50_rank_ok", "p95_rank_ok"],
+    "sketch_grouped_kll": ["p50_rank_ok", "p95_rank_ok"],
+    "sketch_bloom_membership": ["no_false_negatives", "surplus_within_fpr"],
+}
 
 
-def test_grouped_cm_rows_are_one_sided(spark, sf001_dir):
-    rows = _row(spark, sf001_dir, "sketch_grouped_cm")
+@pytest.mark.parametrize("name", sorted(_FLAG_QUERIES))
+def test_guarantee_flags_hold_at_sf0001(spark, sf001_dir, name):
+    rows = _row(spark, sf001_dir, name)
     assert rows
     for r in rows:
-        assert r["overcount"] >= 0
-        assert r["est_count"] >= r["exact_count"]
-
-
-def test_grouped_hll_rel_err_bounded(spark, sf001_dir):
-    # p=14 → std err 1.04/sqrt(2^14) ≈ 0.81%; allow 6σ (small groups
-    # at sf0.001 land in the near-exact sparse regime anyway)
-    bound = 6 * 1.04 / math.sqrt(2**14)
-    rows = _row(spark, sf001_dir, "sketch_grouped_hll")
-    assert rows
-    for r in rows:
-        assert r["rel_err"] <= bound, (r["event_type"], r["rel_err"])
+        for flag in _FLAG_QUERIES[name]:
+            assert r[flag] is True, (name, flag, r)
 
 
 def test_winnowing_guarantee_column_is_zero(spark, sf001_dir):
@@ -72,13 +66,10 @@ def test_sequence_pack_flags_hold(spark, sf001_dir):
 @pytest.mark.parametrize(
     "name", ["sketch_tdigest_quantiles", "sketch_kll_quantiles"]
 )
-def test_global_quantile_rows_carry_true_error(spark, sf001_dir, name):
+def test_global_quantile_rank_flags_hold(spark, sf001_dir, name):
     (r,) = _row(spark, sf001_dir, name)
-    gap = max(
-        abs(r["p50"] - r["exact_p50"]), abs(r["p99"] - r["exact_p99"])
-    )
-    # max_abs_err is computed over p50/p95/p99 so it dominates the
-    # two-anchor gap; it must also be a sane magnitude for
-    # delta=200/k=200 on this distribution (exact p99 scale)
-    assert r["max_abs_err"] >= gap - 1e-9
-    assert r["max_abs_err"] <= 0.1 * max(abs(r["exact_p99"]), 1.0)
+    assert r["p50_rank_ok"] is True
+    assert r["p95_rank_ok"] is True
+    assert r["p99_rank_ok"] is True
+    # anchors are real exact percentiles, not placeholders
+    assert r["exact_p50"] <= r["exact_p95"] <= r["exact_p99"]

@@ -363,15 +363,30 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# sketch paths (§2.10) — approximate results, no SQL oracle by design;
-# accuracy is asserted against exact answers at published bounds in
-# tests/test_sketch_api_spark.py and tests/test_sketches.py.
+# sketch paths (§2.10) — approximate estimates are not SQL-expressible,
+# but the rows they produce ARE: each row is restructured as the EXACT
+# anchors (computed twice — by Spark built-ins here and by DuckDB SQL
+# in the oracle) plus boolean within-bound flags the sketch's published
+# guarantee makes deterministically TRUE (oracle = literal TRUE). The
+# raw estimates and tight published-bound assertions live in
+# tests/test_sketch_api_spark.py / tests/test_sketches.py; the
+# tolerances here are conservative multiples of the published bounds so
+# the gate flag is stable, not a re-derivation of the bound.
 # ---------------------------------------------------------------------------
 
+# rank tolerance for the quantile-sketch gate flags: >= 3x the
+# published bounds (t-digest delta=200 tail rank error ~< 0.01; KLL
+# k=200 eps ~ 0.013) — generous on purpose, the tight bound lives in
+# pytest
+_RANK_TOL = 0.05
+# HLL p=14 std err = 1.04/sqrt(2^14) ~ 0.81%; 6 sigma
+_HLL_TOL = 0.05
+
+
 def _exact_q(ev: DataFrame, qs: list[float]) -> list[float]:
-    """Exact full-sort quantiles (Spark built-in percentile) — the
-    machine-checkable sanity anchor carried alongside each no_oracle
-    sketch row (reference-exact semantics, post.rs:76-80)."""
+    """Exact full-sort quantiles (Spark built-in percentile; bit-equal
+    to DuckDB quantile_cont) — the oracle-checkable anchor emitted by
+    each sketch row (reference-exact semantics, post.rs:76-80)."""
     row = ev.agg(
         *[
             F.expr(f"percentile(value, {q})").alias(f"q{i}")
@@ -381,100 +396,188 @@ def _exact_q(ev: DataFrame, qs: list[float]) -> list[float]:
     return [float(row[f"q{i}"]) for i in range(len(qs))]
 
 
-@register("sketch_tdigest_quantiles", None)
+def _global_rank_flags(
+    ev: DataFrame, ests: list[float], qs: list[float], tol: float = _RANK_TOL
+) -> list[bool]:
+    """True iff each estimate's rank interval [#(v<est), #(v<=est)]
+    covers q*n within ±tol*n — tie-robust rank accuracy, one agg pass."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, e in enumerate(ests):
+        aggs.append(
+            F.sum((F.col("value") < F.lit(e)).cast("long")).alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("value") <= F.lit(e)).cast("long")).alias(f"_le{i}")
+        )
+    r = ev.agg(*aggs).collect()[0]
+    n = r["_n"]
+    return [
+        (q * n >= r[f"_lt{i}"] - tol * n) and (q * n <= r[f"_le{i}"] + tol * n)
+        for i, q in enumerate(qs)
+    ]
+
+
+_GLOBAL_Q_ORACLE = """
+    SELECT quantile_cont(value, 0.50) AS exact_p50,
+           quantile_cont(value, 0.95) AS exact_p95,
+           quantile_cont(value, 0.99) AS exact_p99,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok, TRUE AS p99_rank_ok
+    FROM events
+    """
+
+
+def _global_quantile_row(spark, ev, est: dict[float, float]) -> DataFrame:
+    qs = [0.5, 0.95, 0.99]
+    ex = _exact_q(ev, qs)
+    flags = _global_rank_flags(ev, [est[q] for q in qs], qs)
+    return spark.createDataFrame(
+        [tuple(ex) + tuple(flags)],
+        "exact_p50 double, exact_p95 double, exact_p99 double, "
+        "p50_rank_ok boolean, p95_rank_ok boolean, p99_rank_ok boolean",
+    )
+
+
+@register("sketch_tdigest_quantiles", _GLOBAL_Q_ORACLE)
 def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global p50/p95/p99 of events.value via the merging t-digest,
-    with the exact percentiles + worst absolute error as self-check
-    columns (the t-digest rank-error bound is asserted in pytest)."""
+    """Global p50/p95/p99 of events.value via the merging t-digest —
+    emitted as the exact percentiles plus rank-accuracy flags the
+    t-digest bound makes TRUE (oracle: same exact SQL + literal TRUE)."""
     from .api import quantiles
 
     ev = load(spark, sf_dir, "events")
     est = quantiles(ev, "value", [0.5, 0.95, 0.99], delta=200)
-    ex = _exact_q(ev, [0.5, 0.95, 0.99])
-    err = max(abs(a - b) for a, b in zip([est[0.5], est[0.95], est[0.99]], ex))
-    return spark.createDataFrame(
-        [(est[0.5], est[0.95], est[0.99], ex[0], ex[2], float(err))],
-        "p50 double, p95 double, p99 double, "
-        "exact_p50 double, exact_p99 double, max_abs_err double",
-    )
+    return _global_quantile_row(spark, ev, est)
 
 
-@register("sketch_kll_quantiles", None)
+@register("sketch_kll_quantiles", _GLOBAL_Q_ORACLE)
 def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same quantiles via KLL (rank-error flavor), with exact anchors."""
+    """Same gate shape via KLL (rank-error flavor)."""
     from .api import quantiles_kll
 
     ev = load(spark, sf_dir, "events")
     est = quantiles_kll(ev, "value", [0.5, 0.95, 0.99], k=200)
-    ex = _exact_q(ev, [0.5, 0.95, 0.99])
-    err = max(abs(a - b) for a, b in zip([est[0.5], est[0.95], est[0.99]], ex))
-    return spark.createDataFrame(
-        [(est[0.5], est[0.95], est[0.99], ex[0], ex[2], float(err))],
-        "p50 double, p95 double, p99 double, "
-        "exact_p50 double, exact_p99 double, max_abs_err double",
-    )
+    return _global_quantile_row(spark, ev, est)
 
 
-@register("sketch_hll_distinct", None)
+@register(
+    "sketch_hll_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_within_bound, TRUE AS hllpp_within_bound
+    FROM events
+    """,
+)
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct user_id via our HLL, next to Spark's HLL++."""
+    """Distinct user_id via our HLL and Spark's HLL++ — emitted as the
+    exact countDistinct anchor plus within-bound flags for both
+    estimators (p=14 → 6-sigma rel-err tolerance of 5%)."""
     from .api import distinct_count
 
     ev = load(spark, sf_dir, "events")
     ours = distinct_count(ev, F.col("user_id").cast("string"), p=14)
-    spark_hll = ev.agg(
-        F.approx_count_distinct("user_id").alias("a")
-    ).collect()[0]["a"]
+    # rsd=0.01 so Spark's HLL++ sits comfortably inside the 5% flag
+    # (its default rsd of 0.05 makes the bound a coin flip)
+    row = ev.agg(
+        F.countDistinct("user_id").alias("x"),
+        F.approx_count_distinct("user_id", 0.01).alias("a"),
+    ).collect()[0]
+    exact, hllpp = int(row["x"]), int(row["a"])
     return spark.createDataFrame(
-        [(float(ours), int(spark_hll))], "hll_est double, spark_hllpp long"
+        [
+            (
+                exact,
+                abs(float(ours) - exact) / exact <= _HLL_TOL,
+                abs(hllpp - exact) / exact <= _HLL_TOL,
+            )
+        ],
+        "exact_distinct long, hll_within_bound boolean, "
+        "hllpp_within_bound boolean",
     )
 
 
-@register("sketch_cm_heavy_hitters", None)
+@register(
+    "sketch_cm_heavy_hitters",
+    """
+    SELECT event_type AS item,
+           CAST(COUNT(*) AS BIGINT) AS exact_count,
+           TRUE AS est_ge_exact, TRUE AS overcount_within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY exact_count DESC, item
+    LIMIT 5
+    """,
+)
 def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 event types by count-min estimated frequency, with the
-    exact count and one-sided error as self-check columns (CM
-    guarantees est >= exact; bound asserted in pytest)."""
+    """Top-5 event types by count-min estimated frequency — emitted as
+    the exact counts plus the CM guarantee flags (est >= exact always;
+    overcount <= eps*N with eps=0.001, deterministic for the fixed
+    hash seeds). Oracle: top-5 by exact count + literal TRUEs (the two
+    rankings agree whenever the top-k est/exact SETS coincide — 5
+    event types total here, and the exact_count column would expose
+    any selection divergence as a value mismatch)."""
     from .api import heavy_hitters
 
     ev = load(spark, sf_dir, "events")
+    n_total = ev.count()
     hh = heavy_hitters(ev, "event_type", k=5, eps=0.001, delta=0.01)
     exact = ev.groupBy(F.col("event_type").alias("item")).agg(
         F.count(F.lit(1)).alias("exact_count")
     )
-    return hh.join(F.broadcast(exact), "item", "left").select(
-        "item",
-        "est_count",
-        "exact_count",
-        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    return (
+        hh.join(F.broadcast(exact), "item", "left")
+        .select(
+            "item",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).alias("est_ge_exact"),
+            (
+                (F.col("est_count") - F.col("exact_count"))
+                <= F.lit(0.001 * n_total)
+            ).alias("overcount_within_bound"),
+        )
+        .orderBy(F.desc("exact_count"), "item")
     )
 
 
-@register("sketch_bloom_membership", None)
+@register(
+    "sketch_bloom_membership",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_semijoin_rows,
+           TRUE AS no_false_negatives, TRUE AS surplus_within_fpr
+    FROM events
+    WHERE user_id IN (SELECT user_id FROM events
+                      WHERE ts < TIMESTAMP '2024-01-08 00:00:00')
+    """,
+)
 def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prune events to users seen in the first week (semi-join
-    without a shuffle); returns kept-row count + filter fill ratio."""
+    without a shuffle) — emitted as the exact semi-join row count plus
+    the Bloom guarantee flags: no false negatives (kept >= exact,
+    structural) and surplus bounded by the configured fpr (3x margin
+    on the expected false-positive rows; deterministic for the fixed
+    hash seeds)."""
     from .api import build_membership, membership_prune
 
     ev = load(spark, sf_dir, "events")
+    n_total = ev.count()
     week1 = ev.where(F.col("ts") < "2024-01-08 00:00:00")
     bloom = build_membership(week1, F.col("user_id").cast("string"), fpr=0.01)
     kept = membership_prune(ev, F.col("user_id").cast("string"), bloom).count()
-    # exact semi-join as the self-check anchor: no false negatives means
-    # kept >= exact, and the surplus is bounded by fpr
     exact = ev.join(
         week1.select("user_id").distinct(), "user_id", "left_semi"
     ).count()
+    surplus_bound = 3 * 0.01 * max(n_total - exact, 0) + 10
     return spark.createDataFrame(
-        [(int(kept), int(exact), float(bloom.fill_ratio()))],
-        "kept_rows long, exact_semijoin_rows long, fill_ratio double",
+        [(int(exact), kept >= exact, (kept - exact) <= surplus_bound)],
+        "exact_semijoin_rows long, no_false_negatives boolean, "
+        "surplus_within_fpr boolean",
     )
 
 
 def _exact_group_anchors(ev: DataFrame, key: str, qs: list[float]) -> DataFrame:
-    """Per-group exact percentiles — the shared self-check anchor the
-    grouped sketch rows join against (one definition so the
-    float-safety policy can't drift between the tdigest/KLL twins)."""
+    """Per-group exact percentiles — the shared oracle-checkable anchor
+    (one definition so the float-safety policy can't drift between the
+    tdigest/KLL twins; Spark percentile is bit-equal to DuckDB
+    quantile_cont)."""
     return ev.groupBy(key).agg(
         *[
             F.expr(f"percentile(value, {q})").alias(
@@ -485,27 +588,87 @@ def _exact_group_anchors(ev: DataFrame, key: str, qs: list[float]) -> DataFrame:
     )
 
 
-@register("sketch_grouped_tdigest", None)
+def _grouped_quantile_gate_row(ev: DataFrame, est: DataFrame) -> DataFrame:
+    """Shared gate shape for the grouped quantile sketches: per
+    event_type, the exact p50/p95 anchors plus tie-robust rank flags —
+    the estimate's rank interval [#(v<est), #(v<=est)] within the group
+    must cover q*n ± _RANK_TOL*n. ``est`` carries (event_type, p50,
+    p95)."""
+    j = ev.select("event_type", "value").join(F.broadcast(est), "event_type")
+    r = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((F.col("value") < F.col("p50")).cast("long")).alias("_lt50"),
+        F.sum((F.col("value") <= F.col("p50")).cast("long")).alias("_le50"),
+        F.sum((F.col("value") < F.col("p95")).cast("long")).alias("_lt95"),
+        F.sum((F.col("value") <= F.col("p95")).cast("long")).alias("_le95"),
+    )
+    exact = _exact_group_anchors(ev, "event_type", [0.5, 0.95])
+    tol = F.lit(_RANK_TOL) * F.col("_n")
+
+    def ok(q, lt, le):
+        qn = F.lit(q) * F.col("_n")
+        return (qn >= F.col(lt) - tol) & (qn <= F.col(le) + tol)
+
+    return (
+        exact.join(r, "event_type")
+        .select(
+            "event_type",
+            "exact_p50",
+            "exact_p95",
+            ok(0.5, "_lt50", "_le50").alias("p50_rank_ok"),
+            ok(0.95, "_lt95", "_le95").alias("p95_rank_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_GROUPED_Q_ORACLE = """
+    SELECT event_type,
+           quantile_cont(value, 0.50) AS exact_p50,
+           quantile_cont(value, 0.95) AS exact_p95,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@register("sketch_grouped_tdigest", _GROUPED_Q_ORACLE)
 def sketch_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type t-digest quantiles (salted two-stage merge) with
-    exact per-group percentiles as self-check columns."""
+    """Per-event-type t-digest quantiles (salted two-stage merge) —
+    emitted as the exact per-group percentiles plus rank-accuracy
+    flags (oracle: same exact SQL + literal TRUE)."""
     from .api import grouped_quantiles
 
     ev = load(spark, sf_dir, "events")
     est = grouped_quantiles(
         ev, ["event_type"], "value", [0.5, 0.95], method="salted"
     )
-    exact = _exact_group_anchors(ev, "event_type", [0.5, 0.95])
-    return est.join(exact, "event_type").orderBy("event_type")
+    return _grouped_quantile_gate_row(ev, est)
 
 
 # bucketed-layout round trip in the correctness gate: events written
 # bucketBy(user_id), read back with the bucket spec, per-user KLL via
-# the ZERO-SHUFFLE clustered topology — self-checked for exact
-# per-group equality against the shuffled combine topology over the
-# plain layout, plus the no-Exchange plan flag. Side-effectful (temp
-# table + dir) → rows-only.
-@register("bucketed_clustered_kll", None)
+# the ZERO-SHUFFLE clustered topology — checked for exact per-group
+# equality against the shuffled combine topology over the plain
+# layout, plus the no-Exchange plan flag. The row is oracle-exact: the
+# group-count/max-group-size anchors are SQL-derivable and the
+# equality/plan/exactness-condition outcomes are emitted as boolean
+# flags the oracle pins to literal TRUE.
+@register(
+    "bucketed_clustered_kll",
+    """
+    WITH g AS (
+        SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX(c) AS BIGINT) AS max_group_n,
+           TRUE AS all_groups_equal,
+           TRUE AS plan_no_exchange,
+           TRUE AS exactness_condition_held
+    FROM g
+    """,
+)
 def bucketed_clustered_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
@@ -582,16 +745,14 @@ def bucketed_clustered_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 (
                     n_groups,
-                    n_equal,
-                    bool(no_exchange),
-                    n_groups == n_equal,
                     int(max_group_n),
+                    n_groups == n_equal,
+                    bool(no_exchange),
                     int(max_group_n) <= k,
                 )
             ],
-            "n_groups long, n_equal long, plan_no_exchange boolean, "
-            "all_groups_equal boolean, max_group_n long, "
-            "exactness_condition_held boolean",
+            "n_groups long, max_group_n long, all_groups_equal boolean, "
+            "plan_no_exchange boolean, exactness_condition_held boolean",
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -601,25 +762,32 @@ def bucketed_clustered_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
-@register("sketch_grouped_kll", None)
+@register("sketch_grouped_kll", _GROUPED_Q_ORACLE)
 def sketch_grouped_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type KLL quantiles (vectorized mass extraction) with
-    exact per-group percentiles as self-check columns — the rank-error
-    twin of sketch_grouped_tdigest."""
+    """Per-event-type KLL quantiles (vectorized mass extraction) — the
+    rank-error twin of sketch_grouped_tdigest, same gate shape."""
     from .api import grouped_quantiles_kll
 
     ev = load(spark, sf_dir, "events")
     est = grouped_quantiles_kll(ev, ["event_type"], "value", [0.5, 0.95], k=200)
-    exact = _exact_group_anchors(ev, "event_type", [0.5, 0.95])
-    return est.join(exact, "event_type").orderBy("event_type")
+    return _grouped_quantile_gate_row(ev, est)
 
 
-@register("sketch_grouped_hll", None)
+@register(
+    "sketch_grouped_hll",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def sketch_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type HLL distinct user_id (map-side-combine grouped
-    sketch) with the exact per-group countDistinct anchor and relative
-    error as self-check columns (pytest bounds the std error at
-    1.04/sqrt(2^p))."""
+    sketch) — emitted as the exact per-group countDistinct anchor plus
+    a 6-sigma within-bound flag (p=14 → std err 1.04/sqrt(2^14))."""
     from .api import grouped_distinct_count
 
     ev = load(spark, sf_dir, "events")
@@ -633,27 +801,51 @@ def sketch_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.join(exact, "event_type")
         .select(
             "event_type",
-            "distinct_est",
             "exact_distinct",
             (
                 F.abs(F.col("distinct_est") - F.col("exact_distinct"))
                 / F.col("exact_distinct")
-            ).alias("rel_err"),
+                <= F.lit(_HLL_TOL)
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )
 
 
-@register("sketch_grouped_cm", None)
+@register(
+    "sketch_grouped_cm",
+    """
+    WITH probes AS (
+        SELECT CAST(user_id AS VARCHAR) AS item
+        FROM events GROUP BY user_id
+        ORDER BY COUNT(*) DESC, user_id
+        LIMIT 3
+    ), groups AS (
+        SELECT DISTINCT event_type FROM events
+    ), exact AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, p.item,
+           CAST(COALESCE(e.cnt, 0) AS BIGINT) AS exact_count,
+           TRUE AS est_ge_exact, TRUE AS overcount_within_bound
+    FROM groups g CROSS JOIN probes p
+    LEFT JOIN exact e ON e.event_type = g.event_type AND e.item = p.item
+    ORDER BY g.event_type, p.item
+    """,
+)
 def sketch_grouped_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type count-min estimates for the 3 globally-heaviest
-    users, with exact per-(group, user) counts and the one-sided
-    overcount as self-check columns (CM guarantees est >= exact)."""
+    users — emitted as the exact per-(group, user) counts plus the CM
+    guarantee flags: est >= exact (structural one-sidedness) and
+    overcount <= eps*N_group (eps=0.001; deterministic for the fixed
+    hash seeds). The probe set (top-3 global users by exact count, id
+    asc tiebreak) is itself SQL-derivable, so the whole row is
+    oracle-exact."""
     from .api import grouped_cm_counts
 
     ev = load(spark, sf_dir, "events")
-    # deterministic probe set: top-3 global user_ids by count (id asc
-    # tiebreak) — tiny aggregate, also the anchor's building block
     probes = [
         str(r["user_id"])
         for r in ev.groupBy("user_id")
@@ -675,16 +867,21 @@ def sketch_grouped_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("user_id").cast("string").alias("item"))
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
+    group_n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_gn"))
     return (
         est.join(F.broadcast(exact), ["event_type", "item"], "left")
+        .join(F.broadcast(group_n), "event_type")
         .select(
             "event_type",
             "item",
-            "est_count",
             F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
             (
-                F.col("est_count") - F.coalesce("exact_count", F.lit(0))
-            ).alias("overcount"),
+                F.col("est_count") >= F.coalesce("exact_count", F.lit(0))
+            ).alias("est_ge_exact"),
+            (
+                (F.col("est_count") - F.coalesce("exact_count", F.lit(0)))
+                <= F.lit(0.001) * F.col("_gn")
+            ).alias("overcount_within_bound"),
         )
         .orderBy("event_type", "item")
     )
@@ -1462,12 +1659,32 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental near-dedup (operators/dedup_incremental.py): documents
 # ingested as two batches through a fresh signature store — batch 2 is
 # deduped against batch 1's STORED signatures, nothing recomputed.
-# Side-effectful (store writes) → rows-only, with an exact-tier anchor:
-# the true count of batch-2 docs having an exact-Jaccard >= threshold
-# match in batch 1 (prefix join), next to the minhash-estimated drop
-# count (agreement within the ~1/sqrt(num_perm) estimator error).
-@register("incremental_dedup_batches", None)
+# Oracle-exact gate shape: the SQL-derivable batch-size anchors plus
+# boolean flags pinned to literal TRUE by the operator's guarantees —
+# stats accounting closes per batch, the minhash-estimated cross-batch
+# drop count agrees with the exact-Jaccard tier (gap bounded by the
+# ~1/sqrt(num_perm) estimator error; 0 at gate scales), and
+# re-delivering batch 2 converges to zero survivors via the id
+# contract (exactly-once store semantics).
+@register(
+    "incremental_dedup_batches",
+    """
+    WITH t AS (
+        SELECT doc_id FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    )
+    SELECT CAST(SUM(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b1_docs,
+           CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b2_docs,
+           TRUE AS counts_consistent,
+           TRUE AS est_gap_within_bound,
+           TRUE AS redelivery_converges
+    FROM t
+    """,
+)
 def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from .operators.dedup_incremental import (
@@ -1479,8 +1696,6 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
-    import shutil
-
     cut = 250
     b1 = docs.where(F.col("doc_id") < cut)
     b2 = docs.where(F.col("doc_id") >= cut)
@@ -1492,8 +1707,20 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.release_cache()
         s2, st2 = incremental_near_dedup(b2, store, threshold=0.5)
         s2.release_cache()
+        # re-delivery of batch 2 must converge to zero via the id
+        # contract (every prior survivor dropped up front, nothing new)
+        s3, st3 = incremental_near_dedup(b2, store, threshold=0.5)
+        s3.release_cache()
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+    def _closes(st):
+        return st["batch_docs"] == (
+            st["survivors"]
+            + st["dropped_redelivered"]
+            + st["dropped_vs_store"]
+            + st["dropped_internal_only"]
+        )
 
     # exact anchor: batch-2 docs with a true-Jaccard >= 0.5 match among
     # the docs the store actually HOLDS (batch-1 SURVIVORS — a batch-1
@@ -1511,22 +1738,21 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     release()
+    gap = abs(st2["dropped_vs_store"] - int(exact_cross))
+    gap_bound = max(2.0, 0.15 * max(exact_cross, 1))
     return spark.createDataFrame(
         [
             (
                 st1["batch_docs"],
-                st1["survivors"],
                 st2["batch_docs"],
-                st2["dropped_vs_store"],
-                st2["dropped_internal_only"],
-                st2["survivors"],
-                int(exact_cross),
-                abs(st2["dropped_vs_store"] - int(exact_cross)),
+                _closes(st1) and _closes(st2) and _closes(st3),
+                gap <= gap_bound,
+                st3["survivors"] == 0
+                and st3["dropped_redelivered"] == st2["survivors"],
             )
         ],
-        "b1_docs long, b1_survivors long, b2_docs long, "
-        "b2_dropped_vs_store long, b2_dropped_internal long, "
-        "b2_survivors long, exact_cross_matches long, est_vs_exact_gap long",
+        "b1_docs long, b2_docs long, counts_consistent boolean, "
+        "est_gap_within_bound boolean, redelivery_converges boolean",
     )
 
 
@@ -1741,14 +1967,84 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("training_prep_pipeline", None)
+# end-to-end training-data prep: quality filter → exact dedup
+# (normalized fingerprint) → near-dup pruning (MinHash LSH, keep the
+# smaller doc_id of each pair). Oracle-exact gate shape: the
+# SQL-derivable stage anchors (ingest/quality/exact-dedup counts, the
+# EXACT-Jaccard near-loser count at >= 0.8 within the deduped set, and
+# the exact-tier surviving token sum) plus flags pinned TRUE by the
+# pipeline's guarantees — the LSH drop count agrees with the exact
+# tier within the minhash estimator error, and near-dedup only ever
+# shrinks the corpus.
+@register(
+    "training_prep_pipeline",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               COALESCE(text, '') AS tx,
+               len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS token_cnt
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, tx, token_cnt,
+               (LEAST(LENGTH(tx) / 200.0, 1.0)
+                + CASE WHEN LENGTH(tx) > 0
+                       THEN LENGTH(regexp_replace(tx, '[^A-Za-z]', '', 'g')) * 1.0
+                            / LENGTH(tx)
+                       ELSE 0.0 END
+                + LEAST((len(list_intersect(
+                        string_split_regex(lower(trim(tx)), '\\s+'),
+                        ['the','and','of','to','is'])) / 5.0) * 2.0, 1.0)
+                + CASE WHEN token_cnt > 0
+                        AND LENGTH(regexp_replace(tx, '\\s', '', 'g')) * 1.0
+                            / token_cnt BETWEEN 2.0 AND 12.0
+                       THEN 1.0 ELSE 0.0 END
+               ) / 4.0 AS quality
+        FROM t
+    ), quality_docs AS (
+        SELECT doc_id, tx, token_cnt,
+               regexp_replace(lower(trim(tx)), '\\s+', ' ', 'g') AS norm
+        FROM scored WHERE quality >= 0.5
+    ), kept AS (
+        SELECT norm, MIN(doc_id) AS doc_id FROM quality_docs GROUP BY norm
+    ), kept_docs AS (
+        SELECT q.doc_id, q.tx, q.token_cnt
+        FROM quality_docs q JOIN kept k ON q.doc_id = k.doc_id
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(tx), '\\s+') AS s
+        FROM kept_docs
+        WHERE len(string_split_regex(trim(tx), '\\s+')) >= 3
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               s[i] || chr(31) || s[i+1] || chr(31) || s[i+2] AS shingle
+        FROM toks, UNNEST(generate_series(1, len(s) - 2)) AS g(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), losers AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+              >= 0.8 - 1e-12
+    )
+    SELECT (SELECT COUNT(*) FROM t) AS ingested,
+           (SELECT COUNT(*) FROM quality_docs) AS after_quality,
+           (SELECT COUNT(*) FROM kept_docs) AS after_exact_dedup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM losers) AS exact_near_losers,
+           (SELECT CAST(COALESCE(SUM(token_cnt), 0) AS BIGINT)
+            FROM kept_docs
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+               AS exact_surviving_tokens,
+           TRUE AS lsh_gap_ok,
+           TRUE AS near_dedup_monotone
+    """,
+)
 def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data prep over documents: quality filter →
-    exact dedup (normalized fingerprint) → near-dup pruning (MinHash
-    LSH, keep the smaller doc_id of each pair) → per-stage row counts
-    plus surviving-corpus token stats. Composes the tested operators;
-    one row out."""
-    from .operators.dedup_text import lsh_candidate_pairs
+    from .operators.dedup_text import jaccard_prefix_join, lsh_candidate_pairs
     from .operators.text_analysis import fingerprint, quality_score, token_count
 
     docs = load(spark, sf_dir, "documents")
@@ -1769,31 +2065,75 @@ def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") == 1)
         .drop("rn", "fp")
-    ).persist()  # consumed by 4 downstream actions
+    ).persist()  # consumed by several downstream actions
     n2 = deduped.count()
 
+    # approximate tier (the pipeline's actual scale path)
     cand = lsh_candidate_pairs(deduped, num_perm=128)
     release_sigs = cand.release_cache
     near_pairs = cand.where(F.col("est_jaccard") >= 0.8)
     losers = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = deduped.join(losers, "doc_id", "left_anti")
     n3 = final.count()
-    tokens = final.agg(F.sum("token_cnt").alias("t")).collect()[0]["t"] or 0
     release_sigs()
+
+    # exact tier (the oracle-checkable anchors): prefix-filtered exact
+    # Jaccard at the same threshold over the same deduped set (>= 3
+    # token scope, matching the oracle's shingle CTE)
+    ge3 = deduped.where(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3)
+    exact_pairs = jaccard_prefix_join(ge3, threshold=0.8)
+    release_exact = exact_pairs.release_cache
+    exact_losers = exact_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    n_exact_losers = exact_losers.count()
+    exact_tokens = (
+        deduped.join(exact_losers, "doc_id", "left_anti")
+        .agg(F.sum("token_cnt").alias("t"))
+        .collect()[0]["t"]
+        or 0
+    )
+    release_exact()
     deduped.unpersist()
 
+    lsh_drop = n2 - n3
+    gap_bound = max(2.0, 0.15 * max(n_exact_losers, 1))
     return spark.createDataFrame(
-        [(n0, n1, n2, n3, int(tokens))],
+        [
+            (
+                n0,
+                n1,
+                n2,
+                int(n_exact_losers),
+                int(exact_tokens),
+                abs(lsh_drop - n_exact_losers) <= gap_bound,
+                n3 <= n2,
+            )
+        ],
         "ingested long, after_quality long, after_exact_dedup long, "
-        "after_near_dedup long, surviving_tokens long",
+        "exact_near_losers long, exact_surviving_tokens long, "
+        "lsh_gap_ok boolean, near_dedup_monotone boolean",
     )
 
 
-@register("checkpointed_quantiles", None)
+@register(
+    "checkpointed_quantiles",
+    """
+    SELECT CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+               AS n_partitions,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS resume_untouched,
+           TRUE AS merged_count_matches,
+           TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+    FROM events
+    """,
+)
 def checkpointed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resumable per-day sketch build over events: build half, resume the
-    rest, then answer from merged checkpoints (ST1-ST8 analog). The
-    result row self-reports that resume recomputed nothing."""
+    """Resumable per-day sketch build over events: build half, resume
+    the rest, answer from merged checkpoints (ST1-ST8 analog).
+    Oracle-exact gate shape: SQL-derivable partition/row-count anchors
+    plus flags pinned TRUE by the checkpoint contract — resume
+    recomputed nothing (blob mtimes untouched), the merged sketch saw
+    every row exactly once, and its quantile estimates carry the
+    t-digest rank accuracy."""
     import os
     import tempfile
 
@@ -1826,18 +2166,24 @@ def checkpointed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merged = merged_sketch(store, factory)
         est = merged.quantile([0.5, 0.99])
+        n_rows = ev.count()
+        p50_ok, p99_ok = _global_rank_flags(
+            ev, [float(est[0]), float(est[1])], [0.5, 0.99]
+        )
         return spark.createDataFrame(
             [
                 (
                     len(store.completed_partitions()),
+                    int(n_rows),
                     bool(untouched),
-                    float(merged.count),
-                    float(est[0]),
-                    float(est[1]),
+                    int(merged.count) == int(n_rows),
+                    bool(p50_ok),
+                    bool(p99_ok),
                 )
             ],
-            "n_partitions int, resume_untouched boolean, n_rows double, "
-            "p50 double, p99 double",
+            "n_partitions long, n_rows long, resume_untouched boolean, "
+            "merged_count_matches boolean, p50_rank_ok boolean, "
+            "p99_rank_ok boolean",
         )
 
 

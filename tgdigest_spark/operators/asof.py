@@ -183,6 +183,190 @@ def asof_join(
     )
 
 
+def asof_join_intervals(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance_us: int | None = None,
+    right_tiebreak: str | None = None,
+    suffix: str = "_r",
+    bin_width: int | None = None,
+    long_cap: int = 256,
+) -> DataFrame:
+    """As-of join via validity intervals + binned range join — the
+    bucketed-layout-friendly formulation of :func:`asof_join`, same
+    semantics and output schema.
+
+    Why a second formulation: the union-based :func:`asof_join` always
+    re-Exchanges BOTH sides (``Union`` reports unknown partitioning
+    regardless of its children — see the module docstring), so over a
+    key-bucketed right table the layout buys nothing. Here the right
+    side stays a single-source lineage: one ``lead()`` window turns
+    each state change into its ``[valid_from, valid_to)`` validity
+    interval (over a key-bucketed layout that window plans as
+    Sort-without-Exchange), a per-key sentinel interval covers
+    "before the first change" (null payload), and the left side's
+    points equi-join into the intervals' time bins via the
+    :func:`range_join` discipline — a plain shuffled hash join, never
+    BNLJ. Per key the intervals partition the timeline, so each point
+    matches EXACTLY one interval: no dedup, and left-join semantics
+    come from the sentinel plus an anti-join for keys absent from the
+    right side entirely.
+
+    ``direction='forward'`` is the same algorithm over negated
+    timestamps; ``strict`` shifts interval starts by one microsecond.
+    ``bin_width``/``long_cap`` as in :func:`range_join` (idle keys'
+    open-ended current intervals are capped at the newest left
+    timestamp, so their bin fan-out is bounded; ones still spanning
+    more than ``long_cap`` bins take the broadcast side path).
+
+    Scale shape: the big right side is scanned once, windowed without
+    an Exchange over buckets, and exploded ~(1 + len/width) per
+    interval; only the left side and the exploded interval keys
+    shuffle. Parity vs :func:`asof_join` is pytest-enforced on
+    identical data (tests/test_asof.py).
+    """
+    from .range_join import range_join
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    left_cols = left.columns
+    payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    out_names = {c: (c + suffix if c in left_cols else c) for c in payload_cols}
+    matched_ts_name = right_ts + suffix
+    sign = 1 if direction == "backward" else -1
+
+    def us(col: str):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    # NULL keys / NULL timestamps match nothing (same three-valued
+    # semantics as asof_join)
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
+    right = right.where(F.col(right_ts).isNotNull())
+
+    # right rows → (keys, _t, payload struct); _t is the signed micro
+    # timestamp so forward is backward on the mirrored axis, +1 for
+    # strict (interval starts one microsecond after the change)
+    t_expr = us(right_ts) * F.lit(sign) + F.lit(1 if strict else 0)
+    r = right.select(
+        *keys,
+        t_expr.alias("_t"),
+        F.struct(
+            us(right_ts).alias("__rts_us"),
+            *[F.col(c) for c in payload_cols],
+        ).alias(_PAYLOAD),
+        (
+            F.col(right_tiebreak)
+            if right_tiebreak is not None
+            else F.lit(0)
+        ).alias("__tb"),
+    )
+    payload_type = r.schema[_PAYLOAD].dataType
+
+    # validity intervals: one lead() per key. Ties on (key, _t) chain
+    # through the tiebreak ASC, so the LARGEST tiebreak gets the
+    # non-empty interval (earlier duplicates get zero-length [t, t)
+    # intervals that contain no point) — largest-tiebreak-wins, same
+    # as asof_join. Over a key-bucketed right table this window plans
+    # as Sort without Exchange.
+    wiv = Window.partitionBy(*keys).orderBy(F.col("_t").asc(), F.col("__tb").asc())
+    iv = r.select(
+        *keys,
+        F.col("_t").alias("_vf"),
+        F.lead("_t").over(wiv).alias("_vto"),
+        _PAYLOAD,
+    )
+
+    # sentinel per key: (-inf, first change) with NULL payload, so
+    # every left row whose key exists in right matches exactly one
+    # interval (left-join semantics without a second pass over the
+    # bins). Bounded below by the oldest left point (semantics-free
+    # truncation: nothing exists before it to match).
+    bounds = left.agg(
+        F.min(us(left_ts) * F.lit(sign)).alias("lo"),
+        F.max(us(left_ts) * F.lit(sign)).alias("hi"),
+    ).collect()[0]
+    lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
+    hi = int(bounds["hi"]) if bounds["hi"] is not None else 0
+    first = iv.groupBy(*keys).agg(F.min("_vf").alias("_vto"))
+    sentinel = first.where(F.col("_vto") > F.lit(lo)).select(
+        *keys,
+        F.lit(lo).alias("_vf"),
+        "_vto",
+        F.lit(None).cast(payload_type).alias(_PAYLOAD),
+    )
+    # close intervals: half-open [vf, vto) → closed [vf, vto-1] in
+    # integer micros; the current (open-ended) interval caps at the
+    # newest left point — beyond it there is nothing to match
+    closed = (
+        iv.unionByName(sentinel)
+        .withColumn(
+            "_ve",
+            F.coalesce(F.col("_vto") - F.lit(1), F.lit(hi)),
+        )
+        .drop("_vto")
+        .where(F.col("_ve") >= F.col("_vf"))  # zero-length tie rows out
+        .where(F.col("_vf") <= F.lit(hi))  # starts after every point
+    )
+
+    pts = left.select(
+        *left_cols, (us(left_ts) * F.lit(sign)).alias("_p")
+    ).where(F.col("_p").isNotNull() & F.greatest(*[F.lit(False), *[F.col(k).isNotNull() for k in keys]]))
+    # (greatest(False, k IS NOT NULL...) == all-keys-not-null only for
+    # one key; use explicit conjunction for multi-key)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).isNotNull()
+    pts = left.select(
+        *left_cols, (us(left_ts) * F.lit(sign)).alias("_p")
+    ).where(F.col("_p").isNotNull() & cond)
+
+    matched = range_join(
+        pts,
+        closed,
+        point="_p",
+        start="_vf",
+        end="_ve",
+        on=keys,
+        bin_width=bin_width,
+        long_cap=long_cap,
+    )
+
+    # left rows that can match nothing: NULL ts / NULL key / key absent
+    # from the right side — null payload, like a SQL left join
+    right_keys = right.select(*keys).distinct()
+    unmatched = left.where(~(us(left_ts).isNotNull() & cond)).unionByName(
+        left.where(us(left_ts).isNotNull() & cond).join(
+            right_keys, keys, "left_anti"
+        )
+    )
+    out = matched.select(
+        *left_cols, F.col(_PAYLOAD).alias("__pl")
+    ).unionByName(
+        unmatched.select(
+            *left_cols, F.lit(None).cast(payload_type).alias("__pl")
+        )
+    )
+    if tolerance_us is not None:
+        gap = F.abs(us(left_ts) - F.col("__pl")["__rts_us"])
+        out = out.withColumn(
+            "__pl",
+            F.when(gap <= F.lit(int(tolerance_us)), F.col("__pl")),
+        )
+    return out.select(
+        *left_cols,
+        F.timestamp_micros(F.col("__pl")["__rts_us"]).alias(matched_ts_name),
+        *[F.col("__pl")[c].alias(out_names[c]) for c in payload_cols],
+    )
+
+
 def build_validity_intervals(
     df: DataFrame,
     key: str | list[str],
