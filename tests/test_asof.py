@@ -158,6 +158,146 @@ def test_asof_no_match_and_empty_right(spark):
     assert got2["rval"].isna().all()
 
 
+def _spark_asof_intervals(spark, left, right, **kw):
+    from tgdigest_spark.operators.asof import asof_join_intervals
+
+    out = asof_join_intervals(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="ts",
+        **kw,
+    )
+    return out.toPandas().sort_values(["k", "ts", "lval"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_intervals_matches_pandas(spark, direction, strict):
+    left, right = _mk_frames(seed=42)
+    got = _spark_asof_intervals(
+        spark, left, right, direction=direction, strict=strict
+    )
+    want = _pandas_asof(left, right, direction=direction, strict=strict)
+    for col in ("rval", "tag"):
+        pd.testing.assert_series_equal(
+            got[col], want[col], check_names=False, check_dtype=False
+        )
+    pd.testing.assert_series_equal(
+        got["ts_r"], want["ts_r"], check_names=False, check_dtype=False
+    )
+
+
+def test_asof_intervals_tolerance_and_tiebreak(spark):
+    left, right = _mk_frames(seed=7)
+    tol = 3600 * 10**6
+    got = _spark_asof_intervals(spark, left, right, tolerance_us=tol)
+    want = _pandas_asof(left, right, tol=tol)
+    pd.testing.assert_series_equal(
+        got["rval"], want["rval"], check_names=False, check_dtype=False
+    )
+    # tied right timestamps: largest tiebreak wins, both directions
+    from tgdigest_spark.operators.asof import asof_join_intervals
+
+    lone = pd.DataFrame(
+        {"k": [1], "ts": [pd.Timestamp("2024-01-10")], "lval": [0.0]}
+    )
+    for direction, rts in (
+        ("backward", "2024-01-05 00:00:00"),
+        ("forward", "2024-01-15 00:00:00"),
+    ):
+        rdf = spark.createDataFrame(
+            [(1, rts, float(t), t) for t in (3, 9, 1)],
+            "k long, ts string, rval double, tag long",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        row = asof_join_intervals(
+            spark.createDataFrame(lone),
+            rdf,
+            on="k",
+            left_ts="ts",
+            direction=direction,
+            right_tiebreak="tag",
+        ).collect()[0]
+        assert row["tag"] == 9, direction
+
+
+def test_asof_intervals_null_semantics_and_no_match(spark):
+    """Same three-valued NULL rules as asof_join, plus left-join
+    semantics for keys absent from the right side."""
+    from tgdigest_spark.operators.asof import asof_join_intervals
+
+    left = spark.createDataFrame(
+        [
+            (None, "2024-01-10 00:00:00", 1.0),  # NULL key
+            (1, None, 2.0),  # NULL ts
+            (1, "2024-01-10 00:00:00", 3.0),  # real match
+            (1, "2024-01-02 00:00:00", 4.0),  # before first change
+            (9, "2024-01-10 00:00:00", 5.0),  # key absent from right
+        ],
+        "k long, ts string, lval double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (None, "2024-01-05 00:00:00", 99.0),
+            (1, None, 98.0),
+            (1, "2024-01-05 00:00:00", 7.0),
+        ],
+        "k long, ts string, rval double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {
+        r["lval"]: r["rval"]
+        for r in asof_join_intervals(left, right, on="k").collect()
+    }
+    assert rows == {1.0: None, 2.0: None, 3.0: 7.0, 4.0: None, 5.0: None}
+
+
+def test_asof_intervals_bucketed_right_never_exchanges(spark, tmp_path):
+    """The point of the formulation: over a key-bucketed right table,
+    the right lineage plans scan → window-sort → explode → join with
+    NO Exchange; only the left side shuffles (by key, matching the
+    buckets). The union-based asof_join re-exchanges both sides even
+    when bucketed — this plan must show exactly the two left-side key
+    exchanges (bin join + absent-key anti join) and no BNLJ."""
+    import re
+
+    from tgdigest_spark.operators.asof import asof_join_intervals
+
+    left, right = _mk_frames(seed=11)
+    table = "asof_bucketed_right_gate"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        (
+            spark.createDataFrame(right)
+            .repartition(8, "k")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, "k")
+            .sortBy("k")
+            .option("path", str(tmp_path / "t"))
+            .saveAsTable(table)
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = asof_join_intervals(
+            spark.createDataFrame(left), spark.table(table), on="k", left_ts="ts"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        ex = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        assert len(ex) == 2, ex  # pts→(k) and anti-left→(k); right: none
+        assert "BroadcastNestedLoop" not in plan
+        # and the result is still the as-of answer
+        got = (
+            out.toPandas().sort_values(["k", "ts", "lval"]).reset_index(drop=True)
+        )
+        want = _pandas_asof(left, right)
+        pd.testing.assert_series_equal(
+            got["rval"], want["rval"], check_names=False, check_dtype=False
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_asof_plan_is_single_exchange_no_udf(spark):
     """Scale shape: one hash Exchange on the key, window codegen, no
     Python evaluation anywhere."""

@@ -226,9 +226,13 @@ def asof_join_intervals(
 
     Scale shape: the big right side is scanned once, windowed without
     an Exchange over buckets, and exploded ~(1 + len/width) per
-    interval; only the left side and the exploded interval keys
-    shuffle. Parity vs :func:`asof_join` is pytest-enforced on
-    identical data (tests/test_asof.py).
+    interval; only the left side shuffles (by key, matching the
+    buckets). The bin join uses a join-key SUBSET for co-partitioning,
+    so ``spark.sql.requireAllClusterKeysForCoPartition=false`` (set by
+    session.get_spark; Spark 4 defaults it to true) is required for
+    the zero-right-shuffle plan — without it results are identical but
+    both sides re-Exchange on (key, bin). Parity vs :func:`asof_join`
+    is pytest-enforced on identical data (tests/test_asof.py).
     """
     from .range_join import range_join
 
@@ -270,57 +274,63 @@ def asof_join_intervals(
     )
     payload_type = r.schema[_PAYLOAD].dataType
 
-    # validity intervals: one lead() per key. Ties on (key, _t) chain
-    # through the tiebreak ASC, so the LARGEST tiebreak gets the
-    # non-empty interval (earlier duplicates get zero-length [t, t)
-    # intervals that contain no point) — largest-tiebreak-wins, same
-    # as asof_join. Over a key-bucketed right table this window plans
-    # as Sort without Exchange.
-    wiv = Window.partitionBy(*keys).orderBy(F.col("_t").asc(), F.col("__tb").asc())
-    iv = r.select(
-        *keys,
-        F.col("_t").alias("_vf"),
-        F.lead("_t").over(wiv).alias("_vto"),
-        _PAYLOAD,
-    )
-
-    # sentinel per key: (-inf, first change) with NULL payload, so
-    # every left row whose key exists in right matches exactly one
-    # interval (left-join semantics without a second pass over the
-    # bins). Bounded below by the oldest left point (semantics-free
-    # truncation: nothing exists before it to match).
+    # validity intervals: one window per key (lead + row_number over
+    # the same spec). Ties on (key, _t) chain through the tiebreak
+    # ASC, so the LARGEST tiebreak gets the non-empty interval
+    # (earlier duplicates get zero-length [t, t) intervals that
+    # contain no point) — largest-tiebreak-wins, same as asof_join.
+    # Over a key-bucketed right table this window plans as Sort
+    # without Exchange.
     bounds = left.agg(
         F.min(us(left_ts) * F.lit(sign)).alias("lo"),
         F.max(us(left_ts) * F.lit(sign)).alias("hi"),
     ).collect()[0]
     lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
     hi = int(bounds["hi"]) if bounds["hi"] is not None else 0
-    first = iv.groupBy(*keys).agg(F.min("_vf").alias("_vto"))
-    sentinel = first.where(F.col("_vto") > F.lit(lo)).select(
+
+    wiv = Window.partitionBy(*keys).orderBy(F.col("_t").asc(), F.col("__tb").asc())
+    iv0 = r.select(
         *keys,
-        F.lit(lo).alias("_vf"),
-        "_vto",
-        F.lit(None).cast(payload_type).alias(_PAYLOAD),
+        "_t",
+        _PAYLOAD,
+        F.lead("_t").over(wiv).alias("_vto"),
+        F.row_number().over(wiv).alias("_rn"),
+    )
+    # per-key sentinel interval (-inf, first change) with NULL payload,
+    # so every left row whose key exists in right matches exactly one
+    # interval (left-join semantics without a second pass over the
+    # bins). The sentinel is emitted by EXPLODING the key's first row
+    # into [sentinel, own] — NOT by a union: Union reports unknown
+    # partitioning and would force the bucketed side back through an
+    # Exchange, the exact failure mode this formulation exists to
+    # avoid. Bounded below by the oldest left point (semantics-free
+    # truncation: nothing exists before it to match).
+    own = F.struct(
+        F.col("_t").alias("f"), F.col("_vto").alias("t"), F.col(_PAYLOAD).alias("p")
+    )
+    sent = F.struct(
+        F.lit(lo).cast("long").alias("f"),
+        F.col("_t").alias("t"),
+        F.lit(None).cast(payload_type).alias("p"),
+    )
+    pieces = F.when(F.col("_rn") == 1, F.array(sent, own)).otherwise(
+        F.array(own)
     )
     # close intervals: half-open [vf, vto) → closed [vf, vto-1] in
     # integer micros; the current (open-ended) interval caps at the
     # newest left point — beyond it there is nothing to match
     closed = (
-        iv.unionByName(sentinel)
-        .withColumn(
-            "_ve",
-            F.coalesce(F.col("_vto") - F.lit(1), F.lit(hi)),
+        iv0.select(*keys, F.explode(pieces).alias("_e"))
+        .select(
+            *keys,
+            F.col("_e.f").alias("_vf"),
+            F.coalesce(F.col("_e.t") - F.lit(1), F.lit(hi)).alias("_ve"),
+            F.col("_e.p").alias(_PAYLOAD),
         )
-        .drop("_vto")
-        .where(F.col("_ve") >= F.col("_vf"))  # zero-length tie rows out
+        .where(F.col("_ve") >= F.col("_vf"))  # zero-length tie/sentinel out
         .where(F.col("_vf") <= F.lit(hi))  # starts after every point
     )
 
-    pts = left.select(
-        *left_cols, (us(left_ts) * F.lit(sign)).alias("_p")
-    ).where(F.col("_p").isNotNull() & F.greatest(*[F.lit(False), *[F.col(k).isNotNull() for k in keys]]))
-    # (greatest(False, k IS NOT NULL...) == all-keys-not-null only for
-    # one key; use explicit conjunction for multi-key)
     cond = F.lit(True)
     for k in keys:
         cond = cond & F.col(k).isNotNull()

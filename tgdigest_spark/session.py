@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Allow subset-of-join-keys co-partitioning (Spark 4 defaults
+        # this to true = require ALL keys): a side already hash-
+        # partitioned on a join-key subset — a key-bucketed table
+        # joined on (key, bin), e.g. asof_join_intervals — is reused
+        # as-is and only the other side shuffles to match. Plan-shape
+        # only; results are identical either way.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
