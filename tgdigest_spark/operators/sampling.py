@@ -357,15 +357,22 @@ def select_until_budget(
     The naive plan (global ``Window.orderBy`` cumsum, the reference's
     A8 shape in driver_queries.running_sum_cutoff) funnels the whole
     table through ONE partition. This operator keeps the identical
-    semantics with bounded shuffles:
+    semantics at ~one pass over the input:
 
-    1. bin rows by VALUE RANGES of the order key (boundaries from
-       approxQuantile — a bad split only unbalances bins, never
-       changes the answer, so layout-dependence of the estimate is
-       harmless);
-    2. per-bin decimal sums (``n_bins`` rows) to the driver, prefix
-       them, and broadcast each bin's starting offset back;
-    3. one window PARTITIONED BY BIN adds the exact within-bin cumsum
+    1. bin rows by VALUE RANGES of the order key — boundaries come
+       from a BOUNDED sample (the head of each scan task, quantiled
+       by one approx_percentile over <= tasks x 4096 values; each
+       sampling task short-circuits after its first Arrow batch, so
+       this costs ~a row-group read per task, not a scan). A bad
+       split only unbalances bins, never changes the answer, so both
+       the sample's layout-dependence and its skew are harmless;
+    2. ONE full scan computes each row's bin and the frame is
+       localCheckpoint-ed, so the two consumers below reuse it
+       instead of re-reading the source;
+    3. per-bin decimal sums (a map-side-partial agg shuffling ~n_bins
+       rows per task) to the driver, prefix them, broadcast each
+       bin's starting offset back, and one window PARTITIONED BY BIN
+       (the single full-row shuffle) adds the exact within-bin cumsum
        to the offset; rows filter on ``offset + cum <= budget``.
 
     Equal order-key values always share a bin, so the bin walk is a
@@ -373,7 +380,9 @@ def select_until_budget(
     associativity would make the cutoff layout-dependent); the output
     column is cast to double at the end. Rows with NULL amount are
     excluded. Fully SQL-expressible → DuckDB oracle
-    (driver_queries.budget_cutoff_docs).
+    (driver_queries.budget_cutoff_docs). The checkpoint blocks are
+    freed by the context cleaner when the result is garbage-collected
+    (same convention as the dedup operators).
     """
     from decimal import Decimal
 
@@ -384,8 +393,19 @@ def select_until_budget(
     base = df.where(a.isNotNull()).withColumn("_amt", a)
     probe = "_budget_probe"
     base = base.withColumn(probe, o.cast("double"))
+
+    def _task_heads(batches):
+        for pdf in batches:
+            yield pdf.head(4096)
+            return  # short-circuit: the scan stops after one batch
+
+    sampled = (
+        base.select(probe)
+        .where(F.col(probe).isNotNull())
+        .mapInPandas(_task_heads, schema=f"{probe} double")
+    )
     qs = [i / n_bins for i in range(1, n_bins)]
-    bounds = sorted(set(base.stat.approxQuantile(probe, qs, 0.001)))
+    bounds = sorted(set(sampled.stat.approxQuantile(probe, qs, 0.001)))
     # bin id increases along the WALK order (bin 0 is walked first):
     # count of ascending boundaries below the key, flipped for
     # descending walks — built as a BALANCED binary-search CASE tree
@@ -408,7 +428,14 @@ def select_until_budget(
     bin_expr = _count_below([float(x) for x in bounds], 0)
     if descending:
         bin_expr = F.lit(len(bounds)) - bin_expr
-    binned = base.withColumn("_bin", bin_expr)
+    # ONE pass over the input: pin the binned frame — the stats agg
+    # (map-side partial, shuffles ~n_bins rows per task) and the final
+    # window (the one real row shuffle, by _bin) both consume the
+    # checkpoint instead of re-scanning the source. NB localCheckpoint
+    # does NOT carry partitioning metadata, so pre-shuffling by _bin
+    # here would just add a second full shuffle — checkpoint the
+    # narrow scan output and let the window do the single exchange.
+    binned = base.withColumn("_bin", bin_expr).localCheckpoint(eager=True)
     stats = {
         int(r["_bin"]): (r["s"], r["mn"])
         for r in binned.groupBy("_bin")
