@@ -233,6 +233,89 @@ def test_strict_decode_raises(spark):
         ).collect()
 
 
+def test_ppm_and_wav_roundtrip():
+    """The real (pure-numpy) decode path: encode → decode must be
+    bit-exact for P6 RGB, P5 grayscale (incl. header comments), and
+    16-bit PCM WAVE mono/stereo."""
+    import numpy as np
+
+    from tgdigest_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    gray = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+    # header comments are legal netpbm
+    with_comment = b"P6\n# a comment\n7 13\n255\n" + rgb.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), rgb)
+
+    mono = (np.sin(np.arange(800) / 10) * 20000).astype("<i2")
+    samples, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000
+    assert np.array_equal(samples[:, 0], mono)
+    stereo = rng.integers(-30000, 30000, size=(400, 2)).astype("<i2")
+    samples2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(samples2, stereo)
+
+    # codec formats still refuse loudly
+    for bad in (b"\xff\xd8\xff\xe0JFIF....", b"P3\n1 1\n255\n0 0 0"):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_real_decode_through_spark_pipeline(spark):
+    """extract_features over REAL bytes with the real decoder: PPM and
+    WAV payloads round-tripped from synthetic arrays produce the exact
+    moment features computed single-process; a jpeg payload under the
+    same decoder raises (strict for formats needing codec libs)."""
+    import numpy as np
+
+    from tgdigest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _moments,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        extract_features,
+        real_decode,
+    )
+
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    wav = rng.integers(-32768, 32768, size=(1000, 2)).astype("<i2")
+    rows = [
+        (0, "image", bytearray(encode_ppm(rgb)),
+         {"width": 24, "height": 32, "duration_s": None, "sample_rate": None, "codec": "ppm"}),
+        (1, "audio", bytearray(encode_wav(wav, 22050)),
+         {"width": None, "height": None, "duration_s": None, "sample_rate": 22050, "codec": "pcm"}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["asset_id"]: np.array(r["feature"])
+        for r in extract_features(media, decode_fn=real_decode).collect()
+    }
+    np.testing.assert_allclose(feats[0], _moments(decode_ppm(encode_ppm(rgb))))
+    np.testing.assert_allclose(
+        feats[1], _moments(decode_wav(encode_wav(wav, 22050))[0])
+    )
+
+    jpeg_rows = [
+        (2, "image", bytearray(b"\xff\xd8\xff\xe0" + b"x" * 64),
+         {"width": 1, "height": 1, "duration_s": None, "sample_rate": None, "codec": "jpeg"})
+    ]
+    with pytest.raises(Exception, match="NotImplemented|decode"):
+        extract_features(
+            spark.createDataFrame(jpeg_rows, MEDIA_SCHEMA), decode_fn=real_decode
+        ).collect()
+
+
 def test_ann_ivf_recall(spark, sf001_dir):
     from tgdigest_spark.operators.similarity import ann_ivf_topk
 

@@ -2,10 +2,13 @@
 
 The Spark-side plumbing is real and tested — schemas, partition-aware
 ``mapInPandas`` decode pipelines, Arrow batch shapes, frame sampling
-arithmetic. The actual codec work is stubbed (this container has no
-image/audio libraries): ``decode_fn`` defaults to a deterministic fake
-decoder, and ``STRICT_DECODE=True`` raises NotImplementedError so
-misuse is loud.
+arithmetic. Decode itself is REAL for the formats a pure-numpy parser
+can handle — netpbm P5/P6 images (:func:`decode_ppm`) and RIFF/WAVE
+PCM audio (:func:`decode_wav`), round-trip-tested bit-exact — while
+codec formats (jpeg/png/mp4) stay behind a loud NotImplementedError
+(this container has no codec libraries). ``decode_fn`` defaults to a
+deterministic fake for tests/benchmarks; pass ``real_decode`` to run
+the real path.
 
 Schema contract (one row per asset):
 
@@ -70,12 +73,152 @@ STRICT_DECODE = False
 FEATURE_DIM = 16
 
 
-def real_decode(payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover
-    """The production decode hook. Container has no codec libs."""
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy netpbm decoder for binary PPM (P6, RGB) and PGM (P5,
+    grayscale): header tokens (with ``#`` comments) then raw samples.
+    Returns (height, width, 3) for P6 or (height, width) for P5 —
+    uint8 for maxval < 256, uint16 (big-endian per spec) otherwise.
+    No codec library needed; this makes the decode path REAL for one
+    image format while jpeg/png stay behind the strict-mode guard."""
+    if payload is None or len(payload) < 2 or payload[:1] != b"P":
+        raise ValueError("not a netpbm payload")
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"unsupported netpbm magic {magic!r} (binary P5/P6 only)")
+    # tokenize the header: magic, width, height, maxval; '#' starts a
+    # comment to end-of-line; ONE whitespace byte separates the maxval
+    # token from the raster
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3 or i >= n:
+        raise ValueError("truncated netpbm header")
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if not (0 < maxval < 65536):
+        raise ValueError(f"bad netpbm maxval {maxval}")
+    channels = 3 if magic == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    count = width * height * channels
+    raster = np.frombuffer(payload, dtype=dtype, count=count, offset=i)
+    if raster.size != count:
+        raise ValueError("truncated netpbm raster")
+    shape = (height, width, 3) if channels == 3 else (height, width)
+    return raster.reshape(shape)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/WAVE PCM decoder: walks the chunk list, reads
+    ``fmt `` + ``data``, returns ``(samples, sample_rate)`` with
+    samples shaped (n_frames, n_channels) in the container's integer
+    dtype (u1 for 8-bit, <i2 / <i4 for 16/32-bit PCM). Compressed
+    codecs raise — only uncompressed PCM is in scope."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    o, n = 12, len(payload)
+    while o + 8 <= n:
+        cid = payload[o : o + 4]
+        size = int.from_bytes(payload[o + 4 : o + 8], "little")
+        body = payload[o + 8 : o + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        o += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAVE format {audio_format} (PCM only)")
+    dtype = {8: np.dtype("u1"), 16: np.dtype("<i2"), 32: np.dtype("<i4")}.get(bits)
+    if dtype is None or n_channels < 1:
+        raise ValueError(f"unsupported PCM layout: {bits}-bit x {n_channels}ch")
+    frames = len(data) // (dtype.itemsize * n_channels)
+    samples = np.frombuffer(
+        data, dtype=dtype, count=frames * n_channels
+    ).reshape(frames, n_channels)
+    return samples, sample_rate
+
+
+def _moments(arr: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM chunk means of a flattened decoded array — the same
+    reduction shape as fake_decode, but over real decoded samples."""
+    flat = np.asarray(arr, dtype=np.float64).ravel()
+    if flat.size == 0:
+        return np.zeros(FEATURE_DIM)
+    chunks = np.array_split(flat, FEATURE_DIM)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks])
+
+
+def real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """The production decode hook: REAL for the formats a pure-numpy
+    decoder can handle (netpbm P5/P6 images, RIFF/WAVE PCM audio —
+    payload sniffed by magic bytes), NotImplementedError for codec
+    formats (jpeg/png/mp4/...) that need libraries absent from this
+    container. Returns the FEATURE_DIM moment vector of the decoded
+    pixels/samples, matching the extract_features contract."""
+    if payload is not None and len(payload) >= 12:
+        if payload[:2] in (b"P5", b"P6"):
+            return _moments(decode_ppm(payload))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            samples, _ = decode_wav(payload)
+            return _moments(samples)
     raise NotImplementedError(
-        "image/audio decode requires codec libraries not present in this "
-        "environment; inject decode_fn= or use the deterministic fake"
+        "decode for this payload format requires codec libraries not "
+        "present in this environment (pure-numpy path covers netpbm "
+        "P5/P6 and WAVE PCM); inject decode_fn= or use the "
+        "deterministic fake"
     )
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Test/round-trip helper: uint8 (h, w, 3) → binary P6, uint8
+    (h, w) → P5."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+        h, w = arr.shape[:2]
+    elif arr.ndim == 2:
+        magic = b"P5"
+        h, w = arr.shape
+    else:
+        raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale uint8")
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Test/round-trip helper: int16 (n_frames, n_channels) → WAVE PCM."""
+    arr = samples.reshape(-1, 1) if samples.ndim == 1 else samples
+    arr = np.ascontiguousarray(arr, dtype="<i2")
+    n_ch = arr.shape[1]
+    data = arr.tobytes()
+    block = 2 * n_ch
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + int(sample_rate).to_bytes(4, "little")
+        + int(sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def fake_decode(payload: bytes, kind: str) -> np.ndarray:
