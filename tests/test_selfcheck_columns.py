@@ -37,6 +37,11 @@ _FLAG_QUERIES = {
     "sketch_grouped_tdigest": ["p50_rank_ok", "p95_rank_ok"],
     "sketch_grouped_kll": ["p50_rank_ok", "p95_rank_ok"],
     "sketch_bloom_membership": ["no_false_negatives", "surplus_within_fpr"],
+    "minhash_lsh_neardup": ["high_pairs_all_candidates", "est_within_bound"],
+    "simhash_summary": ["identical_pairs_found_at_zero", "bands_nested"],
+    "embedding_neardup_lsh": ["neardup_recall_ok"],
+    "ann_lsh_recall": ["mean_recall_ok"],
+    "ann_ivf_recall": ["mean_recall_ok"],
 }
 
 
@@ -59,8 +64,9 @@ def test_sequence_pack_flags_hold(spark, sf001_dir):
     (r,) = _row(spark, sf001_dir, "sequence_pack_stats")
     assert r["capacity_ok"] is True
     assert r["packed_once_ok"] is True
+    assert r["utilization_in_range"] is True
+    assert r["bin_count_ge_lower_bound"] is True
     assert r["n_oversized_bins"] >= 0
-    assert 0.0 < r["utilization"] <= 1.0
 
 
 @pytest.mark.parametrize(

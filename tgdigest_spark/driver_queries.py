@@ -1479,18 +1479,53 @@ def week_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_neardup_lsh", None)
+# Embedding-cosine near-dup tier. Oracle-exact gate shape: the
+# SQL-derivable anchor (count of vector pairs with 6dp-rounded exact
+# cosine >= 0.5 — DuckDB list_cosine_similarity and the JVM expression
+# agree bit-for-bit after the rounding, the established cross-engine
+# cosine convention) plus a recall flag scoped to the >= 0.95 NEAR-DUP
+# tier the 10-bit/6-table hyperplane LSH is parameterized for (banding
+# math: ~92% per-pair hit rate at cos 0.95; fixed seeds →
+# deterministic). The synthetic embeddings contain no >= 0.95 pairs at
+# any sf (max pair cosine ~0.6), so the flag certifies the absence
+# case here; the operating-point recall itself is pinned in pytest
+# (tests/test_training_ops.py LSH recall suite).
+@register(
+    "embedding_neardup_lsh",
+    """
+    WITH p AS (
+        SELECT ROUND(list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS c
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(COALESCE(SUM(CASE WHEN c >= 0.5 - 1e-9
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_exact_pairs_05,
+           TRUE AS neardup_recall_ok
+    FROM p
+    """,
+)
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup tier: LSH-bucket candidate pairs,
-    exact cosine re-scored, top-20 most similar (approximate tier;
-    recall vs brute force asserted in pytest)."""
-    from .operators.similarity import hyperplane_buckets
+    from .operators.similarity import cosine_expr, hyperplane_buckets
 
     emb = load(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = F.round(cosine_expr("va", "vb"), 6)
+    exact = (
+        ea.join(eb, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("c"))
+        .where(F.col("c") >= F.lit(0.5 - 1e-9))
+        .persist()
+    )
+    n_exact_05 = exact.count()
+    high = exact.where(F.col("c") >= F.lit(0.95 - 1e-9)).persist()
+    n_high = high.count()
+
     buckets = hyperplane_buckets(emb, n_bits=10, n_tables=6)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -1501,16 +1536,13 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    from .operators.similarity import cosine_expr
-
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    joined = pairs.join(ea, "id_a").join(eb, "id_b")
-    cos = cosine_expr("va", "vb")
-    return (
-        joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), "id_a", "id_b")
-        .limit(20)
+    found = high.join(cand, ["id_a", "id_b"], "left_semi").count()
+    high.unpersist()
+    exact.unpersist()
+    recall = found / n_high if n_high else 1.0
+    return spark.createDataFrame(
+        [(int(n_exact_05), recall >= 0.6)],
+        "n_exact_pairs_05 long, neardup_recall_ok boolean",
     )
 
 
@@ -1756,39 +1788,174 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_lsh_neardup", None)
+# MinHash+LSH near-dup tier. Oracle-exact gate shape: the exact-tier
+# anchors (counts of exact-Jaccard pairs at >= 0.5 and >= 0.9, from
+# the prefix-filtered exact join — same SQL as jaccard_prefix_pairs)
+# plus flags pinned TRUE by the banding theorem: with b=32, r=4 a pair
+# at true Jaccard 0.9 is missed with probability (1-0.9^4)^32 ~ 1e-15,
+# so every exact >= 0.9 pair appears among the LSH candidates, and the
+# minhash estimate for those found pairs is within 10x the
+# 1/sqrt(num_perm) standard error of the exact value.
+@register(
+    "minhash_lsh_neardup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS shingle
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), j AS (
+        SELECT CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jac
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT CAST(COALESCE(SUM(CASE WHEN jac >= 0.5 - 1e-12
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_exact_pairs_05,
+           CAST(COALESCE(SUM(CASE WHEN jac >= 0.9 - 1e-12
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_exact_pairs_09,
+           TRUE AS high_pairs_all_candidates,
+           TRUE AS est_within_bound
+    FROM j
+    """,
+)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: top-20 by estimated Jaccard
-    (approximate tier; bound vs the exact tier tested in pytest)."""
-    from .operators.dedup_text import lsh_candidate_pairs
+    from .operators.dedup_text import jaccard_prefix_join, lsh_candidate_pairs
 
-    docs = load(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, num_perm=128, bands=32, rows=4)
-    release = pairs.release_cache  # capture BEFORE transforming (attr
-    # lives on this DataFrame object only)
-    out = pairs.orderBy(F.desc("est_jaccard"), "id_a", "id_b").limit(20)
-    rows = out.collect()
-    release()
-    return spark.createDataFrame(rows, out.schema)
+    docs = load(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    cand = lsh_candidate_pairs(docs, num_perm=128, bands=32, rows=4)
+    release_cand = cand.release_cache
+    cand = cand.persist()
+
+    exact = jaccard_prefix_join(docs, threshold=0.5)
+    release_exact = exact.release_cache
+    exact = exact.persist()
+    n05 = exact.count()
+    high = exact.where(F.col("jaccard") >= F.lit(0.9 - 1e-12)).persist()
+    n09 = high.count()
+    joined = high.join(cand, ["id_a", "id_b"], "left")
+    row = joined.agg(
+        F.coalesce(
+            F.sum(F.col("est_jaccard").isNull().cast("long")), F.lit(0)
+        ).alias("missing"),
+        F.coalesce(
+            F.max(F.abs(F.col("est_jaccard") - F.col("jaccard"))), F.lit(0.0)
+        ).alias("max_gap"),
+    ).collect()[0]
+    high.unpersist()
+    exact.unpersist()
+    cand.unpersist()
+    release_exact()
+    release_cand()
+    est_tol = 10.0 / (128.0**0.5)  # 10x the 1/sqrt(num_perm) std error
+    return spark.createDataFrame(
+        [
+            (
+                int(n05),
+                int(n09),
+                int(row["missing"]) == 0,
+                float(row["max_gap"]) <= est_tol,
+            )
+        ],
+        "n_exact_pairs_05 long, n_exact_pairs_09 long, "
+        "high_pairs_all_candidates boolean, est_within_bound boolean",
+    )
 
 
-@register("simhash_summary", None)
+# SimHash near-dup tier. Oracle-exact gate shape: the SQL-derivable
+# anchor (count of identical-text doc pairs among token-bearing docs —
+# identical token streams always hash to identical 64-bit fingerprints,
+# so every such pair MUST surface at Hamming 0 through the exact band
+# semantics) plus structural flags: the identical-pair coverage holds,
+# and the Hamming-band counts nest (h0 <= h8 <= h16).
+@register(
+    "simhash_summary",
+    """
+    WITH d AS (
+        SELECT text FROM documents
+        WHERE trim(COALESCE(text, '')) <> ''
+          AND len(regexp_extract_all(COALESCE(text, ''), '\\S+')) >= 1
+    ), g AS (
+        SELECT COUNT(*) AS c FROM d GROUP BY text
+    )
+    SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+               AS n_identical_text_pairs,
+           TRUE AS identical_pairs_found_at_zero,
+           TRUE AS bands_nested
+    FROM g
+    """,
+)
 def simhash_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash candidate summary: pair counts by Hamming distance band
-    (always one row; documents corpus has few true near-dups)."""
     from .operators.dedup_text import simhash_near_pairs
 
     docs = load(spark, sf_dir, "documents")
     pairs = simhash_near_pairs(docs, max_hamming=16)
     release = pairs.release_cache
-    out = pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs_h16"),
-        F.sum((F.col("hamming") <= 8).cast("long")).alias("n_pairs_h8"),
-        F.sum((F.col("hamming") == 0).cast("long")).alias("n_exact"),
+    pairs = pairs.persist()
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("h16"),
+        F.coalesce(
+            F.sum((F.col("hamming") <= 8).cast("long")), F.lit(0)
+        ).alias("h8"),
+        F.coalesce(
+            F.sum((F.col("hamming") == 0).cast("long")), F.lit(0)
+        ).alias("h0"),
+    ).collect()[0]
+    # identical-text pairs among token-bearing docs, built Spark-side
+    # exactly as the oracle builds them
+    # token-bearing = non-blank after trim AND at least one \S+ token
+    # (trim alone misses whitespace-only texts: both engines' trim only
+    # strips spaces, while the tokenizer splits on all whitespace)
+    tokened = docs.where(
+        (F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        & (
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce(F.col("text"), F.lit("")), F.lit(r"\S+"), 0
+                )
+            )
+            >= 1
+        )
     )
-    rows = out.collect()
+    ident = (
+        tokened.alias("x")
+        .join(tokened.alias("y"), "text")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+    ).persist()
+    n_ident = ident.count()
+    missing = ident.join(
+        pairs.where(F.col("hamming") == 0), ["id_a", "id_b"], "left_anti"
+    ).count()
+    ident.unpersist()
+    pairs.unpersist()
     release()
-    return spark.createDataFrame(rows, out.schema)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_ident),
+                missing == 0,
+                int(row["h0"]) <= int(row["h8"]) <= int(row["h16"]),
+            )
+        ],
+        "n_identical_text_pairs long, identical_pairs_found_at_zero boolean, "
+        "bands_nested boolean",
+    )
 
 
 @register(
@@ -1934,21 +2101,23 @@ def mime_extension_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_recall", None)
-def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-evaluating ANN: LSH top-10 recall vs brute force per query."""
+def _ann_recall_gate_row(spark, emb, approx_fn, mean_floor: float) -> DataFrame:
+    """Shared gate shape for the self-evaluating ANN rows: per-query
+    top-10 recall vs brute force, emitted as the SQL-derivable query
+    count plus a mean-recall floor flag (the hyperplanes / k-means
+    seeds are fixed, so the recall is deterministic per dataset; the
+    floor is set below the pytest-asserted operating point)."""
     import numpy as np
 
-    from .operators.similarity import ann_lsh_topk, cosine_topk
+    from .operators.similarity import cosine_topk
 
-    emb = load(spark, sf_dir, "embeddings")
     qpdf = emb.where(F.col("vec_id") < 5).toPandas().sort_values("vec_id")
     queries = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
     qids = qpdf["vec_id"].to_numpy()
     exact = cosine_topk(emb, queries, qids, k=10).select(
         "query_id", F.col("vec_id").alias("exact_id")
     )
-    approx = ann_lsh_topk(emb, queries, qids, k=10, n_bits=8, n_tables=16).select(
+    approx = approx_fn(queries, qids).select(
         "query_id", F.col("vec_id").alias("approx_id")
     )
     hits = exact.join(
@@ -1956,14 +2125,40 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (exact.query_id == approx.query_id)
         & (F.col("exact_id") == F.col("approx_id")),
     ).groupBy(exact.query_id.alias("qid")).agg(F.count(F.lit(1)).alias("hits"))
-    return (
+    recalls = (
         exact.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .join(hits, F.col("query_id") == F.col("qid"), "left")
         .select(
-            "query_id",
-            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("n")).alias("recall"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("n")).alias("recall")
         )
+        .collect()
+    )
+    mean_recall = sum(r["recall"] for r in recalls) / max(len(recalls), 1)
+    return spark.createDataFrame(
+        [(len(recalls), mean_recall >= mean_floor)],
+        "n_queries long, mean_recall_ok boolean",
+    )
+
+
+_ANN_GATE_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """
+
+
+@register("ann_lsh_recall", _ANN_GATE_ORACLE)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN: hyperplane-LSH top-10 mean recall vs brute
+    force (floor 0.5; pytest asserts >= 0.6 at the operating point)."""
+    from .operators.similarity import ann_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return _ann_recall_gate_row(
+        spark,
+        emb,
+        lambda q, qi: ann_lsh_topk(emb, q, qi, k=10, n_bits=8, n_tables=16),
+        mean_floor=0.5,
     )
 
 
@@ -2330,38 +2525,19 @@ def multimodal_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_recall", None)
+@register("ann_ivf_recall", _ANN_GATE_ORACLE)
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-evaluating IVF ANN: coarse k-means + n_probe lists, top-10
-    recall vs brute force per query (approximate tier; recall bound
-    asserted in pytest)."""
-    import numpy as np
-
-    from .operators.similarity import ann_ivf_topk, cosine_topk
+    mean recall vs brute force (floor 0.5; the 6-of-16-list probe sits
+    well above it at the tested operating points)."""
+    from .operators.similarity import ann_ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    qpdf = emb.where(F.col("vec_id") < 5).toPandas().sort_values("vec_id")
-    queries = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
-    qids = qpdf["vec_id"].to_numpy()
-    exact = cosine_topk(emb, queries, qids, k=10).select(
-        "query_id", F.col("vec_id").alias("exact_id")
-    )
-    approx = ann_ivf_topk(
-        emb, queries, qids, k=10, n_lists=16, n_probe=6
-    ).select("query_id", F.col("vec_id").alias("approx_id"))
-    hits = exact.join(
-        approx,
-        (exact.query_id == approx.query_id)
-        & (F.col("exact_id") == F.col("approx_id")),
-    ).groupBy(exact.query_id.alias("qid")).agg(F.count(F.lit(1)).alias("hits"))
-    return (
-        exact.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(hits, F.col("query_id") == F.col("qid"), "left")
-        .select(
-            "query_id",
-            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("n")).alias("recall"),
-        )
+    return _ann_recall_gate_row(
+        spark,
+        emb,
+        lambda q, qi: ann_ivf_topk(emb, q, qi, k=10, n_lists=16, n_probe=6),
+        mean_floor=0.5,
     )
 
 
@@ -2545,18 +2721,43 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("passage_overlap_summary", None)
+# Winnowing (MOSS) passage-overlap tier. Oracle-exact gate shape: the
+# bounded-sample exact anchor (count of doc pairs sharing a contiguous
+# 12-token passage — raw-string 12-grams, independent of the
+# fingerprint hasher — over doc_id < 1000, reproduced by the SQL
+# below), the winnowing guarantee pinned as a literal 0 (every exact
+# passage pair shares a fingerprint in the UNCAPPED sample run), and a
+# structural flag on the corpus-wide capped run.
+@register(
+    "passage_overlap_summary",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+        WHERE doc_id < 1000
+          AND len(string_split_regex(trim(text), '\\s+')) >= 12
+    ), grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, i, i + 11), chr(31)) AS gram
+        FROM toks, UNNEST(generate_series(1, len(t) - 11)) AS g(i)
+    ), p AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM grams a JOIN grams b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+               AS sample_exact_passage_pairs,
+           CAST(0 AS BIGINT) AS missing_guaranteed_pairs,
+           TRUE AS corpus_run_ok
+    """,
+)
 def passage_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) passage-overlap tier: doc pairs sharing rolling-
-    hash fingerprints (copied spans / boilerplate), summarized (always
-    one row).
-
-    Exact self-check on a bounded sample (doc_id < 1000): the
-    brute-force count of doc pairs sharing a contiguous
-    (window + k - 1)-TOKEN passage (exact string 12-grams, independent
-    of the fingerprint hasher), plus ``missing_guaranteed_pairs`` —
-    winnowing's guarantee says every such pair shares a fingerprint, so
-    this column must be 0 (also asserted in pytest)."""
+    """Exact anchor on the bounded sample (doc_id < 1000): brute-force
+    count of doc pairs sharing a contiguous (window + k - 1)-TOKEN
+    passage (exact string 12-grams, independent of the fingerprint
+    hasher), plus ``missing_guaranteed_pairs`` — winnowing's guarantee
+    says every such pair shares a fingerprint in the uncapped run, so
+    the column must be 0 (the oracle pins it as a literal)."""
     from .operators.dedup_text import passage_overlap_pairs
 
     docs = load(spark, sf_dir, "documents")
@@ -2600,7 +2801,7 @@ def passage_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 t = ("" if txt is None else str(txt)).split()
                 gs = {
-                    "\x00".join(t[i : i + passage_len])
+                    "\x1f".join(t[i : i + passage_len])
                     for i in range(len(t) - passage_len + 1)
                 }
                 ids.extend([int(did)] * len(gs))
@@ -2639,18 +2840,15 @@ def passage_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_pairs.unpersist()
     pairs.unpersist()
     release()
+    n_pairs = int(row["n_pairs"])
+    corpus_ok = (
+        int(docs_involved) <= 2 * n_pairs
+        and (int(row["max_shared"]) >= 1) == (n_pairs >= 1)
+    )
     return spark.createDataFrame(
-        [
-            (
-                int(row["n_pairs"]),
-                int(row["max_shared"]),
-                int(docs_involved),
-                int(n_exact),
-                int(missing),
-            )
-        ],
-        "n_pairs long, max_shared long, docs_involved long, "
-        "sample_exact_passage_pairs long, missing_guaranteed_pairs long",
+        [(int(n_exact), int(missing), bool(corpus_ok))],
+        "sample_exact_passage_pairs long, missing_guaranteed_pairs long, "
+        "corpus_run_ok boolean",
     )
 
 
@@ -2800,13 +2998,36 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sequence_pack_stats", None)
+# context-window bin packing (best-fit-decreasing per hash group).
+# Oracle-exact gate shape: the SQL-derivable anchors (doc count, total
+# tokens, oversized-doc count — with oversize='singleton' each
+# over-budget doc is its own bin, so the bin-level count equals the
+# doc-level one) plus flags pinned TRUE by the packing contract: no
+# non-oversized bin exceeds the budget, every doc packed exactly once,
+# utilization in (0, 1], and the bin count at least the ceil(tokens/
+# budget) lower bound.
+@register(
+    "sequence_pack_stats",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS tc
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tc) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN tc > 256 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oversized_bins,
+           TRUE AS capacity_ok,
+           TRUE AS packed_once_ok,
+           TRUE AS utilization_in_range,
+           TRUE AS bin_count_ge_lower_bound
+    FROM t
+    """,
+)
 def sequence_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window bin packing of document token counts (best-fit-
-    decreasing per hash group). Self-checking single row: every doc
-    packed exactly once (n_docs == n_distinct_docs == sum of bin
-    sizes), no non-oversized bin exceeds the budget
-    (max_bin_total <= budget), and utilization is reported."""
+    import math
+
     from .operators.sampling import pack_sequences
     from .operators.text_analysis import token_count
 
@@ -2830,27 +3051,37 @@ def sequence_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("token_cnt").alias("total_tokens"),
-    )
-    bin_stats = bins.agg(
+    ).collect()[0]
+    bs = bins.agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.max(
             F.when(F.col("has_oversized") == 0, F.col("bin_total"))
         ).alias("max_bin_total"),
         F.sum("has_oversized").alias("n_oversized_bins"),
-    )
-    return summary.crossJoin(bin_stats).select(
-        "n_rows",
-        "n_docs",
-        "n_bins",
-        "max_bin_total",
-        F.lit(budget).alias("budget"),
-        (F.col("max_bin_total") <= F.lit(budget)).alias("capacity_ok"),
-        (F.col("n_rows") == F.col("n_docs")).alias("packed_once_ok"),
-        "n_oversized_bins",
-        (
-            F.col("total_tokens").cast("double")
-            / (F.col("n_bins") * F.lit(budget)).cast("double")
-        ).alias("utilization"),
+    ).collect()[0]
+    n_bins, n_over = int(bs["n_bins"]), int(bs["n_oversized_bins"] or 0)
+    total = int(summary["total_tokens"] or 0)
+    util = total / float(n_bins * budget) if n_bins else 0.0
+    # non-oversized tokens need at least ceil(tokens/budget) bins
+    over_tokens_row = packed.where(F.col("oversized")).agg(
+        F.sum("token_cnt").alias("t")
+    ).collect()[0]
+    lower = math.ceil((total - int(over_tokens_row["t"] or 0)) / budget) + n_over
+    return spark.createDataFrame(
+        [
+            (
+                int(summary["n_docs"]),
+                total,
+                n_over,
+                (bs["max_bin_total"] or 0) <= budget,
+                int(summary["n_rows"]) == int(summary["n_docs"]),
+                (0.0 < util <= 1.0) if n_bins else total == 0,
+                n_bins >= lower,
+            )
+        ],
+        "n_docs long, total_tokens long, n_oversized_bins long, "
+        "capacity_ok boolean, packed_once_ok boolean, "
+        "utilization_in_range boolean, bin_count_ge_lower_bound boolean",
     )
 
 
