@@ -1038,6 +1038,52 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the SAME point-in-time semantics through the round-4 bucketed-layout
+# formulation (asof_join_intervals: validity intervals + binned range
+# join, explode-emitted sentinels) — the oracle is identical to
+# asof_join_orders, so the gate proves the two formulations agree with
+# the relational ground truth independently.
+@register(
+    "asof_intervals_orders",
+    REGISTRY["asof_join_orders"][1],
+)
+def asof_intervals_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join_intervals
+
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    wdup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    r = (
+        orders.withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    j = asof_join_intervals(ev, r, on="user_id", left_ts="ts")
+    gap = F.expr(
+        "(unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(ts_r as timestamp))) div 1000000"
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("o_orderkey").alias("n_matched"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("matched_price"),
+            F.coalesce(F.sum(gap), F.lit(0)).alias("total_gap_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # range join — point-in-interval matching (operators/range_join.py):
 # events land in per-user validity windows derived deterministically
 # from each order (orders predate the events by decades, so the window
