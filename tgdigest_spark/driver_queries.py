@@ -1285,6 +1285,61 @@ def budget_cutoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic temperature rebalancing of the documents corpus by
+# lang (operators/sampling.rebalance_sources): weights ∝ n^(1/2)
+# (T=2 flattens the source distribution; sqrt is correctly-rounded
+# IEEE on every engine), scale pins the largest source-to-weight
+# ratio, keep probabilities rounded 6dp, and the per-row draw is the
+# shared md5 content-hash uniform — so DuckDB reproduces the exact
+# SELECTION and the per-lang id aggregates hash-verify it.
+@register(
+    "rebalance_sources_docs",
+    """
+    WITH c AS (
+        SELECT lang, COUNT(*) AS n FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang
+    ), w AS (
+        SELECT lang, n, POW(n, 0.5) AS wgt FROM c
+    ), s AS (
+        SELECT lang, n, wgt, MIN(n / wgt) OVER () AS scale FROM w
+    ), p AS (
+        SELECT lang, ROUND(wgt * scale / n, 6) AS p_keep FROM s
+    ), kept AS (
+        SELECT d.lang, d.doc_id
+        FROM documents d JOIN p USING (lang)
+        WHERE (CAST(('0x' || substring(md5(
+                  CAST(doc_id AS VARCHAR) || chr(31) || 'mix42'), 1, 13))
+                  AS BIGINT) + 1) / 4503599627370496.0 < p_keep
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM kept
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def rebalance_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import rebalance_sources
+
+    docs = load(spark, sf_dir, "documents")
+    kept = rebalance_sources(
+        docs, source="lang", key="doc_id", temperature=2.0, seed="mix42"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_id"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 # weighted sampling without replacement (Efraimidis-Spirakis) — 50 docs
 # per lang with inclusion probability ∝ n_chars, deterministic via the
 # md5 content-hash uniform. The oracle recomputes the EXACT same

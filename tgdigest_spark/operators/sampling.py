@@ -339,6 +339,102 @@ def weighted_sample(
     )
 
 
+def hash_uniform(key: str | Column, seed: str = "") -> Column:
+    """Deterministic uniform in (0, 1] from a CONTENT hash of ``key``
+    (+ ``seed``): first 13 md5 hex chars = 52 bits, exactly
+    representable in a double, so Spark's ``conv(...)+1.0`` and an
+    oracle's integer ``v+1`` agree bit-for-bit across engines (the
+    convention established by :func:`weighted_sample`; DuckDB mirror:
+    ``('0x' || substring(md5(...), 1, 13))::BIGINT``)."""
+    k_col = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", k_col.cast("string"), F.lit(seed))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**13))
+
+
+def rebalance_sources(
+    df: DataFrame,
+    source: str,
+    key: str,
+    target_weights: dict[str, float] | None = None,
+    temperature: float | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic source/domain rebalancing by downsampling — the
+    corpus-mixing step of an LLM data pipeline ("flatten the web crawl,
+    keep all of the books", GPT-3 / Pile style).
+
+    Exactly one of:
+
+    * ``target_weights``: {source: weight} — the kept corpus's source
+      proportions follow the weights (sources absent from the dict are
+      dropped);
+    * ``temperature``: T — weights ∝ n_s^(1/T) of the observed counts:
+      T=1 keeps the natural distribution, T→∞ approaches uniform
+      across sources, the standard multinomial-temperature rebalance.
+
+    Only DOWNSAMPLING: the largest source relative to its weight is
+    kept whole (scale = min_s n_s/w_s) and every other source keeps
+    the fraction that lands proportions on target IN EXPECTATION. The
+    draw is a pure function of (row key, seed) via :func:`hash_uniform`
+    — layout-independent, re-runnable, auditable, like every sampler in
+    this module. Keep probabilities are ROUNDED to 6dp (the
+    cross-engine convention: sub-ulp float differences between engines
+    cannot flip a rounded digit) so the selection is DuckDB-oracle
+    verifiable (driver_queries.rebalance_sources_docs).
+
+    Scale shape: one tiny counts aggregate (|sources| rows to the
+    driver) + a broadcast map join + a per-row hash filter — no
+    shuffle of the fact rows, no window. NULL-source rows are dropped
+    (they belong to no mixture component).
+    """
+    if (target_weights is None) == (temperature is None):
+        raise ValueError("pass exactly one of target_weights / temperature")
+    df = df.where(F.col(source).isNotNull())
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.withColumn("_keep_p", F.lit(0.0)).drop("_keep_p").limit(0)
+    if temperature is not None:
+        if temperature <= 0:
+            raise ValueError("temperature must be positive")
+        weights = {
+            s: float(n) ** (1.0 / float(temperature)) for s, n in counts.items()
+        }
+    else:
+        weights = {
+            s: float(w)
+            for s, w in target_weights.items()
+            if s in counts and w > 0
+        }
+        if not weights:
+            return df.limit(0)
+    # largest source relative to its weight is kept whole; everything
+    # else downsampled proportionally
+    scale = min(counts[s] / w for s, w in weights.items())
+    p_keep = {
+        s: round(w * scale / counts[s], 6) for s, w in weights.items()
+    }
+    mapping = F.create_map(
+        *[x for s, p in sorted(p_keep.items()) for x in (F.lit(s), F.lit(p))]
+    )
+    u = hash_uniform(key, seed)
+    return df.where(u < mapping[F.col(source)])
+
+
 def select_until_budget(
     df: DataFrame,
     order_col: str | Column,
