@@ -220,6 +220,24 @@ def test_asof_intervals_tolerance_and_tiebreak(spark):
         ).collect()[0]
         assert row["tag"] == 9, direction
 
+    # NULL tiebreak among the ties: both formulations must agree (the
+    # NULL row wins — sorted last under asc_nulls_last, same as
+    # asof_join's carry order)
+    from tgdigest_spark.operators.asof import asof_join
+
+    rdf = spark.createDataFrame(
+        [
+            (1, "2024-01-05 00:00:00", 1.0, 3),
+            (1, "2024-01-05 00:00:00", 2.0, None),
+        ],
+        "k long, ts string, rval double, tag long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    args = dict(on="k", left_ts="ts", right_tiebreak="tag")
+    ldf = spark.createDataFrame(lone)
+    a = asof_join(ldf, rdf, **args).collect()[0]
+    b = asof_join_intervals(ldf, rdf, **args).collect()[0]
+    assert (a["rval"], a["tag"]) == (b["rval"], b["tag"])
+
 
 def test_asof_intervals_null_semantics_and_no_match(spark):
     """Same three-valued NULL rules as asof_join, plus left-join

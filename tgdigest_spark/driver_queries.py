@@ -1004,6 +1004,14 @@ def neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.asof import asof_join
 
+    return _asof_orders_gate(spark, sf_dir, asof_join)
+
+
+def _asof_orders_gate(spark, sf_dir: str, asof_fn) -> DataFrame:
+    """Shared body for the two as-of gate queries — ONE definition of
+    the right-side dedup, gap expression, and aggregate block, so the
+    'identical oracle' claim cannot silently drift between the union
+    and intervals formulations."""
     ev = load(spark, sf_dir, "events")
     orders = load(spark, sf_dir, "orders")
     wdup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
@@ -1019,7 +1027,7 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
-    j = asof_join(ev, r, on="user_id", left_ts="ts")
+    j = asof_fn(ev, r, on="user_id", left_ts="ts")
     gap = F.expr(
         "(unix_micros(cast(ts as timestamp))"
         " - unix_micros(cast(ts_r as timestamp))) div 1000000"
@@ -1050,38 +1058,7 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_intervals_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.asof import asof_join_intervals
 
-    ev = load(spark, sf_dir, "events")
-    orders = load(spark, sf_dir, "orders")
-    wdup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
-        F.desc("o_orderkey")
-    )
-    r = (
-        orders.withColumn("rn", F.row_number().over(wdup))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").alias("ts"),
-            "o_orderkey",
-            "o_totalprice",
-        )
-    )
-    j = asof_join_intervals(ev, r, on="user_id", left_ts="ts")
-    gap = F.expr(
-        "(unix_micros(cast(ts as timestamp))"
-        " - unix_micros(cast(ts_r as timestamp))) div 1000000"
-    )
-    return (
-        j.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count("o_orderkey").alias("n_matched"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("matched_price"),
-            F.coalesce(F.sum(gap), F.lit(0)).alias("total_gap_sec"),
-        )
-        .orderBy("event_type")
-    )
+    return _asof_orders_gate(spark, sf_dir, asof_join_intervals)
 
 
 # range join — point-in-interval matching (operators/range_join.py):
@@ -1656,16 +1633,16 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
         SELECT doc_id, text,
-               len(regexp_extract_all(text, '\\S+')) AS token_cnt,
+               len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS token_cnt,
                LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
-               LENGTH(regexp_replace(text, '\\s', '', 'g')) AS nonws_chars,
-               len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+               LENGTH(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS nonws_chars,
+               len(list_intersect(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                                   ['the','and','of','to','is'])) AS en_hits,
-               len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+               len(list_intersect(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                                   ['der','und','die','ist','nicht'])) AS de_hits,
-               len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+               len(list_intersect(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                                   ['le','et','les','est','que'])) AS fr_hits,
-               len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+               len(list_intersect(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                                   ['el','que','los','es','una'])) AS es_hits
         FROM documents
     )
@@ -1706,9 +1683,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_topk",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents
-        WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+        WHERE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
     ), sh AS (
         SELECT DISTINCT doc_id,
                t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS shingle
@@ -1749,9 +1726,9 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jaccard_prefix_pairs",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents
-        WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+        WHERE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
     ), sh AS (
         SELECT DISTINCT doc_id,
                t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS shingle
@@ -1794,23 +1771,25 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deduped against batch 1's STORED signatures, nothing recomputed.
 # Oracle-exact gate shape: the SQL-derivable batch-size anchors plus
 # boolean flags pinned to literal TRUE by the operator's guarantees —
-# stats accounting closes per batch, the minhash-estimated cross-batch
+# falsifiable lifecycle counts (fresh store drops nothing up front,
+# disjoint batch has zero re-deliveries, re-delivery's id-contract
+# drops equal the prior survivors), the minhash-estimated cross-batch
 # drop count agrees with the exact-Jaccard tier (gap bounded by the
 # ~1/sqrt(num_perm) estimator error; 0 at gate scales), and
-# re-delivering batch 2 converges to zero survivors via the id
-# contract (exactly-once store semantics).
+# re-delivering batch 2 converges to zero survivors (id contract for
+# prior survivors + monotone store re-matching for prior drops).
 @register(
     "incremental_dedup_batches",
     """
     WITH t AS (
         SELECT doc_id FROM documents
-        WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+        WHERE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
     )
     SELECT CAST(SUM(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT)
                AS b1_docs,
            CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
                AS b2_docs,
-           TRUE AS counts_consistent,
+           TRUE AS lifecycle_counts_ok,
            TRUE AS est_gap_within_bound,
            TRUE AS redelivery_converges
     FROM t
@@ -1833,27 +1812,45 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = docs.where(F.col("doc_id") < cut)
     b2 = docs.where(F.col("doc_id") >= cut)
     store = tempfile.mkdtemp(prefix="sigstore_")
+    # effectively-unbounded hot-bucket cap: the convergence flag is a
+    # guarantee only with EXACT matching — the production cap excludes
+    # buckets that GROW past it between deliveries, which could stop a
+    # round-2 store match from re-occurring on re-delivery (the same
+    # capped-vs-guarantee trap as the LSH gate row); gate-scale stores
+    # never approach a real cap
+    mb = 10**9
     try:
         init_signature_store(store)
-        s1, st1 = incremental_near_dedup(b1, store, threshold=0.5)
+        s1, st1 = incremental_near_dedup(
+            b1, store, threshold=0.5, max_bucket=mb
+        )
         s1_ids = [r["doc_id"] for r in s1.select("doc_id").collect()]
         s1.release_cache()
-        s2, st2 = incremental_near_dedup(b2, store, threshold=0.5)
+        s2, st2 = incremental_near_dedup(
+            b2, store, threshold=0.5, max_bucket=mb
+        )
         s2.release_cache()
-        # re-delivery of batch 2 must converge to zero via the id
-        # contract (every prior survivor dropped up front, nothing new)
-        s3, st3 = incremental_near_dedup(b2, store, threshold=0.5)
+        # re-delivery of batch 2 must converge to zero: prior survivors
+        # dropped up front via the id contract, prior drops re-dropped
+        # by matching against the (monotonically grown) store
+        s3, st3 = incremental_near_dedup(
+            b2, store, threshold=0.5, max_bucket=mb
+        )
         s3.release_cache()
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
-    def _closes(st):
-        return st["batch_docs"] == (
-            st["survivors"]
-            + st["dropped_redelivered"]
-            + st["dropped_vs_store"]
-            + st["dropped_internal_only"]
-        )
+    # falsifiable lifecycle invariants (NOT the batch_docs identity,
+    # which is algebraically always true): a fresh store drops nothing
+    # up front, the disjoint second batch has no re-deliveries, and the
+    # third delivery's id-contract drops are exactly batch 2's
+    # survivors
+    lifecycle_ok = (
+        st1["dropped_redelivered"] == 0
+        and st1["dropped_vs_store"] == 0
+        and st2["dropped_redelivered"] == 0
+        and st3["dropped_redelivered"] == st2["survivors"]
+    )
 
     # exact anchor: batch-2 docs with a true-Jaccard >= 0.5 match among
     # the docs the store actually HOLDS (batch-1 SURVIVORS — a batch-1
@@ -1878,13 +1875,13 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 st1["batch_docs"],
                 st2["batch_docs"],
-                _closes(st1) and _closes(st2) and _closes(st3),
+                bool(lifecycle_ok),
                 gap <= gap_bound,
                 st3["survivors"] == 0
                 and st3["dropped_redelivered"] == st2["survivors"],
             )
         ],
-        "b1_docs long, b2_docs long, counts_consistent boolean, "
+        "b1_docs long, b2_docs long, lifecycle_counts_ok boolean, "
         "est_gap_within_bound boolean, redelivery_converges boolean",
     )
 
@@ -1894,16 +1891,17 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the prefix-filtered exact join — same SQL as jaccard_prefix_pairs)
 # plus flags pinned TRUE by the banding theorem: with b=32, r=4 a pair
 # at true Jaccard 0.9 is missed with probability (1-0.9^4)^32 ~ 1e-15,
-# so every exact >= 0.9 pair appears among the LSH candidates, and the
-# minhash estimate for those found pairs is within 10x the
-# 1/sqrt(num_perm) standard error of the exact value.
+# so every exact >= 0.9 pair appears among the LSH candidates (exact
+# band semantics — see the max_bucket note below), and the minhash
+# estimate for those found pairs is within 0.2 (>7 sigma of the
+# sqrt(J(1-J)/128) estimator error) of the exact value.
 @register(
     "minhash_lsh_neardup",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents
-        WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+        WHERE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
     ), sh AS (
         SELECT DISTINCT doc_id,
                t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS shingle
@@ -1937,7 +1935,15 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
-    cand = lsh_candidate_pairs(docs, num_perm=128, bands=32, rows=4)
+    # effectively-unbounded max_bucket: the banding-theorem flag is
+    # only a guarantee with EXACT band semantics — the production
+    # hot-bucket cap drops oversized buckets and could lose a
+    # guaranteed >=0.9 pair (the same capped-vs-guarantee trap
+    # passage_overlap_summary documents); gate-scale corpora are far
+    # below any real cap anyway
+    cand = lsh_candidate_pairs(
+        docs, num_perm=128, bands=32, rows=4, max_bucket=10**9
+    )
     release_cand = cand.release_cache
     cand = cand.persist()
 
@@ -1961,7 +1967,11 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand.unpersist()
     release_exact()
     release_cand()
-    est_tol = 10.0 / (128.0**0.5)  # 10x the 1/sqrt(num_perm) std error
+    # falsifiable estimator tolerance: the matched-fraction estimator
+    # for a pair at true J>=0.9 has std err sqrt(J(1-J)/128) <= 0.027;
+    # 0.2 is >7 sigma yet far inside [0,1] (a 10/sqrt(128)=0.88 bound
+    # would be vacuous for a quantity bounded by 1)
+    est_tol = 0.2
     return spark.createDataFrame(
         [
             (
@@ -1988,7 +1998,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
         SELECT text FROM documents
         WHERE trim(COALESCE(text, '')) <> ''
-          AND len(regexp_extract_all(COALESCE(text, ''), '\\S+')) >= 1
+          AND len(regexp_extract_all(COALESCE(text, ''), '[^ \t\n\x0B\f\r]+')) >= 1
     ), g AS (
         SELECT COUNT(*) AS c FROM d GROUP BY text
     )
@@ -2278,7 +2288,7 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id,
                COALESCE(text, '') AS tx,
-               len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS token_cnt
+               len(regexp_extract_all(COALESCE(text, ''), '[^ \t\n\x0B\f\r]+')) AS token_cnt
         FROM documents
     ), scored AS (
         SELECT doc_id, tx, token_cnt,
@@ -2288,17 +2298,17 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / LENGTH(tx)
                        ELSE 0.0 END
                 + LEAST((len(list_intersect(
-                        string_split_regex(lower(trim(tx)), '\\s+'),
+                        string_split_regex(lower(trim(tx)), '[ \\t\\n\\x0B\\f\\r]+'),
                         ['the','and','of','to','is'])) / 5.0) * 2.0, 1.0)
                 + CASE WHEN token_cnt > 0
-                        AND LENGTH(regexp_replace(tx, '\\s', '', 'g')) * 1.0
+                        AND LENGTH(regexp_replace(tx, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) * 1.0
                             / token_cnt BETWEEN 2.0 AND 12.0
                        THEN 1.0 ELSE 0.0 END
                ) / 4.0 AS quality
         FROM t
     ), quality_docs AS (
         SELECT doc_id, tx, token_cnt,
-               regexp_replace(lower(trim(tx)), '\\s+', ' ', 'g') AS norm
+               regexp_replace(lower(trim(tx)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS norm
         FROM scored WHERE quality >= 0.5
     ), kept AS (
         SELECT norm, MIN(doc_id) AS doc_id FROM quality_docs GROUP BY norm
@@ -2306,9 +2316,9 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q.doc_id, q.tx, q.token_cnt
         FROM quality_docs q JOIN kept k ON q.doc_id = k.doc_id
     ), toks AS (
-        SELECT doc_id, string_split_regex(trim(tx), '\\s+') AS s
+        SELECT doc_id, string_split_regex(trim(tx), '[ \\t\\n\\x0B\\f\\r]+') AS s
         FROM kept_docs
-        WHERE len(string_split_regex(trim(tx), '\\s+')) >= 3
+        WHERE len(string_split_regex(trim(tx), '[ \\t\\n\\x0B\\f\\r]+')) >= 3
     ), sh AS (
         SELECT DISTINCT doc_id,
                s[i] || chr(31) || s[i+1] || chr(31) || s[i+2] AS shingle
@@ -2489,7 +2499,7 @@ def checkpointed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id,
                COALESCE(text, '') AS tx,
-               len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS token_cnt
+               len(regexp_extract_all(COALESCE(text, ''), '[^ \t\n\x0B\f\r]+')) AS token_cnt
         FROM documents
     ), scored AS (
         SELECT doc_id, tx, token_cnt,
@@ -2499,17 +2509,17 @@ def checkpointed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / LENGTH(tx)
                        ELSE 0.0 END
                 + LEAST((len(list_intersect(
-                        string_split_regex(lower(trim(tx)), '\\s+'),
+                        string_split_regex(lower(trim(tx)), '[ \\t\\n\\x0B\\f\\r]+'),
                         ['the','and','of','to','is'])) / 5.0) * 2.0, 1.0)
                 + CASE WHEN token_cnt > 0
-                        AND LENGTH(regexp_replace(tx, '\\s', '', 'g')) * 1.0
+                        AND LENGTH(regexp_replace(tx, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) * 1.0
                             / token_cnt BETWEEN 2.0 AND 12.0
                        THEN 1.0 ELSE 0.0 END
                ) / 4.0 AS quality
         FROM t
     ), quality_docs AS (
         SELECT doc_id, token_cnt,
-               regexp_replace(lower(trim(tx)), '\\s+', ' ', 'g') AS norm
+               regexp_replace(lower(trim(tx)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS norm
         FROM scored WHERE quality >= 0.5
     ), kept AS (
         SELECT norm, MIN(doc_id) AS doc_id FROM quality_docs GROUP BY norm
@@ -2680,7 +2690,7 @@ def checkpoint_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
         SELECT doc_id,
-               string_split_regex(trim(COALESCE(text, '')), '\\s+') AS t
+               string_split_regex(trim(COALESCE(text, '')), '[ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents
     ), csh AS (
         SELECT DISTINCT doc_id, array_to_string(t[i:i+2], chr(31)) AS shingle
@@ -2833,10 +2843,10 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "passage_overlap_summary",
     """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents
         WHERE doc_id < 1000
-          AND len(string_split_regex(trim(text), '\\s+')) >= 12
+          AND len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 12
     ), grams AS (
         SELECT DISTINCT doc_id,
                array_to_string(list_slice(t, i, i + 11), chr(31)) AS gram
@@ -2983,7 +2993,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
         SELECT doc_id, UNNEST(string_split_regex(
-            trim(COALESCE(text, '')), '\\s+')) AS tok
+            trim(COALESCE(text, '')), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
         FROM documents
     ), nz AS (
         SELECT doc_id, tok FROM toks WHERE tok <> ''
@@ -3105,14 +3115,16 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over-budget doc is its own bin, so the bin-level count equals the
 # doc-level one) plus flags pinned TRUE by the packing contract: no
 # non-oversized bin exceeds the budget, every doc packed exactly once,
-# utilization in (0, 1], and the bin count at least the ceil(tokens/
-# budget) lower bound.
+# utilization of the NON-OVERSIZED bins in (0, 1] (oversized singleton
+# bins can legitimately exceed the budget, so they are excluded from
+# the ratio), and the bin count at least the ceil(tokens/budget) +
+# oversized lower bound.
 @register(
     "sequence_pack_stats",
     """
     WITH t AS (
         SELECT doc_id,
-               len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS tc
+               len(regexp_extract_all(COALESCE(text, ''), '[^ \t\n\x0B\f\r]+')) AS tc
         FROM documents
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3162,12 +3174,19 @@ def sequence_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     n_bins, n_over = int(bs["n_bins"]), int(bs["n_oversized_bins"] or 0)
     total = int(summary["total_tokens"] or 0)
-    util = total / float(n_bins * budget) if n_bins else 0.0
-    # non-oversized tokens need at least ceil(tokens/budget) bins
     over_tokens_row = packed.where(F.col("oversized")).agg(
         F.sum("token_cnt").alias("t")
     ).collect()[0]
-    lower = math.ceil((total - int(over_tokens_row["t"] or 0)) / budget) + n_over
+    over_tokens = int(over_tokens_row["t"] or 0)
+    # utilization is only a (0, 1] CONTRACT over non-oversized bins:
+    # a singleton bin holding a 10x-budget doc would push the naive
+    # total/(bins*budget) ratio past 1 without any packing defect
+    n_reg = n_bins - n_over
+    reg_tokens = total - over_tokens
+    util = reg_tokens / float(n_reg * budget) if n_reg else 0.0
+    util_ok = (0.0 < util <= 1.0) if n_reg else reg_tokens == 0
+    # non-oversized tokens need at least ceil(tokens/budget) bins
+    lower = math.ceil(reg_tokens / budget) + n_over
     return spark.createDataFrame(
         [
             (
@@ -3176,7 +3195,7 @@ def sequence_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_over,
                 (bs["max_bin_total"] or 0) <= budget,
                 int(summary["n_rows"]) == int(summary["n_docs"]),
-                (0.0 < util <= 1.0) if n_bins else total == 0,
+                bool(util_ok),
                 n_bins >= lower,
             )
         ],

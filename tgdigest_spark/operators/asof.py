@@ -288,7 +288,13 @@ def asof_join_intervals(
     lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
     hi = int(bounds["hi"]) if bounds["hi"] is not None else 0
 
-    wiv = Window.partitionBy(*keys).orderBy(F.col("_t").asc(), F.col("__tb").asc())
+    # __tb asc NULLS LAST, matching asof_join's window order exactly:
+    # the sorted-LAST row among ties wins there (last() carry) and gets
+    # the non-empty interval here — with default nulls-first a NULL
+    # tiebreak would win in one formulation and lose in the other
+    wiv = Window.partitionBy(*keys).orderBy(
+        F.col("_t").asc(), F.col("__tb").asc_nulls_last()
+    )
     iv0 = r.select(
         *keys,
         "_t",

@@ -300,27 +300,13 @@ def weighted_sample(
     continuous function of the weight). Fully SQL-expressible →
     DuckDB-oracle verifiable (driver_queries.weighted_sample_docs).
     """
-    # 13 hex chars = 52 bits: exactly representable in a double, so
-    # Spark's fl(v)+1.0 and an oracle's integer v+1 agree bit-for-bit
-    # (15 chars = 60 bits would round fl(v) and diverge ~1e-7/row)
     if n <= 0:
         raise ValueError("n must be positive")
     w_col = F.col(weight) if isinstance(weight, str) else weight
     k_col = F.col(key) if isinstance(key, str) else key
-    # uniform in (0, 1]: first 13 md5 hex chars — identical in Spark
-    # (conv) and DuckDB ('0x' cast)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("\x1f", k_col.cast("string"), F.lit(seed))),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float(16**13))
+    # ONE definition of the cross-engine uniform (hash_uniform) — the
+    # 13-hex-char/conv/+1 convention must not fork within this module
+    u = hash_uniform(k_col, seed)
     rank = F.round(-F.log(u) / w_col.cast("double"), 6)
     out = df.where(w_col.isNotNull() & (w_col > 0)).withColumn(
         "_wrank", rank
