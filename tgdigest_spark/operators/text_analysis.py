@@ -231,6 +231,62 @@ def repetition_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+):
+    """Split each document's token sequence into overlapping
+    fixed-budget chunks — the context-window preprocessing step every
+    training pipeline runs before packing/tokenization.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + max_tokens)``
+    with ``stride = max_tokens - overlap``; the final chunk may be
+    shorter, every token is covered at least once, and consecutive
+    chunks share exactly ``overlap`` tokens (when a next chunk
+    exists). Token = whitespace run (Java ``\\s+``, the engine-wide
+    convention). Output: one row per chunk —
+    ``(id, chunk_idx, chunk_text, chunk_tokens)``; a token-less doc
+    yields a single empty chunk (it is not silently dropped).
+
+    Scale shape: pure built-in expressions (split / sequence /
+    posexplode / slice / array_join) — whole-stage codegen, no UDF, no
+    shuffle; fan-out ≈ n_tokens/stride per doc. Fully SQL-expressible
+    (DuckDB list_slice/list_transform) → oracle-exact
+    (driver_queries.chunk_docs_digest).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.size(toks)
+    # number of stride-starts needed so the last chunk reaches token n:
+    # 1 + ceil(max(n - max_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(max_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunk = F.slice(
+        F.col("_toks"), F.col("_ci") * F.lit(stride) + 1, max_tokens
+    )
+    return (
+        df.select(
+            id_col,
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_ci"),
+        )
+        .select(
+            id_col,
+            F.col("_ci").alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("chunk_tokens"),
+        )
+    )
+
+
 def annotate(df, text_col: str = "text"):
     """Attach the full analysis column set to a documents DataFrame."""
     t = F.col(text_col)
