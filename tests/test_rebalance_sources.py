@@ -102,6 +102,54 @@ def test_downsample_only_and_null_sources_dropped(spark, corpus):
     assert kept.where(F.col("doc_id") == 9999).count() == 0
 
 
+def test_shuffle_for_training_order_and_determinism(spark, corpus):
+    """Epoch shuffle: physical within-partition order follows the
+    content-hash uniform, the order is layout-independent, every row
+    appears exactly once, and a new seed permutes."""
+    from tgdigest_spark.operators.sampling import (
+        hash_uniform,
+        shuffle_for_training,
+    )
+
+    def run(df, seed):
+        out = shuffle_for_training(df, key="doc_id", seed=seed, n_shards=8)
+        rows = out.select(
+            "shard",
+            "doc_id",
+            hash_uniform(F.col("doc_id"), seed + "|order").alias("u"),
+            F.spark_partition_id().alias("pid"),
+        ).collect()
+        by_pid = {}
+        for r in rows:
+            by_pid.setdefault(r["pid"], []).append(r)
+        return rows, by_pid
+
+    rows, by_pid = run(corpus, "e1")
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in corpus.collect()
+    )  # exactly once
+    for rs in by_pid.values():  # physically sorted within partitions
+        keys = [(r["shard"], r["u"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys)
+    assert len({r["shard"] for r in rows}) == 8  # all shards populated
+
+    # layout independence: identical (shard, order) under a repartition
+    def order_map(rows):
+        per = {}
+        for r in sorted(rows, key=lambda r: (r["shard"], r["u"], r["doc_id"])):
+            per.setdefault(r["shard"], []).append(r["doc_id"])
+        return per
+
+    rows2, _ = run(corpus.repartition(13), "e1")
+    assert order_map(rows) == order_map(rows2)
+    # a new seed gives a different permutation
+    rows3, _ = run(corpus, "e2")
+    assert order_map(rows) != order_map(rows3)
+
+    with pytest.raises(ValueError):
+        shuffle_for_training(corpus, key="doc_id", n_shards=0)
+
+
 def test_validation(spark, corpus):
     from tgdigest_spark.operators.sampling import rebalance_sources
 

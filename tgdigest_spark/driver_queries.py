@@ -1396,6 +1396,65 @@ def rebalance_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic epoch shuffle (operators/sampling.shuffle_for_training):
+# shard + within-shard order from two independent content-hash
+# uniforms. The oracle replays the LOGICAL order: per shard, an md5
+# digest over the doc_id sequence ordered by (ordering uniform, id) —
+# uniforms are the bit-identical cross-engine md5/conv construction,
+# and integer ids format identically, so the digest is hash-exact.
+@register(
+    "training_shuffle_digest",
+    """
+    WITH u AS (
+        SELECT doc_id,
+               (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                   || chr(31) || 'ep0|shard'), 1, 13)) AS BIGINT) + 1)
+                   / 4503599627370496.0 AS us,
+               (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                   || chr(31) || 'ep0|order'), 1, 13)) AS BIGINT) + 1)
+                   / 4503599627370496.0 AS uo
+        FROM documents WHERE doc_id < 200
+    ), s AS (
+        SELECT doc_id, uo,
+               LEAST(CAST(FLOOR(us * 8) AS INT), 7) AS shard
+        FROM u
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY uo, doc_id)) AS order_md5
+    FROM s
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def training_shuffle_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_uniform, shuffle_for_training
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    shuffled = shuffle_for_training(docs, key="doc_id", seed="ep0", n_shards=8)
+    uo = hash_uniform(F.col("doc_id"), "ep0|order")
+    return (
+        shuffled.select("shard", "doc_id", uo.alias("_uo"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_uo", "doc_id"))
+                        ),
+                        lambda s: s["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
 # weighted sampling without replacement (Efraimidis-Spirakis) — 50 docs
 # per lang with inclusion probability ∝ n_chars, deterministic via the
 # md5 content-hash uniform. The oracle recomputes the EXACT same

@@ -421,6 +421,47 @@ def rebalance_sources(
     return df.where(u < mapping[F.col(source)])
 
 
+def shuffle_for_training(
+    df: DataFrame,
+    key: str | Column,
+    seed: str = "",
+    n_shards: int = 64,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic, layout-independent corpus shuffle for epoch
+    streaming: assign each row to a shard and a within-shard position
+    from two independent content-hash uniforms, then repartition by
+    shard and sort within partitions — a write-ready randomized
+    training order WITHOUT a global sort (the classic epoch-shuffle
+    layout: readers stream shards in any order, each shard internally
+    pre-shuffled).
+
+    Like every sampler in this module the order is a pure function of
+    (row key, seed): change ``seed`` per epoch for a fresh
+    permutation; re-running on the same table under any physical
+    layout reproduces the identical order (auditable). One shuffle (by
+    shard), no SinglePartition anywhere. The logical order (shard,
+    then the ordering uniform, then key) is SQL-expressible →
+    DuckDB-oracle verified per-shard via an order digest
+    (driver_queries.training_shuffle_digest).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    k_col = F.col(key) if isinstance(key, str) else key
+    u_shard = hash_uniform(k_col, seed + "|shard")
+    u_order = hash_uniform(k_col, seed + "|order")
+    shard = F.least(
+        F.floor(u_shard * F.lit(n_shards)), F.lit(n_shards - 1)
+    ).cast("int")
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn("_ord", u_order)
+        .repartition(n_shards, F.col(shard_col))
+        .sortWithinPartitions(shard_col, "_ord", k_col)
+        .drop("_ord")
+    )
+
+
 def select_until_budget(
     df: DataFrame,
     order_col: str | Column,
