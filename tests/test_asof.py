@@ -316,6 +316,71 @@ def test_asof_intervals_bucketed_right_never_exchanges(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_asof_formulations_agree_on_random_frames(spark):
+    """Property check: the union and intervals formulations must agree
+    row-for-row on randomized frames — including NULL keys, NULL
+    timestamps, and right-side (key, ts) ties with tiebreaks, the
+    cases pandas merge_asof cannot express."""
+    import numpy as np
+
+    from tgdigest_spark.operators.asof import asof_join, asof_join_intervals
+
+    for seed in (3, 17, 91):
+        rng = np.random.default_rng(seed)
+        base = pd.Timestamp("2024-01-01")
+
+        def ts_col(n):
+            t = base + pd.to_timedelta(rng.integers(0, 10**5, n), "s")
+            return pd.Series(t).mask(rng.random(n) < 0.05, None)
+
+        left = pd.DataFrame(
+            {
+                "k": pd.Series(rng.integers(0, 5, 120)).mask(
+                    rng.random(120) < 0.05, None
+                ),
+                "ts": ts_col(120),
+                "lval": np.arange(120, dtype=np.float64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": pd.Series(rng.integers(0, 5, 60)).mask(
+                    rng.random(60) < 0.05, None
+                ),
+                "ts": ts_col(60),
+                "rval": rng.normal(size=60).round(3),
+                "tb": rng.integers(0, 8, 60),  # deliberate tie collisions
+            }
+        )
+        ldf = spark.createDataFrame(left)
+        rdf = spark.createDataFrame(right)
+        for direction in ("backward", "forward"):
+            for strict in (False, True):
+                kw = dict(
+                    on="k",
+                    left_ts="ts",
+                    direction=direction,
+                    strict=strict,
+                    right_tiebreak="tb",
+                )
+                a = (
+                    asof_join(ldf, rdf, **kw)
+                    .toPandas()
+                    .sort_values("lval")
+                    .reset_index(drop=True)
+                )
+                b = (
+                    asof_join_intervals(ldf, rdf, **kw)
+                    .toPandas()
+                    .sort_values("lval")
+                    .reset_index(drop=True)
+                )
+                for col in ("ts_r", "rval", "tb"):
+                    pd.testing.assert_series_equal(
+                        a[col], b[col], check_names=False, check_dtype=False
+                    ), (seed, direction, strict)
+
+
 def test_asof_plan_is_single_exchange_no_udf(spark):
     """Scale shape: one hash Exchange on the key, window codegen, no
     Python evaluation anywhere."""
