@@ -301,8 +301,35 @@ def test_asof_intervals_bucketed_right_never_exchanges(spark, tmp_path):
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         ex = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
-        assert len(ex) == 2, ex  # pts→(k) and anti-left→(k); right: none
+        # 4 exchanges, ALL on the narrow left/bounds side: pts→(k) for
+        # the bin join, the per-key bounds agg (once per range_join
+        # branch — short + long-cap lineages), and anti-left→(k).
+        # The bucketed right lineage itself must never exchange —
+        # asserted structurally below, not by counting.
+        assert len(ex) == 4, ex
         assert "BroadcastNestedLoop" not in plan
+        # no Exchange may sit ABOVE any bucketed scan: walk each scan's
+        # ancestor chain via the tree indentation
+        lines = plan.splitlines()
+
+        def indent(s: str) -> int:
+            m = re.search(r"[+:]-", s)
+            return m.start() if m else -1
+
+        for i, line in enumerate(lines):
+            if "FileScan parquet" not in line or "Bucketed: true" not in line:
+                continue
+            depth = indent(line)
+            for j in range(i - 1, -1, -1):
+                d = indent(lines[j])
+                if d < depth and d >= 0:
+                    assert "Exchange hashpartitioning" not in lines[j], (
+                        f"bucketed scan at line {i} has Exchange ancestor: "
+                        f"{lines[j]}"
+                    )
+                    depth = d
+                if d == -1:  # root
+                    break
         # and the result is still the as-of answer
         got = (
             out.toPandas().sort_values(["k", "ts", "lval"]).reset_index(drop=True)

@@ -1,0 +1,125 @@
+"""Round-5 verdict/advice regression tests.
+
+Covers: timezone-free temporal gate queries (VERDICT r4 #3 — the
+cast-to-TIMESTAMP idiom diverged from the DuckDB oracle by ±3600 s per
+DST crossing under a non-UTC session), and the related timeutil
+helpers.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.test_driver_contract import TABLES, _compare, _duck
+
+# gates whose arithmetic crosses DST transitions when the session
+# timezone observes them: scd2 durations span 1995-2001, the as-of gap
+# spans 1995→2024, range_join re-bases epoch windows, sessionization
+# diffs NTZ timestamps
+DST_SENSITIVE = [
+    "scd2_order_history",
+    "asof_join_orders",
+    "asof_intervals_orders",
+    "range_join_windows",
+    "sessionization",
+]
+
+
+@pytest.mark.parametrize("name", DST_SENSITIVE)
+def test_temporal_gates_timezone_free(spark, sf001_dir, name):
+    """Each temporal gate must match its DuckDB oracle under a
+    DST-observing session timezone, not just UTC. Before round 5 the
+    judge demonstrated scd2 + both as-of gates diverging under
+    America/Los_Angeles (e.g. scd2 'F' total_valid_sec off by 3600 s
+    per interval crossing a transition)."""
+    from tgdigest_spark.driver_queries import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        sdf = fn(spark, sf001_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    con = _duck(sf001_dir)
+    odf = con.execute(sql).df()
+    _compare(sdf, odf, f"{name}@America/Los_Angeles")
+
+
+def test_epoch_us_round_trip_and_tz_invariance(spark):
+    """timeutil.epoch_us/from_epoch_us: NTZ values round-trip exactly
+    and the derived epoch is identical under UTC and a DST zone —
+    including microsecond fractions and a timestamp inside a
+    spring-forward gap (2024-03-10 02:30 does not exist on the
+    America/Los_Angeles wall clock; the old cast idiom mapped it
+    non-monotonically)."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.functions.timeutil import epoch_us, from_epoch_us
+
+    rows = [
+        ("2024-03-10 02:30:00.123456",),  # inside the PST→PDT gap
+        ("2024-03-10 01:59:59.999999",),
+        ("2024-11-03 01:30:00.5",),  # ambiguous (fall-back) wall time
+        ("1969-12-31 23:00:00",),  # negative epoch
+        ("2024-01-01 00:00:00",),
+    ]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+
+    def run():
+        df = spark.createDataFrame(rows, "s string").select(
+            F.col("s").cast("timestamp_ntz").alias("ts")
+        )
+        out = df.select(
+            "ts",
+            epoch_us("ts", "timestamp_ntz").alias("us"),
+            from_epoch_us(
+                epoch_us("ts", "timestamp_ntz"), "timestamp_ntz"
+            ).alias("back"),
+        ).toPandas()
+        return out
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = run()
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/Los_Angeles"
+        )
+        la = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+    assert utc["us"].tolist() == la["us"].tolist()
+    assert (utc["ts"] == utc["back"]).all()
+    assert (la["ts"] == la["back"]).all()
+    # spot value: 2024-01-01 00:00:00 NTZ == 1704067200e6 on the naive
+    # epoch scale
+    assert utc["us"].iloc[4] == 1_704_067_200_000_000
+
+
+def test_epoch_sec_matches_floor_div(spark):
+    """epoch_sec == epoch_us // 1e6 for NTZ values with fractional
+    seconds (the gate queries rely on whole-second subtraction equaling
+    the oracle's integer floor-division)."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.functions.timeutil import epoch_sec, epoch_us
+
+    df = spark.range(1000).select(
+        F.timestamp_add(
+            "MICROSECOND",
+            (F.col("id") * F.lit(987_654_321) + F.lit(123_456)),
+            F.lit("2023-12-30 11:22:33").cast("timestamp_ntz"),
+        ).alias("ts")
+    )
+    bad = df.select(
+        (
+            epoch_sec("ts", "timestamp_ntz")
+            != F.floor(
+                epoch_us("ts", "timestamp_ntz") / F.lit(1_000_000)
+            ).cast("long")
+        ).alias("m")
+    ).where(F.col("m"))
+    assert bad.count() == 0

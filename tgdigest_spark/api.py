@@ -67,10 +67,12 @@ def interturn_latency_seconds(transcripts: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from .functions.timeutil import epoch_us
+
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    # unix_micros works for both TIMESTAMP and TIMESTAMP_NTZ (session TZ
-    # pinned UTC) and keeps integer arithmetic exact.
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # timezone-free integer micros regardless of ts being TIMESTAMP or
+    # TIMESTAMP_NTZ (functions/timeutil.py)
+    us = epoch_us("ts", dict(transcripts.dtypes)["ts"])
     prev = F.lag(us).over(w)
     return transcripts.select(
         "conv_id",

@@ -18,6 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .functions.timeutil import epoch_sec, epoch_us
+
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -1028,9 +1030,13 @@ def _asof_orders_gate(spark, sf_dir: str, asof_fn) -> DataFrame:
         )
     )
     j = asof_fn(ev, r, on="user_id", left_ts="ts")
-    gap = F.expr(
-        "(unix_micros(cast(ts as timestamp))"
-        " - unix_micros(cast(ts_r as timestamp))) div 1000000"
+    # timezone-free gap (timeutil.epoch_sec): both sides are NTZ — the
+    # old cast-to-TIMESTAMP form shifted with the session timezone and
+    # diverged from the oracle by ±3600 s per DST crossing. ts_r is
+    # date-valued (zero sub-second), so whole-second subtraction equals
+    # the oracle's epoch_us diff // 1e6 exactly.
+    gap = epoch_sec("ts", "timestamp_ntz") - epoch_sec(
+        "ts_r", "timestamp_ntz"
     )
     return (
         j.groupBy("event_type")
@@ -1093,7 +1099,7 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("p"),
+        epoch_us("ts", "timestamp_ntz").alias("p"),
     )
     s_expr = (
         F.lit(base_us) + (F.col("o_orderkey") % 30) * F.lit(day_us)
@@ -1133,7 +1139,8 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_versions,
-           SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_current,
            CAST(COALESCE(SUM((epoch_us(valid_to) - epoch_us(valid_from))
                // 1000000), 0) AS BIGINT) AS total_valid_sec
     FROM v
@@ -1148,9 +1155,10 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = build_validity_intervals(
         orders, key="o_custkey", ts="o_orderdate", tiebreak="o_orderkey"
     )
-    dur = F.expr(
-        "(unix_micros(cast(valid_to as timestamp))"
-        " - unix_micros(cast(valid_from as timestamp))) div 1000000"
+    # timezone-free: both interval bounds are NTZ date-valued rows, so
+    # whole-second subtraction equals the oracle's epoch_us // 1e6
+    dur = epoch_sec("valid_to", "timestamp_ntz") - epoch_sec(
+        "valid_from", "timestamp_ntz"
     )
     return (
         v.groupBy("o_orderstatus")
@@ -1546,11 +1554,11 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap: unix_timestamp truncates to whole seconds,
-    # which diverges from the oracle's epoch_us at the threshold
-    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
-        F.lag(F.col("ts")).over(w).cast("timestamp")
-    )
+    # microsecond-exact gap (unix_timestamp truncates to whole seconds,
+    # which diverges from the oracle's epoch_us at the threshold) —
+    # timezone-free via timeutil.epoch_us
+    us = epoch_us(F.col("ts"), "timestamp_ntz")
+    gap = us - epoch_us(F.lag(F.col("ts")).over(w), "timestamp_ntz")
     new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn(
         "session_id",

@@ -1,0 +1,108 @@
+"""Timezone-free epoch arithmetic for temporal columns.
+
+Spark's ``unix_micros(cast(x AS TIMESTAMP))`` idiom interprets a
+TIMESTAMP_NTZ / DATE value at *session-local* midnight/wall-time, so
+the derived epoch shifts with ``spark.sql.session.timeZone`` — and in
+a DST-observing zone the wall→instant mapping is not even monotone
+(spring-forward gaps map nonexistent wall times AFTER later ones),
+which can reorder an as-of window near a transition. Every operator
+and gate query that needs integer time arithmetic goes through these
+helpers instead: the epoch is derived purely from the naive calendar
+fields (``unix_date`` + hour/minute/fractional-second), which do not
+consult the session timezone at all.
+
+Equivalent reference behavior: the reference engine stores naive
+UTC-less timestamps and does integer arithmetic on them directly
+(digest.rs date handling); DuckDB's ``epoch_us`` on a naive TIMESTAMP
+is likewise timezone-free, so these expressions are the Spark-side
+mirror of the oracle's semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_US_PER_DAY = 86_400_000_000
+_NTZ_EPOCH = "1970-01-01 00:00:00"
+
+
+def epoch_us(col: str | Column, dtype: str) -> Column:
+    """Epoch microseconds for a temporal column, independent of the
+    session timezone.
+
+    ``dtype`` is the Spark simple-string dtype of the column
+    (``timestamp_ntz`` / ``date`` / ``timestamp`` / integral). NTZ and
+    DATE values are treated as naive wall times on the epoch scale
+    (exactly DuckDB's ``epoch_us`` on naive TIMESTAMP/DATE); a true
+    TIMESTAMP (instant) uses ``unix_micros`` directly, which is
+    already timezone-free. Integral columns pass through as micros.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if dtype == "date":
+        return F.unix_date(c).cast("long") * F.lit(_US_PER_DAY)
+    if dtype == "timestamp_ntz":
+        day = F.unix_date(c.cast("date")).cast("long") * F.lit(_US_PER_DAY)
+        tod = (
+            F.hour(c).cast("long") * F.lit(3600)
+            + F.minute(c).cast("long") * F.lit(60)
+        ) * F.lit(1_000_000)
+        # date_part SECOND carries the fractional part (DECIMAL(8,6));
+        # *1e6 is exact at micro precision, cast truncates nothing
+        frac = (F.date_part(F.lit("SECOND"), c) * F.lit(1_000_000)).cast(
+            "long"
+        )
+        return day + tod + frac
+    if dtype == "timestamp":
+        return F.unix_micros(c)
+    # already numeric (micros)
+    return c.cast("long")
+
+
+def epoch_us_of(df: DataFrame, col: str) -> Column:
+    """:func:`epoch_us` with the dtype looked up from ``df``."""
+    return epoch_us(col, dict(df.dtypes)[col])
+
+
+def from_epoch_us(expr: Column, dtype: str) -> Column:
+    """Inverse of :func:`epoch_us`: reconstruct a temporal value from
+    epoch micros in the same type family the micros were derived from.
+
+    TIMESTAMP round-trips through ``timestamp_micros``; NTZ/DATE
+    round-trip through a timezone-free ``timestampadd`` onto the NTZ
+    epoch (DATE widens to NTZ midnight — the natural supertype for a
+    matched-timestamp output column).
+    """
+    if dtype == "timestamp":
+        return F.timestamp_micros(expr)
+    return F.timestamp_add(
+        "MICROSECOND", expr, F.lit(_NTZ_EPOCH).cast("timestamp_ntz")
+    )
+
+
+def epoch_sec(col: str | Column, dtype: str) -> Column:
+    """Whole-second twin of :func:`epoch_us` (fractional seconds
+    truncated toward -inf, matching ``epoch // 1e6`` on non-negative
+    epochs). Pure integer arithmetic — no double division anywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    if dtype == "date":
+        return F.unix_date(c).cast("long") * F.lit(86_400)
+    if dtype == "timestamp_ntz":
+        return (
+            F.unix_date(c.cast("date")).cast("long") * F.lit(86_400)
+            + F.hour(c).cast("long") * F.lit(3600)
+            + F.minute(c).cast("long") * F.lit(60)
+            + F.floor(F.date_part(F.lit("SECOND"), c)).cast("long")
+        )
+    if dtype == "timestamp":
+        return F.unix_seconds(c)
+    return c.cast("long")
+
+
+def epoch_sec_sql(col: str) -> str:
+    """SQL-text twin of :func:`epoch_us` (whole seconds) for NTZ
+    columns, for gate queries written as SQL strings."""
+    return (
+        f"(unix_date(cast({col} as date)) * 86400"
+        f" + hour({col}) * 3600 + minute({col}) * 60"
+        f" + cast(floor(extract(second from {col})) as bigint))"
+    )

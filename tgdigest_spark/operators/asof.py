@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_us, from_epoch_us
+
 _TS_US = "__asof_ts_us"
 _PREC = "__asof_prec"
 _PAYLOAD = "__asof_payload"
@@ -79,8 +81,18 @@ def asof_join(
     }
     matched_ts_name = right_ts + suffix
 
-    def us(col: str):  # NTZ-safe microsecond epoch for ordering
-        return F.unix_micros(F.col(col).cast("timestamp"))
+    # timezone-FREE microsecond epochs (functions/timeutil.py): the old
+    # cast-to-TIMESTAMP idiom read NTZ/DATE values at session-local
+    # time, so a DST-observing session could reorder the scan near a
+    # spring-forward gap (nonexistent wall times map AFTER later ones)
+    lts_type = dict(left.dtypes)[left_ts]
+    rts_type = dict(right.dtypes)[right_ts]
+
+    def us_l(col: str):
+        return epoch_us(col, lts_type)
+
+    def us_r(col: str):
+        return epoch_us(col, rts_type)
 
     # SQL equality semantics: NULL keys never match. The window would
     # happily group NULL-key rows into one partition and hand a
@@ -100,9 +112,9 @@ def asof_join(
     # then the carried columns — one non-null struct per right row
     r = right.select(
         *keys,
-        us(right_ts).alias(_TS_US),
+        us_r(right_ts).alias(_TS_US),
         F.struct(
-            us(right_ts).alias("__rts_us"),
+            us_r(right_ts).alias("__rts_us"),
             *[F.col(c) for c in payload_cols],
         ).alias(_PAYLOAD),
         (
@@ -112,7 +124,7 @@ def asof_join(
         ).alias("__tb"),
     )
     l = left.select(
-        *left_cols, us(left_ts).alias(_TS_US), F.lit(None).alias("__tb")
+        *left_cols, us_l(left_ts).alias(_TS_US), F.lit(None).alias("__tb")
     )
 
     # precedence at equal timestamps: inclusive → right first (the left
@@ -175,7 +187,9 @@ def asof_join(
         )
     return out.select(
         *left_cols,
-        F.timestamp_micros(F.col(_PAYLOAD)["__rts_us"]).alias(matched_ts_name),
+        from_epoch_us(F.col(_PAYLOAD)["__rts_us"], rts_type).alias(
+            matched_ts_name
+        ),
         *[
             F.col(_PAYLOAD)[c].alias(out_names[c])
             for c in payload_cols
@@ -219,10 +233,16 @@ def asof_join_intervals(
 
     ``direction='forward'`` is the same algorithm over negated
     timestamps; ``strict`` shifts interval starts by one microsecond.
-    ``bin_width``/``long_cap`` as in :func:`range_join` (idle keys'
-    open-ended current intervals are capped at the newest left
-    timestamp, so their bin fan-out is bounded; ones still spanning
-    more than ``long_cap`` bins take the broadcast side path).
+    ``bin_width``/``long_cap`` as in :func:`range_join`. Sentinel and
+    open-ended current intervals are bounded by the KEY'S OWN first /
+    last left point (a per-key min/max agg of the left, joined in on
+    the keys), not by global bounds — so a key whose activity is
+    concentrated cannot manufacture a timeline-spanning interval that
+    overflows ``long_cap`` and rides range_join's broadcast path per
+    key (a memory hazard at high key cardinality). Intervals still
+    longer than ``long_cap`` bins after that are data-real outliers
+    (a key active across the whole timeline with rare state changes)
+    and take the broadcast side path by design.
 
     Scale shape: the big right side is scanned once, windowed without
     an Exchange over buckets, and exploded ~(1 + len/width) per
@@ -246,8 +266,15 @@ def asof_join_intervals(
     matched_ts_name = right_ts + suffix
     sign = 1 if direction == "backward" else -1
 
-    def us(col: str):
-        return F.unix_micros(F.col(col).cast("timestamp"))
+    # timezone-free epochs — see the asof_join comment / timeutil.py
+    lts_type = dict(left.dtypes)[left_ts]
+    rts_type = dict(right.dtypes)[right_ts]
+
+    def us_l(col: str):
+        return epoch_us(col, lts_type)
+
+    def us_r(col: str):
+        return epoch_us(col, rts_type)
 
     # NULL keys / NULL timestamps match nothing (same three-valued
     # semantics as asof_join)
@@ -258,12 +285,12 @@ def asof_join_intervals(
     # right rows → (keys, _t, payload struct); _t is the signed micro
     # timestamp so forward is backward on the mirrored axis, +1 for
     # strict (interval starts one microsecond after the change)
-    t_expr = us(right_ts) * F.lit(sign) + F.lit(1 if strict else 0)
+    t_expr = us_r(right_ts) * F.lit(sign) + F.lit(1 if strict else 0)
     r = right.select(
         *keys,
         t_expr.alias("_t"),
         F.struct(
-            us(right_ts).alias("__rts_us"),
+            us_r(right_ts).alias("__rts_us"),
             *[F.col(c) for c in payload_cols],
         ).alias(_PAYLOAD),
         (
@@ -274,19 +301,25 @@ def asof_join_intervals(
     )
     payload_type = r.schema[_PAYLOAD].dataType
 
-    # validity intervals: one window per key (lead + row_number over
-    # the same spec). Ties on (key, _t) chain through the tiebreak
-    # ASC, so the LARGEST tiebreak gets the non-empty interval
-    # (earlier duplicates get zero-length [t, t) intervals that
-    # contain no point) — largest-tiebreak-wins, same as asof_join.
-    # Over a key-bucketed right table this window plans as Sort
-    # without Exchange.
-    bounds = left.agg(
-        F.min(us(left_ts) * F.lit(sign)).alias("lo"),
-        F.max(us(left_ts) * F.lit(sign)).alias("hi"),
-    ).collect()[0]
-    lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
-    hi = int(bounds["hi"]) if bounds["hi"] is not None else 0
+    # per-key bounds of the LEFT points (one narrow agg, shuffled on
+    # the same keys the bin join uses). These replace the old GLOBAL
+    # [lo, hi] driver collect: the sentinel interval now starts at the
+    # key's OWN earliest point and the open-ended current interval
+    # caps at the key's OWN newest point, so a key whose activity is
+    # concentrated doesn't manufacture a timeline-spanning interval
+    # that overflows ``long_cap`` and rides range_join's broadcast
+    # path (the per-key-broadcast memory hazard on high-cardinality
+    # keys). As a bonus the inner join prunes right keys with no left
+    # points at all — their intervals could never match anything.
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).isNotNull()
+    pts = left.select(
+        *left_cols, (us_l(left_ts) * F.lit(sign)).alias("_p")
+    ).where(F.col("_p").isNotNull() & cond)
+    key_bounds = pts.groupBy(*keys).agg(
+        F.min("_p").alias("_klo"), F.max("_p").alias("_khi")
+    )
 
     # __tb asc NULLS LAST, matching asof_join's window order exactly:
     # the sorted-LAST row among ties wins there (last() carry) and gets
@@ -302,20 +335,26 @@ def asof_join_intervals(
         F.lead("_t").over(wiv).alias("_vto"),
         F.row_number().over(wiv).alias("_rn"),
     )
-    # per-key sentinel interval (-inf, first change) with NULL payload,
-    # so every left row whose key exists in right matches exactly one
-    # interval (left-join semantics without a second pass over the
-    # bins). The sentinel is emitted by EXPLODING the key's first row
-    # into [sentinel, own] — NOT by a union: Union reports unknown
-    # partitioning and would force the bucketed side back through an
-    # Exchange, the exact failure mode this formulation exists to
-    # avoid. Bounded below by the oldest left point (semantics-free
-    # truncation: nothing exists before it to match).
+    # join the per-key left bounds in AFTER the window, on exactly the
+    # keys: over a bucketed right table the windowed side keeps its
+    # layout (only the tiny bounds agg exchanges to match), so the
+    # zero-right-shuffle plan survives
+    ivb = iv0.join(key_bounds, keys, "inner")
+    # per-key sentinel interval (key's first left point, first change)
+    # with NULL payload, so every left row whose key exists in right
+    # matches exactly one interval (left-join semantics without a
+    # second pass over the bins). The sentinel is emitted by EXPLODING
+    # the key's first row into [sentinel, own] — NOT by a union: Union
+    # reports unknown partitioning and would force the bucketed side
+    # back through an Exchange, the exact failure mode this
+    # formulation exists to avoid. Bounded below by the key's oldest
+    # left point (semantics-free truncation: this key has nothing
+    # earlier to match).
     own = F.struct(
         F.col("_t").alias("f"), F.col("_vto").alias("t"), F.col(_PAYLOAD).alias("p")
     )
     sent = F.struct(
-        F.lit(lo).cast("long").alias("f"),
+        F.col("_klo").alias("f"),
         F.col("_t").alias("t"),
         F.lit(None).cast(payload_type).alias("p"),
     )
@@ -324,25 +363,22 @@ def asof_join_intervals(
     )
     # close intervals: half-open [vf, vto) → closed [vf, vto-1] in
     # integer micros; the current (open-ended) interval caps at the
-    # newest left point — beyond it there is nothing to match
+    # key's newest left point — beyond it this key has nothing to match
     closed = (
-        iv0.select(*keys, F.explode(pieces).alias("_e"))
+        ivb.select(*keys, "_klo", "_khi", F.explode(pieces).alias("_e"))
         .select(
             *keys,
             F.col("_e.f").alias("_vf"),
-            F.coalesce(F.col("_e.t") - F.lit(1), F.lit(hi)).alias("_ve"),
+            F.coalesce(F.col("_e.t") - F.lit(1), F.col("_khi")).alias("_ve"),
             F.col("_e.p").alias(_PAYLOAD),
+            "_klo",
+            "_khi",
         )
         .where(F.col("_ve") >= F.col("_vf"))  # zero-length tie/sentinel out
-        .where(F.col("_vf") <= F.lit(hi))  # starts after every point
+        .where(F.col("_vf") <= F.col("_khi"))  # starts after key's last point
+        .where(F.col("_ve") >= F.col("_klo"))  # ends before key's first point
+        .drop("_klo", "_khi")
     )
-
-    cond = F.lit(True)
-    for k in keys:
-        cond = cond & F.col(k).isNotNull()
-    pts = left.select(
-        *left_cols, (us(left_ts) * F.lit(sign)).alias("_p")
-    ).where(F.col("_p").isNotNull() & cond)
 
     matched = range_join(
         pts,
@@ -358,10 +394,9 @@ def asof_join_intervals(
     # left rows that can match nothing: NULL ts / NULL key / key absent
     # from the right side — null payload, like a SQL left join
     right_keys = right.select(*keys).distinct()
-    unmatched = left.where(~(us(left_ts).isNotNull() & cond)).unionByName(
-        left.where(us(left_ts).isNotNull() & cond).join(
-            right_keys, keys, "left_anti"
-        )
+    has_pt = F.col(left_ts).isNotNull() & cond
+    unmatched = left.where(~has_pt).unionByName(
+        left.where(has_pt).join(right_keys, keys, "left_anti")
     )
     out = matched.select(
         *left_cols, F.col(_PAYLOAD).alias("__pl")
@@ -371,14 +406,16 @@ def asof_join_intervals(
         )
     )
     if tolerance_us is not None:
-        gap = F.abs(us(left_ts) - F.col("__pl")["__rts_us"])
+        gap = F.abs(us_l(left_ts) - F.col("__pl")["__rts_us"])
         out = out.withColumn(
             "__pl",
             F.when(gap <= F.lit(int(tolerance_us)), F.col("__pl")),
         )
     return out.select(
         *left_cols,
-        F.timestamp_micros(F.col("__pl")["__rts_us"]).alias(matched_ts_name),
+        from_epoch_us(F.col("__pl")["__rts_us"], rts_type).alias(
+            matched_ts_name
+        ),
         *[F.col("__pl")[c].alias(out_names[c]) for c in payload_cols],
     )
 

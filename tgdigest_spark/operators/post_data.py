@@ -20,6 +20,8 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.timeutil import epoch_sec
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -106,7 +108,9 @@ def to_post_data(posts: DataFrame, channel_base: str = "https://t.me") -> DataFr
     null = lambda t: F.lit(None).cast(t)  # noqa: E731
     return posts.select(
         F.col("id").cast("int").alias("id"),
-        F.unix_timestamp(F.col("date").cast("timestamp")).alias("date"),
+        # timezone-free epoch seconds (functions/timeutil.py) — the
+        # reference stores the post date as a naive unix int
+        epoch_sec("date", dict(posts.dtypes)["date"]).alias("date"),
         null("long").alias("edit_date"),
         F.concat(
             F.lit(f"{channel_base}/"), F.col("channel"), F.lit("/"), F.col("id")
