@@ -48,6 +48,44 @@ def test_temporal_gates_timezone_free(spark, sf001_dir, name):
     _compare(sdf, odf, f"{name}@America/Los_Angeles")
 
 
+def test_gate_window_covers_priority_queries():
+    """The driver's correctness gate checks registry[0:50] exactly
+    (r4 verdict). The explicit _GATE_ORDER must keep every
+    never/stale-gated query plus the freshly-changed temporal rows
+    inside that window, and only four-rounds-green untouched rows
+    outside it."""
+    from tgdigest_spark.driver_queries import _GATE_ORDER, REGISTRY
+
+    assert list(REGISTRY) == _GATE_ORDER  # rebuild actually applied
+    window = set(list(REGISTRY)[:50])
+    must_gate = {
+        # never driver-gated before round 5
+        "ann_ivf_recall",
+        "checkpointed_quantiles",
+        "passage_overlap_summary",
+        "training_prep_pipeline",
+        "stratified_sample_counts",
+        "sequence_pack_stats",
+        # last gated r02/r03
+        "training_prep_exact_stages",
+        "multimodal_pipeline_stats",
+        "checkpoint_lineage_counts",
+        "decontaminate_counts",
+        "pii_scrub_stats",
+        "bpe_token_counts",
+        "repetition_stats_docs",
+        "train_val_split_counts",
+        # changed in round 5
+        "scd2_order_history",
+        "asof_join_orders",
+        "asof_intervals_orders",
+        "range_join_windows",
+        "interval_overlap_orders",
+        "sessionization",
+    }
+    assert must_gate <= window, sorted(must_gate - window)
+
+
 def test_epoch_us_round_trip_and_tz_invariance(spark):
     """timeutil.epoch_us/from_epoch_us: NTZ values round-trip exactly
     and the derived epoch is identical under UTC and a DST zone —
