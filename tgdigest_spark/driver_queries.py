@@ -1886,14 +1886,22 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
-    SELECT id_a, id_b,
-           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
-          >= 0.5 - 1e-12
-    ORDER BY id_a, id_b
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(id_a), 0) AS BIGINT) AS sum_id_a,
+           CAST(COALESCE(SUM(id_b), 0) AS BIGINT) AS sum_id_b,
+           MIN(jaccard) AS min_jaccard,
+           MAX(jaccard) AS max_jaccard,
+           CAST(COALESCE(SUM(CAST(ROUND(jaccard, 6) AS DECIMAL(18,6))), 0)
+               AS DOUBLE) AS sum_jaccard_6dp
+    FROM (
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+              >= 0.5 - 1e-12
+    )
     """,
 )
 def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,9 +1915,29 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = jaccard_prefix_join(docs, threshold=0.5)
     release = out.release_cache  # capture before transforming
-    rows = out.orderBy("id_a", "id_b").collect()
+    # aggregate the pair set SPARK-SIDE (O(1) driver memory — the old
+    # gate row collected every matched pair to the driver, the exact
+    # scale anti-pattern the operator itself avoids). Pair identity is
+    # pinned by count + id checksums; values by min/max of the
+    # bit-identical raw jaccard and an exact DECIMAL sum of the
+    # 6dp-rounded jaccard (partition-order-proof; ROUND(x,6) is
+    # bit-identical Spark vs DuckDB on [0,1] doubles).
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("id_a"), F.lit(0)).cast("long").alias("sum_id_a"),
+        F.coalesce(F.sum("id_b"), F.lit(0)).cast("long").alias("sum_id_b"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.coalesce(
+            F.sum(F.round(F.col("jaccard"), 6).cast("decimal(18,6)")),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("sum_jaccard_6dp"),
+    )
+    rows = agg.collect()  # exactly one row
     release()
-    return spark.createDataFrame(rows, out.schema)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 # incremental near-dedup (operators/dedup_incremental.py): documents
