@@ -137,6 +137,62 @@ def test_epoch_us_round_trip_and_tz_invariance(spark):
     assert utc["us"].iloc[4] == 1_704_067_200_000_000
 
 
+def test_rebalance_keep_comparison_is_inclusive(spark, monkeypatch):
+    """hash_uniform is in (0, 1]: a row whose uniform lands exactly on
+    1.0 must still be kept from a p_keep=1.0 source (T=1 keeps
+    everything / largest-source-kept-whole contract). Forced by
+    patching the uniform to the boundary value."""
+    from pyspark.sql import functions as F
+
+    import tgdigest_spark.operators.sampling as sampling
+
+    monkeypatch.setattr(
+        sampling, "hash_uniform", lambda key, seed: F.lit(1.0)
+    )
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(10)], "doc_id long, src string"
+    )
+    kept = sampling.rebalance_sources(
+        df, source="src", key="doc_id", temperature=1.0
+    )
+    assert kept.count() == 10  # strict < would drop all of them
+
+
+def test_chunk_documents_empty_doc_zero_tokens(spark):
+    """An empty or whitespace-only doc yields exactly one chunk with
+    chunk_tokens=0 (split('') yields [''] in Spark — before round 5
+    the chunk reported 1 token and over-counted in token budgets)."""
+    from tgdigest_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t\n "), (3, None), (4, "one two")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=4, overlap=1).toPandas()
+    by_id = out.set_index("doc_id")
+    for i in (1, 2, 3):
+        assert by_id.loc[i, "chunk_tokens"] == 0
+        assert by_id.loc[i, "chunk_text"] == ""
+    assert by_id.loc[4, "chunk_tokens"] == 2
+    assert (out.groupby("doc_id").size() == 1).all()
+
+
+def test_decode_wav_raises_on_truncated_chunk():
+    """A data chunk whose declared size exceeds the remaining bytes
+    must raise (like decode_ppm's truncated-raster check), not decode
+    silently to fewer samples."""
+    import numpy as np
+
+    from tgdigest_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = (np.arange(64, dtype=np.int16) * 100).reshape(-1, 2)
+    wav = encode_wav(samples, 8000)
+    got, sr = decode_wav(wav)  # sanity: intact payload round-trips
+    assert sr == 8000 and np.array_equal(got, samples)
+    with pytest.raises(ValueError, match="truncated WAVE data"):
+        decode_wav(wav[:-10])
+
+
 def test_epoch_sec_matches_floor_div(spark):
     """epoch_sec == epoch_us // 1e6 for NTZ values with fractional
     seconds (the gate queries rely on whole-second subtraction equaling

@@ -1282,8 +1282,10 @@ def budget_cutoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
         SELECT doc_id,
-               string_split_regex(trim(COALESCE(text, '')),
-                                  '[ \\t\\n\\x0B\\f\\r]+') AS toks
+               list_filter(
+                   string_split_regex(COALESCE(text, ''),
+                                      '[ \\t\\n\\x0B\\f\\r]+'),
+                   x -> x <> '') AS toks
         FROM documents WHERE doc_id < 100
     ), c AS (
         SELECT doc_id,
@@ -1334,9 +1336,15 @@ def chunk_docs_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             docs.select(
                 "doc_id",
+                # mirror chunk_documents' tokenization: split with
+                # empty artifacts filtered out (0 tokens for an
+                # empty / whitespace-only doc)
                 F.size(
-                    F.split(
-                        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+                    F.filter(
+                        F.split(
+                            F.coalesce(F.col("text"), F.lit("")), r"\s+"
+                        ),
+                        lambda x: x != "",
                     )
                 ).alias("n_tokens"),
             ),
@@ -1373,7 +1381,7 @@ def chunk_docs_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d JOIN p USING (lang)
         WHERE (CAST(('0x' || substring(md5(
                   CAST(doc_id AS VARCHAR) || chr(31) || 'mix42'), 1, 13))
-                  AS BIGINT) + 1) / 4503599627370496.0 < p_keep
+                  AS BIGINT) + 1) / 4503599627370496.0 <= p_keep
     )
     SELECT lang,
            COUNT(*) AS n_kept,

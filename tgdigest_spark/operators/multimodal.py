@@ -132,6 +132,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid = payload[o : o + 4]
         size = int.from_bytes(payload[o + 4 : o + 8], "little")
         body = payload[o + 8 : o + 8 + size]
+        if cid in (b"fmt ", b"data") and len(body) < size:
+            # fail loudly on truncation (matching decode_ppm's
+            # "truncated netpbm raster") instead of silently decoding
+            # a corrupted file to fewer samples
+            raise ValueError(
+                f"truncated WAVE {cid.decode('ascii').strip()} chunk: "
+                f"declared {size} bytes, {len(body)} available"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

@@ -418,7 +418,11 @@ def rebalance_sources(
         *[x for s, p in sorted(p_keep.items()) for x in (F.lit(s), F.lit(p))]
     )
     u = hash_uniform(key, seed)
-    return df.where(u < mapping[F.col(source)])
+    # u is in (0, 1], so the comparison must be INCLUSIVE: with strict
+    # <, a row whose uniform lands exactly on 1.0 would be dropped even
+    # from a p_keep=1.0 source, contradicting the largest-source-kept-
+    # whole / T=1-keeps-everything contract (oracle mirrors <=)
+    return df.where(u <= mapping[F.col(source)])
 
 
 def shuffle_for_training(
@@ -519,7 +523,15 @@ def select_until_budget(
 
     def _task_heads(batches):
         for pdf in batches:
-            yield pdf.head(4096)
+            # STRIDED sample across the whole first batch, not its
+            # contiguous head: on a near-single-task input sorted by
+            # the order key, 4096 contiguous rows cover only a narrow
+            # value range, collapsing the boundaries so most rows land
+            # in one bin and the final window degenerates toward the
+            # single-partition shape this operator exists to avoid
+            # (answer unchanged — bins only balance the work)
+            step = max(1, len(pdf) // 4096)
+            yield pdf.iloc[::step].head(4096)
             return  # short-circuit: the scan stops after one batch
 
     sampled = (

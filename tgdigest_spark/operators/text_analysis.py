@@ -248,8 +248,10 @@ def chunk_documents(
     chunks share exactly ``overlap`` tokens (when a next chunk
     exists). Token = whitespace run (Java ``\\s+``, the engine-wide
     convention). Output: one row per chunk —
-    ``(id, chunk_idx, chunk_text, chunk_tokens)``; a token-less doc
-    yields a single empty chunk (it is not silently dropped).
+    ``(id, chunk_idx, chunk_text, chunk_tokens)``; a token-less
+    (empty / whitespace-only) doc yields a single empty chunk with
+    ``chunk_tokens = 0`` (it is not silently dropped, and it does not
+    over-count as one token in downstream budgets).
 
     Scale shape: pure built-in expressions (split / sequence /
     posexplode / slice / array_join) — whole-stage codegen, no UDF, no
@@ -262,7 +264,16 @@ def chunk_documents(
     if not (0 <= overlap < max_tokens):
         raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # drop empty split artifacts: split('') yields [''] and Spark trim
+    # strips only 0x20, so an empty / whitespace-only doc (or stray
+    # leading/trailing tabs) would otherwise report phantom tokens and
+    # over-count in downstream token budgets. Filtering '' out of the
+    # split handles every case uniformly (interior empties cannot
+    # occur with a \\s+ separator); oracle mirrors with list_filter.
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
     n = F.size(toks)
     # number of stride-starts needed so the last chunk reaches token n:
     # 1 + ceil(max(n - max_tokens, 0) / stride)
