@@ -177,6 +177,76 @@ def test_chunk_documents_empty_doc_zero_tokens(spark):
     assert (out.groupby("doc_id").size() == 1).all()
 
 
+def test_asof_auto_dispatch(spark, tmp_path, monkeypatch):
+    """asof_join_auto picks the intervals formulation for a right side
+    whose physical plan is already hash-partitioned on the join keys
+    (bucketed table / repartition(key) lineage) and the union form
+    otherwise — and both paths give the as-of answer."""
+    import tgdigest_spark.operators.asof as asof_mod
+    from tests.test_asof import _mk_frames, _pandas_asof
+
+    left, right = _mk_frames(seed=23)
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+
+    calls = []
+    real_union, real_iv = asof_mod.asof_join, asof_mod.asof_join_intervals
+    monkeypatch.setattr(
+        asof_mod,
+        "asof_join",
+        lambda *a, **k: calls.append("union") or real_union(*a, **k),
+    )
+    monkeypatch.setattr(
+        asof_mod,
+        "asof_join_intervals",
+        lambda *a, **k: calls.append("intervals") or real_iv(*a, **k),
+    )
+
+    # plain in-memory right → union form
+    out_u = asof_mod.asof_join_auto(ldf, rdf, on="k", left_ts="ts")
+    assert calls == ["union"]
+
+    # bucketed right → intervals form
+    table = "asof_auto_gate"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        (
+            rdf.repartition(8, "k")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, "k")
+            .sortBy("k")
+            .option("path", str(tmp_path / "t"))
+            .saveAsTable(table)
+        )
+        out_b = asof_mod.asof_join_auto(
+            ldf, spark.table(table), on="k", left_ts="ts"
+        )
+        assert calls == ["union", "intervals"]
+
+        # repartition(key) lineage also counts as key-partitioned
+        asof_mod.asof_join_auto(
+            ldf, rdf.repartition(8, "k"), on="k", left_ts="ts"
+        )
+        assert calls == ["union", "intervals", "intervals"]
+
+        want = _pandas_asof(left, right)
+        for out in (out_u, out_b):
+            got = (
+                out.toPandas()
+                .sort_values(["k", "ts", "lval"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_series_equal(
+                got["rval"],
+                want["rval"],
+                check_names=False,
+                check_dtype=False,
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_decode_wav_raises_on_truncated_chunk():
     """A data chunk whose declared size exceeds the remaining bytes
     must raise (like decode_ppm's truncated-raster check), not decode

@@ -420,6 +420,70 @@ def asof_join_intervals(
     )
 
 
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    **kwargs,
+) -> DataFrame:
+    """Pick the right as-of formulation automatically.
+
+    The two formulations are result-identical (pytest-enforced parity)
+    but have different plan shapes: :func:`asof_join` (union form)
+    always re-Exchanges BOTH sides, while :func:`asof_join_intervals`
+    keeps a key-partitioned right side in place and shuffles only the
+    points. The dispatch rule is therefore keyed on the RIGHT plan's
+    physical output partitioning: if it already hash-partitions on (a
+    subset of) the join keys — a key-bucketed table scan, or a lineage
+    that ends in ``repartition(key)`` — the intervals form preserves
+    that layout (its window and bin join plan without a right-side
+    Exchange); anything else takes the union form, whose single
+    key-shuffle + codegen window is the cheaper generic shape (the
+    intervals form pays an interval explosion and a per-key bounds
+    join that only earn their keep when they save the big side's
+    shuffle).
+
+    ``kwargs`` pass through to the chosen formulation (tolerance,
+    direction, strict, tiebreak, suffix; bin_width/long_cap are
+    dropped for the union form, which has no bins).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if _hash_partitioned_on_keys(right, keys):
+        return asof_join_intervals(left, right, on, **kwargs)
+    kwargs.pop("bin_width", None)
+    kwargs.pop("long_cap", None)
+    return asof_join(left, right, on, **kwargs)
+
+
+def _hash_partitioned_on_keys(df: DataFrame, keys: list[str]) -> bool:
+    """True iff ``df``'s pre-AQE physical plan reports
+    ``hashpartitioning`` whose expressions are a non-empty subset of
+    ``keys`` (by column name) — the condition under which a window /
+    join clustered on ``keys`` reuses the layout without an Exchange.
+
+    Uses ``sparkPlan()`` (not ``executedPlan()``) so the check sees
+    the real scan partitioning rather than the AdaptiveSparkPlan
+    wrapper; planning the frame once here is cheap and cached by the
+    session's query execution.
+    """
+    import re
+
+    try:
+        part = (
+            df._jdf.queryExecution().sparkPlan().outputPartitioning()
+        ).toString()
+    except Exception:  # non-classic DF / connect — fall back to union
+        return False
+    m = re.match(r"hashpartitioning\((.+), \d+\)$", part)
+    if not m:
+        return False
+    names = {
+        re.sub(r"#\d+L?$", "", e.strip())
+        for e in m.group(1).split(", ")
+    }
+    return bool(names) and names <= set(keys)
+
+
 def build_validity_intervals(
     df: DataFrame,
     key: str | list[str],
