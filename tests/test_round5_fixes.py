@@ -263,6 +263,148 @@ def test_decode_wav_raises_on_truncated_chunk():
         decode_wav(wav[:-10])
 
 
+def _png_filter_row(recon, prev, bpp, f):
+    """Reference PNG filterer (spec §6): produce the filtered bytes
+    that decode_png must invert for filter type f."""
+    import numpy as np
+
+    recon = recon.astype(np.int32)
+    prev = prev.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, np.int32), recon[:-bpp]])
+    upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+    if f == 0:
+        raw = recon
+    elif f == 1:
+        raw = recon - left
+    elif f == 2:
+        raw = recon - prev
+    elif f == 3:
+        raw = recon - (left + prev) // 2
+    elif f == 4:
+        p = left + prev - upleft
+        pa, pb, pc = (
+            np.abs(p - left),
+            np.abs(p - prev),
+            np.abs(p - upleft),
+        )
+        pr = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+        )
+        raw = recon - pr
+    return (raw % 256).astype(np.uint8)
+
+
+def test_png_round_trip_all_channel_layouts():
+    """encode_png → decode_png is bit-exact for gray, gray+alpha, RGB
+    and RGBA images."""
+    import numpy as np
+
+    from tgdigest_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in [(7, 5), (7, 5, 2), (9, 4, 3), (6, 6, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(encode_png(img))
+        assert got.dtype == np.uint8 and np.array_equal(got, img), shape
+
+
+def test_png_decode_inverts_every_filter_type():
+    """decode_png must invert all five scanline filters (encode_png
+    only emits filter 0, so the filtered stream is built by a
+    spec-reference filterer here): one row per filter type 0-4."""
+    import zlib
+
+    import numpy as np
+
+    from tgdigest_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    h, w, ch = 5, 9, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    bpp = ch
+    raster = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for r in range(h):
+        recon = img[r].reshape(-1)
+        f = r % 5
+        raster.append(f)
+        raster.extend(_png_filter_row(recon, prev, bpp, f).tobytes())
+        prev = recon
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_png_corruption_fails_loudly():
+    """CRC corruption, chunk truncation, and unsupported layouts raise
+    instead of decoding partial images."""
+    import numpy as np
+
+    from tgdigest_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    ok = encode_png(img)
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        bad = bytearray(ok)
+        bad[40] ^= 0xFF  # flip an IDAT byte, CRC no longer matches
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(ok[:-20])  # cut mid-IDAT
+    with pytest.raises(ValueError, match="missing IDAT/IEND"):
+        decode_png(ok[:-8])  # IEND header survives but chunk is cut
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNG\r\n\x1a")
+
+
+def test_extract_features_real_png_matches_single_process(spark):
+    """extract_features with real_decode over PNG payloads equals the
+    single-process moment vector of the decoded pixels."""
+    import numpy as np
+
+    from tgdigest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _moments,
+        decode_png,
+        encode_png,
+        extract_features,
+        real_decode,
+    )
+
+    rng = np.random.default_rng(17)
+    assets = []
+    expected = {}
+    for i in range(6):
+        img = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+        payload = encode_png(img)
+        assets.append((i, "image", payload, None))
+        expected[i] = _moments(decode_png(payload))
+    media = spark.createDataFrame(assets, MEDIA_SCHEMA)
+    out = (
+        extract_features(media, decode_fn=real_decode)
+        .toPandas()
+        .set_index("asset_id")
+    )
+    for i, want in expected.items():
+        got = np.array(out.loc[i, "feature"])
+        assert np.array_equal(got, want)
+
+
 def test_epoch_sec_matches_floor_div(spark):
     """epoch_sec == epoch_us // 1e6 for NTZ values with fractional
     seconds (the gate queries rely on whole-second subtraction equaling

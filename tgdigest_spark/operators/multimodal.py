@@ -2,10 +2,11 @@
 
 The Spark-side plumbing is real and tested — schemas, partition-aware
 ``mapInPandas`` decode pipelines, Arrow batch shapes, frame sampling
-arithmetic. Decode itself is REAL for the formats a pure-numpy parser
-can handle — netpbm P5/P6 images (:func:`decode_ppm`) and RIFF/WAVE
-PCM audio (:func:`decode_wav`), round-trip-tested bit-exact — while
-codec formats (jpeg/png/mp4) stay behind a loud NotImplementedError
+arithmetic. Decode itself is REAL for the formats a pure-numpy/stdlib
+parser can handle — netpbm P5/P6 images (:func:`decode_ppm`), PNG
+(:func:`decode_png`, zlib inflate + numpy unfiltering), and RIFF/WAVE
+PCM audio (:func:`decode_wav`), all round-trip-tested bit-exact —
+while codec formats (jpeg/mp4) stay behind a loud NotImplementedError
 (this container has no codec libraries). ``decode_fn`` defaults to a
 deterministic fake for tests/benchmarks; pass ``real_decode`` to run
 the real path.
@@ -163,6 +164,150 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """Stdlib-only PNG decoder: chunk walk with CRC verification, IDAT
+    inflate via ``zlib``, then per-scanline unfiltering (filters 0-4)
+    in numpy. Supports 8-bit gray / gray+alpha / RGB / RGBA,
+    non-interlaced — the shapes a training pipeline actually stores;
+    palette, 16-bit, and interlaced images raise. Returns (h, w) for
+    grayscale or (h, w, channels) uint8 otherwise.
+
+    Truncation and CRC corruption fail loudly (same policy as
+    decode_ppm / decode_wav): a corrupted asset must never silently
+    decode to a smaller image.
+    """
+    import zlib
+
+    if payload is None or len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    o, n = 8, len(payload)
+    ihdr, idat, ended = None, [], False
+    while o + 8 <= n:
+        ln = int.from_bytes(payload[o : o + 4], "big")
+        typ = payload[o + 4 : o + 8]
+        if o + 12 + ln > n:
+            raise ValueError(
+                f"truncated PNG {typ.decode('latin1')} chunk: declared "
+                f"{ln} bytes, {n - o - 12} available"
+            )
+        data = payload[o + 8 : o + 8 + ln]
+        crc = int.from_bytes(payload[o + 8 + ln : o + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {typ.decode('latin1')}")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            ended = True
+            break
+        o += 12 + ln
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing/bad IHDR")
+    if not idat or not ended:
+        raise ValueError("PNG missing IDAT/IEND")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None:
+        raise ValueError(
+            f"unsupported PNG layout: depth={depth} color_type={color} "
+            "(8-bit gray/gray+alpha/RGB/RGBA only)"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"truncated PNG raster: {len(raw)} bytes for "
+            f"{h}x({stride}+1) expected"
+        )
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    bpp = channels
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f, line = int(filters[r]), lines[r]
+        if f == 0:  # None
+            recon = line
+        elif f == 1:  # Sub: left-prefix sum per channel, mod 256
+            recon = (
+                np.cumsum(line.reshape(w, bpp), axis=0) % 256
+            ).reshape(stride)
+        elif f == 2:  # Up
+            recon = (line + prev) % 256
+        elif f == 3:  # Average — sequential left dependency
+            recon = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth — sequential left dependency
+            recon = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                recon[x] = (line[x] + pr) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {r}")
+        out[r] = recon
+        prev = recon.astype(np.int32)
+    img = out.reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Test/round-trip helper: uint8 (h, w[, channels]) → PNG with
+    filter-0 scanlines and a single IDAT. channels ∈ {1 (gray),
+    2 (gray+alpha), 3 (RGB), 4 (RGBA)}."""
+    import zlib
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("expected (h, w) or (h, w, 1|2|3|4) uint8")
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    raster = np.empty((h, 1 + w * ch), dtype=np.uint8)
+    raster[:, 0] = 0  # filter None per scanline
+    raster[:, 1:] = arr.reshape(h, w * ch)
+    idat = zlib.compress(raster.tobytes(), 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def _moments(arr: np.ndarray) -> np.ndarray:
     """FEATURE_DIM chunk means of a flattened decoded array — the same
     reduction shape as fake_decode, but over real decoded samples."""
@@ -183,14 +328,16 @@ def real_decode(payload: bytes, kind: str) -> np.ndarray:
     if payload is not None and len(payload) >= 12:
         if payload[:2] in (b"P5", b"P6"):
             return _moments(decode_ppm(payload))
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _moments(decode_png(payload))
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, _ = decode_wav(payload)
             return _moments(samples)
     raise NotImplementedError(
         "decode for this payload format requires codec libraries not "
-        "present in this environment (pure-numpy path covers netpbm "
-        "P5/P6 and WAVE PCM); inject decode_fn= or use the "
-        "deterministic fake"
+        "present in this environment (pure-numpy/stdlib path covers "
+        "netpbm P5/P6, PNG, and WAVE PCM); inject decode_fn= or use "
+        "the deterministic fake"
     )
 
 
