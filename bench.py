@@ -473,6 +473,221 @@ def _temporal_rehearsal_queries(spark, target_rows: int = 10_000_000) -> dict:
     }
 
 
+def _completed_stage_ids(spark) -> set:
+    """(stageId, attemptId) of all completed stages, via UI REST."""
+    import json as _json
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = getattr(sc, "uiWebUrl", None)
+    if not url:
+        return set()
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{sc.applicationId}/stages"
+            "?status=complete",
+            timeout=10,
+        ) as r:
+            stages = _json.load(r)
+    except Exception:
+        return set()
+    return {(s["stageId"], s["attemptId"]) for s in stages}
+
+
+def _max_task_ms(spark, stage_ids: set) -> float | None:
+    """Max single-task duration (ms) across the given stages — the
+    straggler metric for skew legs. None when the UI is unreachable."""
+    import json as _json
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = getattr(sc, "uiWebUrl", None)
+    if not url or not stage_ids:
+        return None
+    worst = 0.0
+    for sid, att in stage_ids:
+        try:
+            with urllib.request.urlopen(
+                f"{url}/api/v1/applications/{sc.applicationId}/stages/"
+                f"{sid}/{att}/taskSummary?quantiles=1.0",
+                timeout=10,
+            ) as r:
+                summ = _json.load(r)
+            worst = max(worst, float(summ.get("duration", [0.0])[0]))
+        except Exception:
+            continue  # skipped / evicted stage
+    return round(worst, 1) if worst else None
+
+
+def run_skewstress(target_rows: int = 10_000_000) -> dict:
+    """Zipf-hot-key stress for the temporal joins (round-4 verdict #6):
+    ONE key holds ~20% of BOTH sides of a 10^7 x 10^7 as-of / range
+    join. Reports wall + shuffle bytes + max single-task ms for the
+    union as-of, the intervals-over-bucketed as-of, and the binned
+    range join, next to a uniform-key baseline of identical size.
+
+    What the numbers demonstrate (BENCH.md carries the discussion):
+    the BINNED joins are structurally skew-resistant — their join key
+    is (k, time_bin), so the hot key's rows spread across ~span/width
+    bins instead of landing in one join partition; the per-key WINDOW
+    legs (union as-of carry, intervals' lead()) are where a hot key
+    serializes, and the mitigation is the intervals formulation whose
+    window runs over the pre-bucketed narrow state stream, not the
+    union of both sides.
+    """
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.operators.asof import asof_join, asof_join_intervals
+    from tgdigest_spark.operators.range_join import range_join
+    from tgdigest_spark.session import get_spark
+
+    spark = get_spark(
+        "tgdigest-skewstress",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf=_BENCH_CONF,
+    )
+    base_us = 1_704_067_200 * 10**6
+    span_s = 30 * 86400
+    orders = spark.read.parquet(_staged(spark, "orders"))
+    n_orders = orders.count()
+    rep = max(1, target_rows // n_orders)
+    reps = spark.range(rep).withColumnRenamed("id", "rep")
+    n_buckets = max(CPUS * 2, 16)
+
+    def synth(mult_a: int, mult_b: int, skew: bool):
+        off_s = (
+            F.col("o_orderkey") * F.lit(mult_a) + F.col("rep") * F.lit(mult_b)
+        ) % F.lit(span_s)
+        # hot key: ~20% of rows (o_orderkey % 5 == 0) collapse onto
+        # key -1 on BOTH sides — a worst-practical Zipf head
+        key = (
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(-1)).otherwise(
+                F.col("o_custkey")
+            )
+            if skew
+            else F.col("o_custkey")
+        )
+        return (
+            orders.select("o_orderkey", "o_custkey", "o_totalprice")
+            .crossJoin(reps)
+            .select(
+                key.alias("k"),
+                F.timestamp_micros(
+                    F.lit(base_us) + off_s * F.lit(10**6)
+                ).alias("ts"),
+                (F.col("o_totalprice") + F.col("rep")).alias("v"),
+            )
+        )
+
+    def build_side(tag: str, skew: bool):
+        table = f"skew_states_{tag}"
+        spath = os.path.join(
+            DATA_DIR,
+            "bench_cache",
+            f"skew_states_{tag}_sf{SF}_x{rep}_b{n_buckets}",
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if not os.path.exists(os.path.join(spath, "_SUCCESS")):
+            (
+                synth(7919, 104729, skew)
+                .repartition(n_buckets, F.col("k"))
+                .write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(n_buckets, "k")
+                .sortBy("k", "ts")
+                .option("path", spath)
+                .saveAsTable(table)
+            )
+        else:
+            spark.sql(
+                f"CREATE TABLE {table} (k bigint, ts timestamp, v double) "
+                f"USING parquet CLUSTERED BY (k) SORTED BY (k, ts) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{spath}'"
+            )
+        ppath = os.path.join(
+            DATA_DIR, "bench_cache", f"skew_points_{tag}_sf{SF}_x{rep}"
+        )
+        if not os.path.exists(os.path.join(ppath, "_SUCCESS")):
+            (
+                synth(104729, 7919, skew)
+                .withColumnRenamed("v", "pv")
+                .repartition(CPUS * 2)
+                .write.mode("overwrite")
+                .parquet(ppath)
+            )
+        return spark.table(table), spark.read.parquet(ppath)
+
+    def consume(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), F.count("v").alias("n_matched")
+        ).collect()
+
+    legs: dict[str, dict] = {}
+    for tag, skew in (("uniform", False), ("hot20", True)):
+        states, points = build_side(tag, skew)
+
+        def q_union():
+            return consume(asof_join(points, states, on="k", left_ts="ts"))
+
+        def q_intervals():
+            return consume(
+                asof_join_intervals(points, states, on="k", left_ts="ts")
+            )
+
+        def q_range():
+            from tgdigest_spark.operators.asof import build_validity_intervals
+
+            iv = build_validity_intervals(states, "k", "ts")
+            closed = iv.select(
+                "k",
+                F.unix_micros("valid_from").alias("s"),
+                F.coalesce(
+                    F.unix_micros("valid_to") - 1,
+                    F.lit(base_us + span_s * 10**6),
+                ).alias("e"),
+                "v",
+            )
+            pts = points.select("k", F.unix_micros("ts").alias("p"), "pv")
+            return range_join(
+                pts, closed, point="p", start="s", end="e", on="k"
+            ).count()
+
+        for name, fn in (
+            ("asof_union", q_union),
+            ("asof_intervals_bucketed", q_intervals),
+            ("range_join_validity", q_range),
+        ):
+            fn()  # warmup
+            pre_stages = _completed_stage_ids(spark)
+            s0 = _shuffle_totals(spark)
+            t0 = time.perf_counter()
+            fn()
+            wall = time.perf_counter() - t0
+            s1 = _shuffle_totals(spark)
+            new_stages = _completed_stage_ids(spark) - pre_stages
+            legs[f"{name}@{tag}"] = {
+                "wall_s": round(wall, 3),
+                "shuffle_read_mb": round((s1[0] - s0[0]) / 1e6, 2)
+                if s0 and s1
+                else None,
+                "max_task_ms": _max_task_ms(spark, new_stages),
+            }
+            print(f"{name}@{tag}: {legs[f'{name}@{tag}']}", flush=True)
+
+    out = {
+        "metric": "skewstress_temporal",
+        "value": round(sum(l["wall_s"] for l in legs.values()), 3),
+        "unit": "sec",
+        "queries": {k: v["wall_s"] for k, v in legs.items()},
+        "legs": legs,
+        "sf": SF,
+        "extra": {"rows_per_side": n_orders * rep, "hot_share": 0.2},
+    }
+    spark.stop()
+    return out
+
+
 def run_rehearse100x(target_rows: int = 100_000_000) -> dict:
     """One-command 100x rehearsal: replicate the sf transcripts to
     ~10^8 rows ON DISK (written once, cached), run the transcript
@@ -738,5 +953,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--rehearse100x" in sys.argv:
         print(json.dumps(run_rehearse100x()))
+    elif "--skewstress" in sys.argv:
+        print(json.dumps(run_skewstress()))
     else:
         print(json.dumps(run_bench()))
