@@ -653,11 +653,50 @@ def run_skewstress(target_rows: int = 10_000_000) -> dict:
                 pts, closed, point="p", start="s", end="e", on="k"
             ).count()
 
-        for name, fn in (
+        def q_intervals_spread():
+            # mitigation: forfeit the co-located layout, spread each
+            # key's bins across the cluster
+            return consume(
+                asof_join_intervals(
+                    points, states, on="k", left_ts="ts", spread_bins=True
+                )
+            )
+
+        def q_range_spread():
+            from tgdigest_spark.operators.asof import build_validity_intervals
+
+            iv = build_validity_intervals(states, "k", "ts")
+            closed = iv.select(
+                "k",
+                F.unix_micros("valid_from").alias("s"),
+                F.coalesce(
+                    F.unix_micros("valid_to") - 1,
+                    F.lit(base_us + span_s * 10**6),
+                ).alias("e"),
+                "v",
+            )
+            pts = points.select("k", F.unix_micros("ts").alias("p"), "pv")
+            return range_join(
+                pts,
+                closed,
+                point="p",
+                start="s",
+                end="e",
+                on="k",
+                spread_bins=True,
+            ).count()
+
+        leg_fns = [
             ("asof_union", q_union),
             ("asof_intervals_bucketed", q_intervals),
             ("range_join_validity", q_range),
-        ):
+        ]
+        if skew:  # mitigation legs only matter under the hot key
+            leg_fns += [
+                ("asof_intervals_spread", q_intervals_spread),
+                ("range_join_spread", q_range_spread),
+            ]
+        for name, fn in leg_fns:
             fn()  # warmup
             pre_stages = _completed_stage_ids(spark)
             s0 = _shuffle_totals(spark)

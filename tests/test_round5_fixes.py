@@ -247,6 +247,47 @@ def test_asof_auto_dispatch(spark, tmp_path, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_spread_bins_parity_and_partitioning(spark):
+    """range_join(spread_bins=True) returns the identical pair set and
+    its plan exchanges the exploded intervals on (keys, bin) — the
+    skew escape hatch that spreads a hot key's bins across tasks."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.operators.range_join import range_join
+
+    rng = np.random.default_rng(31)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 400),
+                "p": rng.integers(0, 10_000, 400),
+            }
+        )
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 120),
+                "s": (s := rng.integers(0, 9_000, 120)),
+                "e": s + rng.integers(0, 800, 120),
+                "vid": np.arange(120),
+            }
+        )
+    )
+    base = range_join(pts, iv, "p", "s", "e", on="k", bin_width=500)
+    spread = range_join(
+        pts, iv, "p", "s", "e", on="k", bin_width=500, spread_bins=True
+    )
+    a = sorted(map(tuple, base.select("k", "p", "vid").collect()))
+    b = sorted(map(tuple, spread.select("k", "p", "vid").collect()))
+    assert a == b and len(a) > 0
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k#" in plan and "__rj_bin" in plan.split(
+        "hashpartitioning", 2
+    )[1], "exploded intervals must repartition on (k, bin)"
+
+
 def test_decode_wav_raises_on_truncated_chunk():
     """A data chunk whose declared size exceeds the remaining bytes
     must raise (like decode_ppm's truncated-raster check), not decode

@@ -210,6 +210,7 @@ def asof_join_intervals(
     suffix: str = "_r",
     bin_width: int | None = None,
     long_cap: int = 256,
+    spread_bins: bool = False,
 ) -> DataFrame:
     """As-of join via validity intervals + binned range join — the
     bucketed-layout-friendly formulation of :func:`asof_join`, same
@@ -389,6 +390,7 @@ def asof_join_intervals(
         on=keys,
         bin_width=bin_width,
         long_cap=long_cap,
+        spread_bins=spread_bins,
     )
 
     # left rows that can match nothing: NULL ts / NULL key / key absent

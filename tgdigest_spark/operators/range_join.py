@@ -60,6 +60,7 @@ def range_join(
     on: str | list[str] | None = None,
     bin_width: int | None = None,
     long_cap: int = 256,
+    spread_bins: bool = False,
 ) -> DataFrame:
     """Inner join of ``points`` × ``intervals`` on optional equality
     keys ``on`` plus containment ``start <= point <= end``.
@@ -74,6 +75,22 @@ def range_join(
     interval length (one tiny extra job). ``long_cap``: intervals
     spanning more bins than this broadcast through the nested-loop side
     path instead of exploding.
+
+    ``spread_bins``: the SKEW escape hatch. By default the equi-join
+    lets Catalyst co-partition however is cheapest — over a
+    key-bucketed interval side that means partitioning on the KEY
+    subset alone (zero interval-side shuffle), which is optimal for
+    uniform keys but puts a hot key's ENTIRE bin workload in one task
+    (measured: a key holding 20% of both sides at 10^7×10^7 rows
+    turns a 1.6 s max-task into a 57 s straggler — BENCH.md round-5
+    skew table). ``spread_bins=True`` repartitions the exploded
+    intervals on (keys…, bin), forcing both sides to cluster on the
+    FULL join key so a hot key's bins spread across the cluster —
+    trading the co-located layout (the interval side now shuffles)
+    for straggler-free execution. Pick by key histogram: uniform /
+    mild Zipf → default; heavy head → spread_bins=True, ideally with
+    a ``bin_width`` sized to the hot key's interval density (per-bin
+    join work is points/bin × intervals/bin).
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     if bin_width is None:
@@ -93,6 +110,8 @@ def range_join(
     exploded = short.withColumn(
         _BIN, F.explode(F.sequence(s_bin, e_bin))
     )
+    if spread_bins:
+        exploded = exploded.repartition(*(keys + [_BIN]))
     pts = points.withColumn(_BIN, p_bin)
     contained = (F.col(start) <= F.col(point)) & (
         F.col(point) <= F.col(end)
