@@ -691,10 +691,25 @@ def run_skewstress(target_rows: int = 10_000_000) -> dict:
             ("asof_intervals_bucketed", q_intervals),
             ("range_join_validity", q_range),
         ]
+        def q_intervals_auto():
+            # hybrid: cold keys keep the co-located bucketed path,
+            # only the hot key's rows take the spread layout
+            return consume(
+                asof_join_intervals(
+                    points,
+                    states,
+                    on="k",
+                    left_ts="ts",
+                    spread_bins="auto",
+                    hot_key_rows=500_000,
+                )
+            )
+
         if skew:  # mitigation legs only matter under the hot key
             leg_fns += [
                 ("asof_intervals_spread", q_intervals_spread),
                 ("range_join_spread", q_range_spread),
+                ("asof_intervals_auto", q_intervals_auto),
             ]
         for name, fn in leg_fns:
             fn()  # warmup

@@ -247,6 +247,63 @@ def test_asof_auto_dispatch(spark, tmp_path, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_asof_intervals_hybrid_auto_parity(spark):
+    """spread_bins='auto' (hybrid hot/cold key split) returns exactly
+    the default formulation's result on a skewed frame with NULL keys
+    and NULL timestamps — including the NULL-key left rows, which the
+    cold-branch filter must keep (a bare ~isin would drop them)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.operators.asof import asof_join_intervals
+
+    rng = np.random.default_rng(41)
+    n = 2000
+
+    def frame(seed_shift):
+        k = np.where(
+            rng.random(n) < 0.3, 1, rng.integers(2, 30, n)
+        ).astype("float64")
+        k[rng.random(n) < 0.02] = np.nan  # NULL keys
+        ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 10**6, n), unit="s"
+        )
+        return pd.DataFrame(
+            {"k": k, "ts": ts, "v": rng.random(n) + seed_shift}
+        )
+
+    l = spark.createDataFrame(frame(0)).withColumn(
+        "k", F.col("k").cast("long")
+    )
+    r = (
+        spark.createDataFrame(frame(10))
+        .withColumn("k", F.col("k").cast("long"))
+        .withColumnRenamed("v", "rv")
+    )
+    base = (
+        asof_join_intervals(l, r, on="k", left_ts="ts", right_tiebreak="rv")
+        .toPandas()
+        .sort_values(["k", "ts", "v"])
+        .reset_index(drop=True)
+    )
+    hyb = (
+        asof_join_intervals(
+            l,
+            r,
+            on="k",
+            left_ts="ts",
+            right_tiebreak="rv",
+            spread_bins="auto",
+            hot_key_rows=300,  # key 1 (~30% of rows) is hot
+        )
+        .toPandas()
+        .sort_values(["k", "ts", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, hyb)
+    assert len(base) == n  # every left row exactly once, NULL keys kept
+
+
 def test_spread_bins_parity_and_partitioning(spark):
     """range_join(spread_bins=True) returns the identical pair set and
     its plan exchanges the exploded intervals on (keys, bin) — the

@@ -210,11 +210,25 @@ def asof_join_intervals(
     suffix: str = "_r",
     bin_width: int | None = None,
     long_cap: int = 256,
-    spread_bins: bool = False,
+    spread_bins: bool | str = False,
+    hot_key_rows: int = 1_000_000,
 ) -> DataFrame:
     """As-of join via validity intervals + binned range join — the
     bucketed-layout-friendly formulation of :func:`asof_join`, same
     semantics and output schema.
+
+    ``spread_bins`` (skew control — measured cliff in BENCH.md round
+    5): ``False`` (default) keeps the co-located zero-right-shuffle
+    plan; ``True`` forces the (key, bin) spread layout everywhere
+    (see :func:`range_join`); ``"auto"`` is the HYBRID — one narrow
+    count-per-key agg of the left finds keys holding more than
+    ``hot_key_rows`` points (provably ≤ n/hot_key_rows of them, so
+    the driver-side key list is bounded), routes those keys' rows
+    through the spread layout and everything else through the
+    co-located path, and unions the two results. Under the round-5
+    hot20 stress the hybrid keeps 80% of the data on the
+    never-shuffled bucketed path while the hot key's bins spread
+    across the cluster.
 
     Why a second formulation: the union-based :func:`asof_join` always
     re-Exchanges BOTH sides (``Union`` reports unknown partitioning
@@ -260,6 +274,26 @@ def asof_join_intervals(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     keys = [on] if isinstance(on, str) else list(on)
+
+    if spread_bins == "auto":
+        return _asof_intervals_hybrid(
+            left,
+            right,
+            keys,
+            hot_key_rows,
+            dict(
+                left_ts=left_ts,
+                right_ts=right_ts,
+                direction=direction,
+                strict=strict,
+                tolerance_us=tolerance_us,
+                right_tiebreak=right_tiebreak,
+                suffix=suffix,
+                bin_width=bin_width,
+                long_cap=long_cap,
+            ),
+        )
+
     right_ts = right_ts or left_ts
     left_cols = left.columns
     payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
@@ -420,6 +454,69 @@ def asof_join_intervals(
         ),
         *[F.col("__pl")[c].alias(out_names[c]) for c in payload_cols],
     )
+
+
+def _asof_intervals_hybrid(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    hot_key_rows: int,
+    kw: dict,
+) -> DataFrame:
+    """spread_bins="auto": split the key space by left-point count and
+    run the co-located formulation on the cold keys, the (key, bin)
+    spread formulation on the hot ones, unioning the results.
+
+    The hot-key list is collected to the driver, which is SAFE by
+    construction: at most ``n_left / hot_key_rows`` keys can exceed
+    the threshold (≤ 100 keys even at 10^8 rows with the default
+    10^6), and the literal IN-list pushes down into both scans. The
+    cold-side filters preserve the right table's bucketed
+    partitioning, so the zero-right-shuffle plan survives for the
+    bulk of the data. NULL-key left rows ride the cold branch (their
+    filter must be null-tolerant — ``~isin`` alone would silently
+    drop them).
+    """
+    cnt = (
+        left.where(F.col(kw["left_ts"]).isNotNull())
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= F.lit(int(hot_key_rows)))
+        .select(*keys)
+        .collect()
+    )
+    if not cnt:
+        return asof_join_intervals(left, right, keys, **kw)
+    hot_rows = [tuple(r[k] for k in keys) for r in cnt]
+
+    import functools
+
+    def is_hot(_=None):
+        conds = [
+            functools.reduce(
+                lambda a, b: a & b,
+                [F.col(k) == F.lit(v) for k, v in zip(keys, row)],
+            )
+            for row in hot_rows
+        ]
+        return functools.reduce(lambda a, b: a | b, conds)
+
+    hot = is_hot()
+    cold = asof_join_intervals(
+        left.where(~F.coalesce(hot, F.lit(False))),
+        right.where(~F.coalesce(is_hot(), F.lit(False))),
+        keys,
+        spread_bins=False,
+        **kw,
+    )
+    spread = asof_join_intervals(
+        left.where(hot),
+        right.where(is_hot()),
+        keys,
+        spread_bins=True,
+        **kw,
+    )
+    return cold.unionByName(spread)
 
 
 def asof_join_auto(
