@@ -719,7 +719,14 @@ def run_skewstress(target_rows: int = 10_000_000) -> dict:
             fn()
             wall = time.perf_counter() - t0
             s1 = _shuffle_totals(spark)
-            new_stages = _completed_stage_ids(spark) - pre_stages
+            # an empty PRE snapshot means the REST probe failed (the
+            # warmup already completed stages) — diffing against it
+            # would absorb every earlier leg's stragglers
+            new_stages = (
+                _completed_stage_ids(spark) - pre_stages
+                if pre_stages
+                else set()
+            )
             legs[f"{name}@{tag}"] = {
                 "wall_s": round(wall, 3),
                 "shuffle_read_mb": round((s1[0] - s0[0]) / 1e6, 2)

@@ -8,11 +8,10 @@ helpers.
 
 from __future__ import annotations
 
-import duckdb
 import pandas as pd
 import pytest
 
-from tests.test_driver_contract import TABLES, _compare, _duck
+from tests.test_driver_contract import _compare, _duck
 
 # gates whose arithmetic crosses DST transitions when the session
 # timezone observes them: scd2 durations span 1995-2001, the as-of gap
@@ -245,6 +244,75 @@ def test_asof_auto_dispatch(spark, tmp_path, monkeypatch):
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_asof_auto_strips_interval_knobs_for_union_path(spark):
+    """asof_join_auto(spread_bins=..., hot_key_rows=...) must not crash
+    when dispatch picks the union form (which has no bins) — whether
+    the call works cannot depend on the right side's physical layout."""
+    from tests.test_asof import _mk_frames
+    from tgdigest_spark.operators.asof import asof_join_auto
+
+    left, right = _mk_frames(seed=29)
+    out = asof_join_auto(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),  # plain in-memory → union form
+        on="k",
+        left_ts="ts",
+        spread_bins="auto",
+        hot_key_rows=10,
+        bin_width=1000,
+    )
+    assert out.count() == len(left)
+
+
+def test_asof_integral_ts_is_micros_and_round_trips(spark):
+    """Integral ts columns are epoch MICROSECONDS by contract
+    (matching tolerance_us and range_join); the matched-ts output for
+    an integral right_ts comes back as the raw micros long, not a
+    fabricated timestamp."""
+    from tgdigest_spark.operators.asof import asof_join, asof_join_intervals
+
+    l = spark.createDataFrame(
+        [(1, 5_000_000), (1, 1_000_000)], "k long, ts long"
+    )
+    r = spark.createDataFrame(
+        [(1, 4_000_000, "a"), (1, 500_000, "b")], "k long, ts long, v string"
+    )
+    for fn in (asof_join, asof_join_intervals):
+        got = {
+            row["ts"]: (row["ts_r"], row["v"])
+            for row in fn(l, r, on="k", left_ts="ts").collect()
+        }
+        assert got[5_000_000] == (4_000_000, "a"), fn.__name__
+        assert got[1_000_000] == (500_000, "b"), fn.__name__
+        # tolerance is in micros against the same scale
+        tol = {
+            row["ts"]: row["v"]
+            for row in fn(
+                l, r, on="k", left_ts="ts", tolerance_us=600_000
+            ).collect()
+        }
+        assert tol[1_000_000] == "b" and tol[5_000_000] is None, fn.__name__
+
+
+def test_budget_sample_stride_is_ceil():
+    """The boundary-sample stride uses ceil division: a 4096..8191-row
+    batch must not degenerate to a contiguous head, and the sample must
+    reach the batch tail."""
+    import numpy as np
+
+    from tgdigest_spark.operators.sampling import select_until_budget  # noqa: F401
+
+    # reproduce the sampler arithmetic on the sizes that regressed
+    for n in (4096, 8000, 10_000):
+        step = max(1, -(-n // 4096))
+        idx = np.arange(n)[::step][:4096]
+        assert len(idx) <= 4096
+        # tail coverage: the last sampled row sits in the final stride
+        assert idx[-1] >= n - step, (n, step, idx[-1])
+        if n > 4096:
+            assert step >= 2, n  # floor division would give 1 for n<8192
 
 
 def test_asof_intervals_hybrid_auto_parity(spark):

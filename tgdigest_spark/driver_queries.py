@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .functions.timeutil import epoch_sec, epoch_us
+from .functions.timeutil import epoch_sec_of, epoch_us, epoch_us_of
 
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
@@ -1035,9 +1035,7 @@ def _asof_orders_gate(spark, sf_dir: str, asof_fn) -> DataFrame:
     # diverged from the oracle by ±3600 s per DST crossing. ts_r is
     # date-valued (zero sub-second), so whole-second subtraction equals
     # the oracle's epoch_us diff // 1e6 exactly.
-    gap = epoch_sec("ts", "timestamp_ntz") - epoch_sec(
-        "ts_r", "timestamp_ntz"
-    )
+    gap = epoch_sec_of(j, "ts") - epoch_sec_of(j, "ts_r")
     return (
         j.groupBy("event_type")
         .agg(
@@ -1095,11 +1093,12 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     day_us = 86_400 * 10**6
     base_us = 1_704_067_200 * 10**6  # 2024-01-01 UTC
-    ev = load(spark, sf_dir, "events").select(
+    ev_raw = load(spark, sf_dir, "events")
+    ev = ev_raw.select(
         "event_type",
         "event_id",
         "user_id",
-        epoch_us("ts", "timestamp_ntz").alias("p"),
+        epoch_us_of(ev_raw, "ts").alias("p"),
     )
     s_expr = (
         F.lit(base_us) + (F.col("o_orderkey") % 30) * F.lit(day_us)
@@ -1157,9 +1156,7 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # timezone-free: both interval bounds are NTZ date-valued rows, so
     # whole-second subtraction equals the oracle's epoch_us // 1e6
-    dur = epoch_sec("valid_to", "timestamp_ntz") - epoch_sec(
-        "valid_from", "timestamp_ntz"
-    )
+    dur = epoch_sec_of(v, "valid_to") - epoch_sec_of(v, "valid_from")
     return (
         v.groupBy("o_orderstatus")
         .agg(
@@ -1565,8 +1562,9 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # microsecond-exact gap (unix_timestamp truncates to whole seconds,
     # which diverges from the oracle's epoch_us at the threshold) —
     # timezone-free via timeutil.epoch_us
-    us = epoch_us(F.col("ts"), "timestamp_ntz")
-    gap = us - epoch_us(F.lag(F.col("ts")).over(w), "timestamp_ntz")
+    ts_type = dict(ev.dtypes)["ts"]
+    us = epoch_us(F.col("ts"), ts_type)
+    gap = us - epoch_us(F.lag(F.col("ts")).over(w), ts_type)
     new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn(
         "session_id",
@@ -3481,10 +3479,12 @@ _GATE_ORDER = [
 
 _missing = set(REGISTRY) - set(_GATE_ORDER)
 _stale = set(_GATE_ORDER) - set(REGISTRY)
-assert not _missing and not _stale, (
-    f"gate order out of sync: unplaced={sorted(_missing)} "
-    f"stale={sorted(_stale)}"
-)
+if _missing or _stale:  # NOT an assert: python -O would silently DROP
+    # any unplaced query from the whole driver surface via the rebuild
+    raise RuntimeError(
+        f"gate order out of sync: unplaced={sorted(_missing)} "
+        f"stale={sorted(_stale)}"
+    )
 REGISTRY = {name: REGISTRY[name] for name in _GATE_ORDER}
 
 

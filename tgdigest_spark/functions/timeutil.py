@@ -54,7 +54,12 @@ def epoch_us(col: str | Column, dtype: str) -> Column:
         return day + tod + frac
     if dtype == "timestamp":
         return F.unix_micros(c)
-    # already numeric (micros)
+    # already numeric: the engine-wide integer-time convention is epoch
+    # MICROSECONDS (matching tolerance_us and range_join's contract).
+    # NOTE this differs from the pre-round-5 asof behavior, where an
+    # integral ts column fell through cast(long AS TIMESTAMP) and was
+    # accidentally read as SECONDS — callers with second-scale ints
+    # must multiply by 1e6 themselves.
     return c.cast("long")
 
 
@@ -70,13 +75,16 @@ def from_epoch_us(expr: Column, dtype: str) -> Column:
     TIMESTAMP round-trips through ``timestamp_micros``; NTZ/DATE
     round-trip through a timezone-free ``timestampadd`` onto the NTZ
     epoch (DATE widens to NTZ midnight — the natural supertype for a
-    matched-timestamp output column).
+    matched-timestamp output column); an integral source round-trips
+    to the raw micros long (identity), NOT a fabricated timestamp.
     """
     if dtype == "timestamp":
         return F.timestamp_micros(expr)
-    return F.timestamp_add(
-        "MICROSECOND", expr, F.lit(_NTZ_EPOCH).cast("timestamp_ntz")
-    )
+    if dtype in ("timestamp_ntz", "date"):
+        return F.timestamp_add(
+            "MICROSECOND", expr, F.lit(_NTZ_EPOCH).cast("timestamp_ntz")
+        )
+    return expr.cast("long")
 
 
 def epoch_sec(col: str | Column, dtype: str) -> Column:
@@ -98,11 +106,9 @@ def epoch_sec(col: str | Column, dtype: str) -> Column:
     return c.cast("long")
 
 
-def epoch_sec_sql(col: str) -> str:
-    """SQL-text twin of :func:`epoch_us` (whole seconds) for NTZ
-    columns, for gate queries written as SQL strings."""
-    return (
-        f"(unix_date(cast({col} as date)) * 86400"
-        f" + hour({col}) * 3600 + minute({col}) * 60"
-        f" + cast(floor(extract(second from {col})) as bigint))"
-    )
+def epoch_sec_of(df: DataFrame, col: str) -> Column:
+    """:func:`epoch_sec` with the dtype looked up from ``df`` — use
+    this (not a hardcoded dtype string) wherever the frame is in hand,
+    so a parquet/session dtype drift fails loudly into the TIMESTAMP
+    branch instead of silently computing local-time fields."""
+    return epoch_sec(col, dict(df.dtypes)[col])

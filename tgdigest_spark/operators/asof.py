@@ -477,8 +477,14 @@ def _asof_intervals_hybrid(
     filter must be null-tolerant — ``~isin`` alone would silently
     drop them).
     """
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    # NULL keys never match anything, so they can neither be hot nor
+    # benefit from spreading — counting them would produce a NULL
+    # equality predicate and a silently-empty spread branch
     cnt = (
-        left.where(F.col(kw["left_ts"]).isNotNull())
+        left.where(F.col(kw["left_ts"]).isNotNull() & nn)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= F.lit(int(hot_key_rows)))
@@ -549,8 +555,10 @@ def asof_join_auto(
     keys = [on] if isinstance(on, str) else list(on)
     if _hash_partitioned_on_keys(right, keys):
         return asof_join_intervals(left, right, on, **kwargs)
-    kwargs.pop("bin_width", None)
-    kwargs.pop("long_cap", None)
+    # the union form has no bins — strip every intervals-only knob so
+    # the same call site works regardless of which layout dispatch sees
+    for k in ("bin_width", "long_cap", "spread_bins", "hot_key_rows"):
+        kwargs.pop(k, None)
     return asof_join(left, right, on, **kwargs)
 
 

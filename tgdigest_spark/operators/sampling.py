@@ -530,7 +530,9 @@ def select_until_budget(
             # in one bin and the final window degenerates toward the
             # single-partition shape this operator exists to avoid
             # (answer unchanged — bins only balance the work)
-            step = max(1, len(pdf) // 4096)
+            # ceil division: floor would degenerate to a contiguous
+            # head for batches under 8192 rows and always drop the tail
+            step = max(1, -(-len(pdf) // 4096))
             yield pdf.iloc[::step].head(4096)
             return  # short-circuit: the scan stops after one batch
 
