@@ -413,6 +413,40 @@ def test_spread_bins_parity_and_partitioning(spark):
     )[1], "exploded intervals must repartition on (k, bin)"
 
 
+def test_interval_overlap_spread_bins_parity(spark):
+    """interval_overlap_join(spread_bins=True) returns the identical
+    pair set as the default layout."""
+    import numpy as np
+
+    from tgdigest_spark.operators.range_join import interval_overlap_join
+
+    rng = np.random.default_rng(37)
+    n = 150
+
+    def iv(prefix):
+        s = rng.integers(0, 8000, n)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": rng.integers(0, 4, n),
+                    f"{prefix}_s": s,
+                    f"{prefix}_e": s + rng.integers(0, 900, n),
+                    f"{prefix}_id": np.arange(n),
+                }
+            )
+        )
+
+    a, b = iv("a"), iv("b")
+    kw = dict(on="k", bin_width=400)
+    base = interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", **kw)
+    spread = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", spread_bins=True, **kw
+    )
+    pa = sorted(map(tuple, base.select("a_id", "b_id").collect()))
+    pb = sorted(map(tuple, spread.select("a_id", "b_id").collect()))
+    assert pa == pb and len(pa) > 0
+
+
 def test_decode_wav_raises_on_truncated_chunk():
     """A data chunk whose declared size exceeds the remaining bytes
     must raise (like decode_ppm's truncated-raster check), not decode

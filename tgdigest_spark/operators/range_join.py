@@ -141,6 +141,7 @@ def interval_overlap_join(
     on: str | list[str] | None = None,
     bin_width: int | None = None,
     long_cap: int = 256,
+    spread_bins: bool = False,
 ) -> DataFrame:
     """Interval × interval overlap join (closed intervals:
     ``left_start <= right_end AND right_start <= left_end``), same
@@ -158,6 +159,11 @@ def interval_overlap_join(
     once. Column names must be disjoint across the two inputs apart
     from the equality keys (alias beforehand — keeps the operator
     mechanical, like range_join).
+
+    ``spread_bins``: same skew escape hatch as :func:`range_join` —
+    repartition both exploded sides on (keys…, bin) so a hot key's
+    bins spread across tasks instead of riding whatever narrower
+    co-partitioning Catalyst finds.
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     if bin_width is None:
@@ -185,7 +191,8 @@ def interval_overlap_join(
     short_r, long_r = split(right, right_start, right_end)
 
     def explode_bins(df, s, e):
-        return df.withColumn(_BIN, F.explode(F.sequence(b(s), b(e))))
+        out = df.withColumn(_BIN, F.explode(F.sequence(b(s), b(e))))
+        return out.repartition(*(keys + [_BIN])) if spread_bins else out
 
     a = (
         explode_bins(short_l, left_start, left_end)
