@@ -458,3 +458,226 @@ def quantiles_kll(
     sk = sketch_column(df, value, lambda: KLL(k))
     est = sk.quantile(list(qs))
     return dict(zip(qs, [float(e) for e in est]))
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketch — set algebra HLL cannot do
+# ---------------------------------------------------------------------------
+
+def kmv_sketch(
+    df: DataFrame, value: Column | str, k: int = 1024,
+    where: Column | None = None,
+) -> "KMV":
+    """Build one KMV bottom-k distinct sketch over ``value`` (one scan,
+    blob tree-merge — same topology as every global sketch). The
+    returned sketch supports union / intersection / difference /
+    Jaccard against other KMV sketches (sketches.kmv module functions),
+    and is EXACT while the true cardinality stays below k."""
+    from .sketches.kmv import KMV
+
+    if where is not None:
+        df = df.where(where)
+    col = F.col(value) if isinstance(value, str) else value
+    return sketch_column(
+        df.select(col.cast("string").alias("v")), "v", lambda: KMV(k)
+    )
+
+
+def distinct_count_kmv(
+    df: DataFrame, value: Column | str, k: int = 1024,
+    where: Column | None = None,
+) -> float:
+    """COUNT(DISTINCT value) via KMV: exact below k, (k-1)/U_(k)
+    estimator (rel std err ~ 1/sqrt(k-2)) above."""
+    return kmv_sketch(df, value, k, where).estimate()
+
+
+def distinct_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value: Column | str,
+    k: int = 4096,
+) -> dict[str, float]:
+    """Distinct-set overlap between two frames' ``value`` columns:
+    {'distinct_a', 'distinct_b', 'union', 'intersection',
+    'difference_a_not_b', 'jaccard'} — one scan per side, then
+    driver-side sketch algebra on two <= 8k-hash samples. Exact when
+    both sides' cardinality < k. The DataFrame-native exact counterpart
+    (countDistinct + INTERSECT) shuffles both raw key sets; this ships
+    two bounded blobs."""
+    from .sketches.kmv import (
+        kmv_difference_estimate,
+        kmv_intersection_estimate,
+        kmv_jaccard_estimate,
+        kmv_union,
+    )
+
+    a = kmv_sketch(df_a, value, k)
+    b = kmv_sketch(df_b, value, k)
+    return {
+        "distinct_a": a.estimate(),
+        "distinct_b": b.estimate(),
+        "union": kmv_union(a, b).estimate(),
+        "intersection": kmv_intersection_estimate(a, b),
+        "difference_a_not_b": kmv_difference_estimate(a, b),
+        "jaccard": kmv_jaccard_estimate(a, b),
+    }
+
+
+def grouped_distinct_kmv(
+    df: DataFrame, keys: list[str], value: Column | str, k: int = 1024
+) -> DataFrame:
+    """Per-group KMV distinct counts → DataFrame[keys...,
+    distinct_est double, kmv_exact boolean] (kmv_exact marks groups
+    still in the exact sub-k regime)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    from .sketches.kmv import KMV
+
+    blobs = sketch_by_key(df, keys, value, lambda: KMV(k))
+    fields = [f for f in blobs.schema.fields if f.name != "sketch"]
+    out_schema = StructType(
+        fields
+        + [
+            StructField("distinct_est", DoubleType()),
+            StructField("kmv_exact", BooleanType()),
+        ]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["sketch"])
+            sks = [KMV.deserialize(b) for b in pdf["sketch"]]
+            out["distinct_est"] = [s.estimate() for s in sks]
+            out["kmv_exact"] = [not s.saturated for s in sks]
+            yield out
+
+    return blobs.mapInPandas(extract, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent items — deterministic heavy hitters
+# ---------------------------------------------------------------------------
+
+def frequent_items(
+    df: DataFrame, value: Column | str, k: int = 64,
+    where: Column | None = None,
+) -> "FrequentItems":
+    """Build one Misra-Gries sketch over ``value`` (one scan + blob
+    tree-merge). est(x) <= true(x) <= est(x) + sketch.err for EVERY
+    item, deterministically — no hash-collision caveats."""
+    from .sketches.freq import FrequentItems
+
+    if where is not None:
+        df = df.where(where)
+    col = F.col(value) if isinstance(value, str) else value
+    return sketch_column(
+        df.select(col.cast("string").alias("v")), "v", lambda: FrequentItems(k)
+    )
+
+
+def guaranteed_heavy_hitters(
+    df: DataFrame,
+    value: Column | str,
+    phi: float = 0.01,
+    k: int | None = None,
+    mg: "FrequentItems | None" = None,
+) -> DataFrame:
+    """EXACT phi-heavy-hitters (items with count > phi * N) in two
+    scans, no full groupBy of the raw column.
+
+    Scan 1 builds a Misra-Gries sketch with k >= 2/phi counters; the
+    published guarantee (err <= N/(k+1) < phi*N/2) means every true
+    phi-heavy item SURVIVES in the counter map, so the <= k candidate
+    strings (collected — bounded by k, not by cardinality) are a
+    superset of the answer. Scan 2 exact-counts ONLY the candidates
+    (pushdown-friendly isin filter + tiny groupBy) and applies the
+    exact threshold. Result: DataFrame[item, exact_count] — provably no
+    false negatives AND no false positives, partition-layout
+    independent. Use count-min's ``heavy_hitters`` when one scan
+    matters more than the guarantee.
+    """
+    if not (0 < phi < 1):
+        raise ValueError("phi must be in (0, 1)")
+    if k is None:
+        k = max(8, int(np.ceil(2.0 / phi)))
+    col = F.col(value) if isinstance(value, str) else value
+    if mg is None:
+        mg = frequent_items(df, col, k=k)
+    elif mg.k + 1 <= 1.0 / phi:
+        # the capture guarantee needs err <= n/(k+1) < phi*n
+        raise ValueError(f"mg.k={mg.k} too small for phi={phi}")
+    n_total = mg.n  # exact: never decremented, sums across partials
+    cands = [it for it, _ in mg.items()]
+    if not cands or n_total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "item string, exact_count long"
+        )
+    vals = df.select(col.cast("string").alias("item"))
+    return (
+        vals.where(F.col("item").isin(cands))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .where(F.col("exact_count") > F.lit(float(phi) * n_total))
+        .orderBy(F.desc("exact_count"), "item")
+    )
+
+
+def grouped_frequent_items(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    k: int = 32,
+    top: int | None = None,
+) -> DataFrame:
+    """Per-group Misra-Gries frequent items → DataFrame[keys..., item,
+    est_count long, max_undercount long] (est <= true <= est +
+    max_undercount within the group). ``top`` caps emitted items per
+    group (est desc, item asc). Same one-blob-shuffle topology as every
+    grouped sketch."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .sketches.freq import FrequentItems
+
+    blobs = sketch_by_key(df, keys, value, lambda: FrequentItems(k))
+    fields = [f for f in blobs.schema.fields if f.name != "sketch"]
+    out_schema = StructType(
+        fields
+        + [
+            StructField("item", StringType(), False),
+            StructField("est_count", LongType(), False),
+            StructField("max_undercount", LongType(), False),
+        ]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            outs = []
+            for i in range(len(pdf)):
+                sk = FrequentItems.deserialize(bytes(pdf["sketch"].iloc[i]))
+                pairs = sk.items()
+                if top is not None:
+                    pairs = pairs[:top]
+                if not pairs:
+                    continue
+                row = {
+                    kf.name: np.repeat(pdf[kf.name].iloc[i], len(pairs))
+                    for kf in fields
+                }
+                row["item"] = np.array([p[0] for p in pairs], dtype=object)
+                row["est_count"] = np.array(
+                    [p[1] for p in pairs], dtype=np.int64
+                )
+                row["max_undercount"] = np.full(
+                    len(pairs), sk.err, dtype=np.int64
+                )
+                outs.append(pd.DataFrame(row))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return blobs.mapInPandas(extract, schema=out_schema)

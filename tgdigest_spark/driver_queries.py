@@ -889,6 +889,115 @@ def sketch_grouped_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_mg_heavy_hitters",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS item,
+           CAST(COUNT(*) AS BIGINT) AS exact_count,
+           TRUE AS mg_err_within_bound
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 128.0
+    ORDER BY exact_count DESC, item
+    """,
+)
+def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy-hitter users (count > N/128) via the Misra-Gries
+    candidates → exact-verify pipeline (api.guaranteed_heavy_hitters):
+    scan 1 builds the MG sketch (k=256 counters ≥ 2/phi, so the
+    published bound err <= N/257 < phi*N/2 guarantees every heavy user
+    survives as a candidate), scan 2 exact-counts only the <= k
+    candidates. The emitted rows are therefore EXACT — the oracle is
+    the plain HAVING query — plus the falsifiable bound flag
+    err <= N/(k+1). phi = 1/128 is exactly representable, so the
+    Spark-side Python threshold and DuckDB's /128.0 agree bit-for-bit.
+
+    Reference anchor: exact per-metric counts feeding top-k
+    (/root/reference/src/post.rs:76-90)."""
+    from .api import frequent_items, guaranteed_heavy_hitters
+
+    phi = 1.0 / 128.0
+    k = 256
+    ev = load(spark, sf_dir, "events")
+    user = F.col("user_id").cast("string")
+    mg = frequent_items(ev, user, k=k)
+    hh = guaranteed_heavy_hitters(ev, user, phi=phi, k=k, mg=mg)
+    bound_ok = mg.err <= mg.n / (k + 1.0)
+    return hh.select(
+        "item",
+        "exact_count",
+        F.lit(bool(bound_ok)).alias("mg_err_within_bound"),
+    )
+
+
+@register(
+    "sketch_kmv_setops",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) <= 1996),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) >= 1997)
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS distinct_early,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS distinct_late,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION
+                 SELECT * FROM b)) AS BIGINT) AS union_distinct,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT
+                 SELECT * FROM b)) AS BIGINT) AS intersection_distinct,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT
+                 SELECT * FROM b)) AS BIGINT) AS early_only,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT
+                 SELECT * FROM b)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM (SELECT * FROM a UNION
+                SELECT * FROM b)) AS jaccard,
+           TRUE AS kmv_exact_regime
+    """,
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-customer set algebra between the <=1996 and >=1997
+    order eras via two KMV bottom-k sketches — union, intersection,
+    difference and Jaccard, the queries HLL registers cannot answer.
+    k=32768 keeps both eras' cardinalities below k at every test scale
+    (sf0.1 has 14,999 distinct custkeys), so the sketches are in the
+    EXACT sub-k regime (flagged, falsifiable) and every emitted value
+    matches the exact SQL oracle; above k the same code degrades to the
+    published (k-1)/U_(k) / theta-framework estimators (bound-tested in
+    pytest, not gated).
+
+    Scale shape: one scan per side + blob tree-merge; the driver does
+    set algebra on two <= k-hash samples (<= 256 KB each) instead of
+    shuffling the raw key sets through UNION/INTERSECT/EXCEPT."""
+    from .api import kmv_sketch
+    from .sketches.kmv import (
+        kmv_intersection_estimate,
+        kmv_jaccard_estimate,
+        kmv_difference_estimate,
+        kmv_union,
+    )
+
+    od = load(spark, sf_dir, "orders")
+    a = od.where(F.year("o_orderdate") <= 1996)
+    b = od.where(F.year("o_orderdate") >= 1997)
+    sa = kmv_sketch(a, "o_custkey", k=32768)
+    sb = kmv_sketch(b, "o_custkey", k=32768)
+    exact_regime = (not sa.saturated) and (not sb.saturated)
+    return spark.createDataFrame(
+        [
+            (
+                int(sa.estimate()),
+                int(sb.estimate()),
+                int(kmv_union(sa, sb).estimate()),
+                int(kmv_intersection_estimate(sa, sb)),
+                int(kmv_difference_estimate(sa, sb)),
+                kmv_jaccard_estimate(sa, sb),
+                bool(exact_regime),
+            )
+        ],
+        "distinct_early long, distinct_late long, union_distinct long, "
+        "intersection_distinct long, early_only long, jaccard double, "
+        "kmv_exact_regime boolean",
+    )
+
+
 # J1/J3 — broadcast dim-join enrichment (the reference's channel-entity
 # memo lookup, workers/tg.rs:13-34, generalized to a star join)
 @register(
@@ -3435,6 +3544,9 @@ _GATE_ORDER = [
     "sketch_grouped_kll",
     "sketch_grouped_hll",
     "sketch_grouped_cm",
+    # new in round 5: Misra-Gries frequent items + KMV set algebra
+    "sketch_mg_heavy_hitters",
+    "sketch_kmv_setops",
     # training-data pipeline operators
     "budget_cutoff_docs",
     "chunk_docs_digest",
@@ -3455,12 +3567,13 @@ _GATE_ORDER = [
     "set_ops_except",
     "exact_quantiles_by_type",
     "sql_api_agg",
+    # --- driver window boundary (position 50) ---
+    # r1-era basics plus two 4-round-green SQL-surface rows (parked in
+    # r5 to make room for the new sketch gates): hash-green since r1,
+    # code untouched — still covered by the in-repo driver-sim artifact
+    # and tests/test_driver_contract.py
     "week_window_topk",
     "mime_extension_counts",
-    # --- driver window boundary (position 50) ---
-    # r1-era basics: hash-green in r1/r2/r3/r4, code untouched since —
-    # parked outside the window; still covered by the in-repo
-    # driver-sim artifact and tests/test_driver_contract.py
     "topk_per_metric",
     "events_range_topk",
     "heavy_hitters_exact",

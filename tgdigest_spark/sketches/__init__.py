@@ -3,8 +3,19 @@
 from .base import Sketch
 from .bloom import Bloom
 from .countmin import CountMin
+from .freq import FrequentItems
 from .hll import HLL
 from .kll import KLL
+from .kmv import KMV
 from .tdigest import TDigest
 
-__all__ = ["Sketch", "TDigest", "KLL", "HLL", "CountMin", "Bloom"]
+__all__ = [
+    "Sketch",
+    "TDigest",
+    "KLL",
+    "HLL",
+    "CountMin",
+    "Bloom",
+    "KMV",
+    "FrequentItems",
+]

@@ -63,7 +63,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names to run (default: all; "
+        "gate_window still reflects the FULL registry position)",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     from pyspark.sql import SparkSession
 
@@ -90,6 +97,8 @@ def main() -> int:
     results: dict[str, dict] = {}
     t0 = time.time()
     for i, (name, fn) in enumerate(qs.items()):
+        if only is not None and name not in only:
+            continue
         row: dict = {
             "rows_match": None,
             "schema_match": None,
