@@ -88,6 +88,22 @@ def test_kmv_set_ops_saturated_bounds():
     assert kmv_jaccard_estimate(a, b) == pytest.approx(1 / 3, abs=0.05)
 
 
+def test_kmv_algebra_identical_saturated_sketches():
+    """Estimator-consistency invariant (review repro): for two sketches
+    of the SAME set, intersection == union == the cardinality estimate,
+    difference == 0 and jaccard == 1. The previous inclusive-cut
+    convention over-counted intersections by k/(k-1), letting reported
+    |A∩B| exceed |A∪B|."""
+    data = _items("q", 0, 100_000)
+    a = KMV(1024).update(data)
+    b = KMV(1024).update(data)
+    est = a.estimate()
+    assert kmv_intersection_estimate(a, b) == est
+    assert kmv_union(a, b).estimate() == est
+    assert kmv_difference_estimate(a, b) == 0.0
+    assert kmv_jaccard_estimate(a, b) == 1.0
+
+
 def test_kmv_serialization_roundtrip():
     for sk in (KMV(64), KMV(64).update(_items("r", 0, 1000))):
         back = KMV.deserialize(sk.serialize())
@@ -259,6 +275,64 @@ def test_guaranteed_heavy_hitters_exact(spark, events):
     # rows ordered exact desc, item asc
     keys = [(-r["exact_count"], r["item"]) for r in got]
     assert keys == sorted(keys)
+
+
+def test_guaranteed_heavy_hitters_broadcast_path_same_result(spark, events):
+    """Forcing the large-candidate broadcast-semi-join branch (isin_limit
+    below the candidate count) must give the identical result set."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.api import guaranteed_heavy_hitters
+
+    user = F.col("user_id").cast("string")
+    via_isin = guaranteed_heavy_hitters(
+        events, user, phi=1.0 / 128.0, k=256
+    ).collect()
+    via_join = guaranteed_heavy_hitters(
+        events, user, phi=1.0 / 128.0, k=256, isin_limit=3
+    ).collect()
+    assert [tuple(r) for r in via_isin] == [tuple(r) for r in via_join]
+
+
+def test_guaranteed_heavy_hitters_no_boundary_false_positive(spark):
+    """Exact-threshold arithmetic (review repro): with phi=1/49 and
+    N=49, float(1/49)*49 < 1.0 would admit a count-1 item; the
+    rationalized integer cutoff must not."""
+    from tgdigest_spark.api import guaranteed_heavy_hitters
+
+    df = spark.createDataFrame([("a",)] + [("b",)] * 48, "v string")
+    out = guaranteed_heavy_hitters(df, "v", phi=1.0 / 49.0).collect()
+    assert [(r["item"], r["exact_count"]) for r in out] == [("b", 48)]
+
+
+def test_grouped_nullable_numeric_dtype_stability(spark, tmp_path):
+    """Arrow batches of a nullable long column arrive as int64
+    (null-free file) or float64 (null-bearing file); the grouped
+    builders normalize via cast('string') so the same logical value is
+    ONE item (review repro: distinct_est was 3 with kmv_exact=True
+    while countDistinct was 2, and MG split counters '5'/'5.0')."""
+    from tgdigest_spark.api import (
+        grouped_distinct_kmv,
+        grouped_frequent_items,
+    )
+
+    a = pd.DataFrame(
+        {"g": ["x"] * 10, "v": pd.array([5, 6] * 5, dtype="Int64")}
+    )
+    b = pd.DataFrame(
+        {"g": ["x"] * 10, "v": pd.array([5, None] * 5, dtype="Int64")}
+    )
+    a.to_parquet(tmp_path / "a.parquet")
+    b.to_parquet(tmp_path / "b.parquet")
+    df = spark.read.parquet(str(tmp_path))
+    kmv = grouped_distinct_kmv(df, ["g"], "v", k=64).collect()
+    assert len(kmv) == 1
+    assert kmv[0]["distinct_est"] == 2.0 and kmv[0]["kmv_exact"]
+    items = {
+        r["item"]
+        for r in grouped_frequent_items(df, ["g"], "v", k=8).collect()
+    }
+    assert items == {"5", "6"}
 
 
 def test_guaranteed_heavy_hitters_rejects_small_mg(spark, events):

@@ -125,30 +125,107 @@ def distinct_count(
 
     Exact anchors: countDistinct and the reference's HashSet membership
     (/root/reference/src/cache.rs:181).
+
+    The value is cast to string Spark-side (like every key-sketch
+    builder here): the sketch hashes the pandas dtype representation,
+    and a nullable numeric column arrives int64 or float64 depending on
+    nulls-in-batch, which would double-hash the same logical value.
     """
     if where is not None:
         df = df.where(where)
-    sk = sketch_column(df, value, lambda: HLL(p))
+    col = F.col(value) if isinstance(value, str) else value
+    sk = sketch_column(
+        df.select(col.cast("string").alias("v")), "v", lambda: HLL(p)
+    )
     return sk.estimate()
+
+
+def _grouped_key_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    factory,
+    deserialize,
+    out_fields: list,
+    per_sketch,
+    multi_row: bool = False,
+) -> DataFrame:
+    """Shared scaffolding for the grouped KEY-sketch estimators (HLL /
+    count-min / KMV / Misra-Gries): normalize the value column, build
+    one blob per group (sketch_by_key — map-side combine, one blob
+    shuffle), then extract estimate columns via mapInPandas.
+
+    The value is cast to STRING Spark-side — the same normalization the
+    global builders (kmv_sketch, frequent_items, heavy_hitters) apply —
+    because these sketches hash the pandas dtype representation: a
+    nullable numeric column arrives as int64 in null-free Arrow batches
+    but float64 in batches containing a null, so without the cast the
+    same logical value hashes as both '5' and '5.0' and silently
+    inflates per-group estimates.
+
+    ``per_sketch(sk)`` returns a tuple of scalars (multi_row=False: one
+    output row per group, vectorized column build) or a dict of
+    equal-length column arrays (multi_row=True: that many rows for the
+    group; zero-length arrays skip the group).
+    """
+    from pyspark.sql.types import StructType
+
+    col = F.col(value) if isinstance(value, str) else value
+    blobs = sketch_by_key(df, keys, col.cast("string"), factory)
+    fields = [f for f in blobs.schema.fields if f.name != "sketch"]
+    out_schema = StructType(fields + list(out_fields))
+
+    if not multi_row:
+
+        def extract(batches):
+            for pdf in batches:
+                out = pdf.drop(columns=["sketch"])
+                vals = [
+                    per_sketch(deserialize(bytes(b))) for b in pdf["sketch"]
+                ]
+                for i, f in enumerate(out_fields):
+                    out[f.name] = [v[i] for v in vals]
+                yield out
+
+    else:
+
+        def extract(batches):
+            for pdf in batches:
+                outs = []
+                for i in range(len(pdf)):
+                    cols = per_sketch(
+                        deserialize(bytes(pdf["sketch"].iloc[i]))
+                    )
+                    n = len(next(iter(cols.values())))
+                    if n == 0:
+                        continue
+                    row = {
+                        kf.name: np.repeat(pdf[kf.name].iloc[i], n)
+                        for kf in fields
+                    }
+                    row.update(cols)
+                    outs.append(pd.DataFrame(row))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+    return blobs.mapInPandas(extract, schema=out_schema)
 
 
 def grouped_distinct_count(
     df: DataFrame, keys: list[str], value: Column | str, p: int = 12
 ) -> DataFrame:
     """Per-group approximate distinct counts → DataFrame[keys..., distinct_est]."""
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.types import DoubleType, StructField
 
-    blobs = sketch_by_key(df, keys, value, lambda: HLL(p))
-    fields = [f for f in blobs.schema.fields if f.name != "sketch"]
-    out_schema = StructType(fields + [StructField("distinct_est", DoubleType())])
-
-    def extract(batches):
-        for pdf in batches:
-            out = pdf.drop(columns=["sketch"])
-            out["distinct_est"] = [HLL.deserialize(b).estimate() for b in pdf["sketch"]]
-            yield out
-
-    return blobs.mapInPandas(extract, schema=out_schema)
+    return _grouped_key_sketch(
+        df,
+        keys,
+        value,
+        lambda: HLL(p),
+        HLL.deserialize,
+        [StructField("distinct_est", DoubleType())],
+        lambda sk: (sk.estimate(),),
+    )
 
 
 def grouped_cm_counts(
@@ -166,35 +243,29 @@ def grouped_cm_counts(
     sketch (sketch_by_key): one blob shuffle, skew pre-reduced per
     task. CM guarantees est_count >= true count within the group.
     """
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.types import LongType, StringType, StructField
 
-    factory = lambda: CountMin.from_error(eps, delta)  # noqa: E731
-    blobs = sketch_by_key(df, keys, value, factory)
-    fields = [f for f in blobs.schema.fields if f.name != "sketch"]
-    out_schema = StructType(
-        fields
-        + [
-            StructField("item", StringType(), False),
-            StructField("est_count", LongType(), False),
-        ]
-    )
     probe_arr = np.array([str(p) for p in probes], dtype=object)
 
-    def extract(batches):
-        for pdf in batches:
-            outs = []
-            for i in range(len(pdf)):
-                cm = CountMin.deserialize(bytes(pdf["sketch"].iloc[i]))
-                ests = cm.estimate(probe_arr)
-                row = {k: np.repeat(pdf[k].iloc[i], len(probe_arr)) for k in
-                       (f.name for f in fields)}
-                row["item"] = probe_arr
-                row["est_count"] = ests.astype(np.int64)
-                outs.append(pd.DataFrame(row))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+    def per_sketch(cm):
+        return {
+            "item": probe_arr,
+            "est_count": cm.estimate(probe_arr).astype(np.int64),
+        }
 
-    return blobs.mapInPandas(extract, schema=out_schema)
+    return _grouped_key_sketch(
+        df,
+        keys,
+        value,
+        lambda: CountMin.from_error(eps, delta),
+        CountMin.deserialize,
+        [
+            StructField("item", StringType(), False),
+            StructField("est_count", LongType(), False),
+        ],
+        per_sketch,
+        multi_row=True,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -530,34 +601,22 @@ def grouped_distinct_kmv(
     """Per-group KMV distinct counts → DataFrame[keys...,
     distinct_est double, kmv_exact boolean] (kmv_exact marks groups
     still in the exact sub-k regime)."""
-    from pyspark.sql.types import (
-        BooleanType,
-        DoubleType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import BooleanType, DoubleType, StructField
 
     from .sketches.kmv import KMV
 
-    blobs = sketch_by_key(df, keys, value, lambda: KMV(k))
-    fields = [f for f in blobs.schema.fields if f.name != "sketch"]
-    out_schema = StructType(
-        fields
-        + [
+    return _grouped_key_sketch(
+        df,
+        keys,
+        value,
+        lambda: KMV(k),
+        KMV.deserialize,
+        [
             StructField("distinct_est", DoubleType()),
             StructField("kmv_exact", BooleanType()),
-        ]
+        ],
+        lambda sk: (sk.estimate(), not sk.saturated),
     )
-
-    def extract(batches):
-        for pdf in batches:
-            out = pdf.drop(columns=["sketch"])
-            sks = [KMV.deserialize(b) for b in pdf["sketch"]]
-            out["distinct_est"] = [s.estimate() for s in sks]
-            out["kmv_exact"] = [not s.saturated for s in sks]
-            yield out
-
-    return blobs.mapInPandas(extract, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -587,6 +646,7 @@ def guaranteed_heavy_hitters(
     phi: float = 0.01,
     k: int | None = None,
     mg: "FrequentItems | None" = None,
+    isin_limit: int = 1024,
 ) -> DataFrame:
     """EXACT phi-heavy-hitters (items with count > phi * N) in two
     scans, no full groupBy of the raw column.
@@ -601,15 +661,26 @@ def guaranteed_heavy_hitters(
     false negatives AND no false positives, partition-layout
     independent. Use count-min's ``heavy_hitters`` when one scan
     matters more than the guarantee.
+
+    The threshold is applied in EXACT integer arithmetic: phi is
+    re-rationalized (Fraction.limit_denominator recovers e.g. 1/49 or
+    7/10 from the float the caller can pass) and the cutoff is
+    floor(phi*N)+1 — the double product float(phi)*N can round BELOW
+    the true rational phi*N (e.g. float(1/49)*49 < 1), which would
+    admit a boundary item and break the no-false-positive guarantee.
     """
+    import math
+    from fractions import Fraction
+
     if not (0 < phi < 1):
         raise ValueError("phi must be in (0, 1)")
+    phi_frac = Fraction(phi).limit_denominator(10**9)
     if k is None:
-        k = max(8, int(np.ceil(2.0 / phi)))
+        k = max(8, math.ceil(2 / phi_frac))
     col = F.col(value) if isinstance(value, str) else value
     if mg is None:
         mg = frequent_items(df, col, k=k)
-    elif mg.k + 1 <= 1.0 / phi:
+    elif (mg.k + 1) * phi_frac <= 1:
         # the capture guarantee needs err <= n/(k+1) < phi*n
         raise ValueError(f"mg.k={mg.k} too small for phi={phi}")
     n_total = mg.n  # exact: never decremented, sums across partials
@@ -619,11 +690,23 @@ def guaranteed_heavy_hitters(
             [], "item string, exact_count long"
         )
     vals = df.select(col.cast("string").alias("item"))
+    if len(cands) <= isin_limit:
+        # small candidate set → literal IN-list, pushdown-friendly
+        vals = vals.where(F.col("item").isin(cands))
+    else:
+        # tiny-phi regime (k = 2/phi counters) → a 10k+-literal IN
+        # expression bloats the plan; broadcast-semi-join the candidate
+        # frame instead (same zero-shuffle probe, no literal blowup)
+        cand_df = df.sparkSession.createDataFrame(
+            [(c,) for c in cands], "item string"
+        )
+        vals = vals.join(F.broadcast(cand_df), "item", "left_semi")
+    # smallest integer count strictly above phi*N, computed exactly
+    cutoff = math.floor(phi_frac * n_total) + 1
     return (
-        vals.where(F.col("item").isin(cands))
-        .groupBy("item")
+        vals.groupBy("item")
         .agg(F.count(F.lit(1)).alias("exact_count"))
-        .where(F.col("exact_count") > F.lit(float(phi) * n_total))
+        .where(F.col("exact_count") >= F.lit(cutoff))
         .orderBy(F.desc("exact_count"), "item")
     )
 
@@ -640,44 +723,31 @@ def grouped_frequent_items(
     max_undercount within the group). ``top`` caps emitted items per
     group (est desc, item asc). Same one-blob-shuffle topology as every
     grouped sketch."""
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.types import LongType, StringType, StructField
 
     from .sketches.freq import FrequentItems
 
-    blobs = sketch_by_key(df, keys, value, lambda: FrequentItems(k))
-    fields = [f for f in blobs.schema.fields if f.name != "sketch"]
-    out_schema = StructType(
-        fields
-        + [
+    def per_sketch(sk):
+        pairs = sk.items()
+        if top is not None:
+            pairs = pairs[:top]
+        return {
+            "item": np.array([p[0] for p in pairs], dtype=object),
+            "est_count": np.array([p[1] for p in pairs], dtype=np.int64),
+            "max_undercount": np.full(len(pairs), sk.err, dtype=np.int64),
+        }
+
+    return _grouped_key_sketch(
+        df,
+        keys,
+        value,
+        lambda: FrequentItems(k),
+        FrequentItems.deserialize,
+        [
             StructField("item", StringType(), False),
             StructField("est_count", LongType(), False),
             StructField("max_undercount", LongType(), False),
-        ]
+        ],
+        per_sketch,
+        multi_row=True,
     )
-
-    def extract(batches):
-        for pdf in batches:
-            outs = []
-            for i in range(len(pdf)):
-                sk = FrequentItems.deserialize(bytes(pdf["sketch"].iloc[i]))
-                pairs = sk.items()
-                if top is not None:
-                    pairs = pairs[:top]
-                if not pairs:
-                    continue
-                row = {
-                    kf.name: np.repeat(pdf[kf.name].iloc[i], len(pairs))
-                    for kf in fields
-                }
-                row["item"] = np.array([p[0] for p in pairs], dtype=object)
-                row["est_count"] = np.array(
-                    [p[1] for p in pairs], dtype=np.int64
-                )
-                row["max_undercount"] = np.full(
-                    len(pairs), sk.err, dtype=np.int64
-                )
-                outs.append(pd.DataFrame(row))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-
-    return blobs.mapInPandas(extract, schema=out_schema)

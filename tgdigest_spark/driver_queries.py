@@ -896,8 +896,9 @@ def sketch_grouped_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS exact_count,
            TRUE AS mg_err_within_bound
     FROM events
+    WHERE user_id IS NOT NULL
     GROUP BY user_id
-    HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 128.0
+    HAVING COUNT(*) > (SELECT COUNT(user_id) FROM events) / 128.0
     ORDER BY exact_count DESC, item
     """,
 )
@@ -911,6 +912,10 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain HAVING query — plus the falsifiable bound flag
     err <= N/(k+1). phi = 1/128 is exactly representable, so the
     Spark-side Python threshold and DuckDB's /128.0 agree bit-for-bit.
+    Both sides use the NON-NULL universe: mg.n counts non-null user_id
+    values (base_hash drops nulls), so the oracle filters NULLs and
+    thresholds on COUNT(user_id) — otherwise a null-bearing events
+    table would diverge (COUNT(*) > mg.n and a NULL oracle group).
 
     Reference anchor: exact per-metric counts feeding top-k
     (/root/reference/src/post.rs:76-90)."""

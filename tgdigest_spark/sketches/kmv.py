@@ -110,19 +110,23 @@ class KMV(Sketch):
 # theta-framework set algebra over KMV sketches (Beyer et al. 2007 §4)
 # ---------------------------------------------------------------------------
 
-def _cut_u64(sk: KMV) -> int:
-    """Inclusion threshold as a raw uint64 (no float round-trip, so the
-    boundary hash's membership is exact): the sketch's own k-th hash
-    when saturated, else the max uint64."""
-    if not sk.saturated:
-        return 2**64 - 1
-    return int(sk.hashes[sk.k - 1])
+def _shared_cut(a: KMV, b: KMV) -> int | None:
+    """Shared theta threshold as a raw uint64 (no float round-trip, so
+    the boundary hash's membership is exact): the smaller of the two
+    sketches' k-th hashes, or None when both are unsaturated (their
+    samples are the complete distinct sets — exact regime)."""
+    cuts = [int(s.hashes[s.k - 1]) for s in (a, b) if s.saturated]
+    return min(cuts) if cuts else None
 
 
-def _below(sk: KMV, cut: int) -> np.ndarray:
-    # sk.hashes sorted ascending → prefix <= cut
+def _below(sk: KMV, cut: int | None) -> np.ndarray:
+    """Sample prefix STRICTLY below the cut (matching the (k-1)/U_(k)
+    estimator, which treats the k-th order statistic itself as the
+    boundary, not a member); the full sample when cut is None."""
+    if cut is None:
+        return sk.hashes
     return sk.hashes[
-        : int(np.searchsorted(sk.hashes, np.uint64(cut), side="right"))
+        : int(np.searchsorted(sk.hashes, np.uint64(cut), side="left"))
     ]
 
 
@@ -133,28 +137,38 @@ def kmv_union(a: KMV, b: KMV) -> KMV:
     return out
 
 
+def _theta(cut: int | None) -> float:
+    """Scale factor matching the strictly-below sample convention:
+    P(hash < cut) = cut/2^64; 1.0 in the exact (both-unsaturated)
+    regime. Keeping this convention aligned with estimate()'s
+    (k-1)/U_(k) makes the algebra internally consistent: for two
+    identical saturated sketches, intersection == union == estimate()
+    (previously the inclusive cut over-counted by k/(k-1), letting
+    reported |A∩B| exceed |A∪B|)."""
+    return 1.0 if cut is None else cut / _SCALE
+
+
 def kmv_intersection_estimate(a: KMV, b: KMV) -> float:
-    """|A ∩ B| estimate: count sample hashes both sketches retain below
-    the shared theta, scale by 1/theta. Exact when both unsaturated."""
-    cut = min(_cut_u64(a), _cut_u64(b))
-    theta = (cut + 1) / _SCALE
+    """|A ∩ B| estimate: count sample hashes both sketches retain
+    strictly below the shared theta, scale by 1/theta. Exact when both
+    unsaturated."""
+    cut = _shared_cut(a, b)
     inter = np.intersect1d(_below(a, cut), _below(b, cut))
-    return float(inter.size) / theta
+    return float(inter.size) / _theta(cut)
 
 
 def kmv_difference_estimate(a: KMV, b: KMV) -> float:
     """|A \\ B| estimate (a-not-b), same theta construction."""
-    cut = min(_cut_u64(a), _cut_u64(b))
-    theta = (cut + 1) / _SCALE
+    cut = _shared_cut(a, b)
     diff = np.setdiff1d(_below(a, cut), _below(b, cut))
-    return float(diff.size) / theta
+    return float(diff.size) / _theta(cut)
 
 
 def kmv_jaccard_estimate(a: KMV, b: KMV) -> float:
     """Jaccard |A∩B|/|A∪B| from the shared-theta samples (ratio of
     counts — the theta scale cancels, so this is the minwise estimate
     with std err ~ sqrt(J(1-J)/k')."""
-    cut = min(_cut_u64(a), _cut_u64(b))
+    cut = _shared_cut(a, b)
     ha, hb = _below(a, cut), _below(b, cut)
     union = np.union1d(ha, hb)
     if union.size == 0:
