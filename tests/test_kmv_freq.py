@@ -335,6 +335,61 @@ def test_grouped_nullable_numeric_dtype_stability(spark, tmp_path):
     assert items == {"5", "6"}
 
 
+def test_grouped_kmv_overlap_exact_matrix(spark, events):
+    """Exact regime: the pairwise overlap matrix equals the distinct
+    self-join ground truth for every unordered event_type pair."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.api import grouped_kmv_overlap
+
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in grouped_kmv_overlap(
+            events, "event_type", "user_id", k=32768
+        ).collect()
+    }
+    sets: dict[str, set] = {}
+    for r in (
+        events.select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .collect()
+    ):
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    types = sorted(sets)
+    expected_pairs = {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    assert set(got) == expected_pairs
+    for (a, b), r in got.items():
+        sa, sb = sets[a], sets[b]
+        assert r["kmv_exact"]
+        assert r["distinct_a"] == float(len(sa))
+        assert r["distinct_b"] == float(len(sb))
+        assert r["intersection_est"] == float(len(sa & sb))
+        assert r["union_est"] == float(len(sa | sb))
+        assert r["jaccard_est"] == len(sa & sb) / len(sa | sb)
+
+
+def test_grouped_kmv_overlap_union_saturation_flag(spark):
+    """Two sub-k groups whose MERGED union exceeds k must drop the
+    kmv_exact flag (union_est becomes an estimate) even though each
+    input sketch is individually exact."""
+    from tgdigest_spark.api import grouped_kmv_overlap
+
+    rows = [("a", f"x{i}") for i in range(60)] + [
+        ("b", f"y{i}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = grouped_kmv_overlap(df, "g", "v", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert not r["kmv_exact"]
+    # the intersection is still exact (both inputs sub-k → complete sets)
+    assert r["intersection_est"] == 0.0
+    assert r["jaccard_est"] == 0.0
+
+
 def test_guaranteed_heavy_hitters_rejects_small_mg(spark, events):
     from tgdigest_spark.api import frequent_items, guaranteed_heavy_hitters
 

@@ -595,6 +595,82 @@ def distinct_overlap(
     }
 
 
+def grouped_kmv_overlap(
+    df: DataFrame,
+    group_col: Column | str,
+    value: Column | str,
+    k: int = 8192,
+    max_groups: int = 4096,
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups — the "audience
+    overlap" / corpus-source-overlap matrix: one KMV bottom-k sketch
+    per group (the fact table is scanned ONCE via sketch_by_key's
+    map-side combine + one blob shuffle), then theta-framework set
+    algebra (Beyer et al. 2007) over each unordered group pair's two
+    sketches. Returns one row per pair (group_a < group_b):
+    [group_a, group_b, distinct_a, distinct_b, intersection_est,
+    union_est, jaccard_est, kmv_exact] — kmv_exact marks pairs whose
+    MERGED union sketch is still sub-k (strictly stronger than both
+    inputs being sub-k — two sub-k sketches can merge saturated, which
+    would make union_est an estimate), i.e. every emitted value exact.
+
+    Scale shape: the DataFrame-exact counterpart is a self-join of the
+    distinct (group, value) pairs, which shuffles the raw key sets and
+    explodes on hot values; this ships one bounded blob per group
+    (<= 8k hashes each, guarded by ``max_groups``) and does
+    O(|G|^2 * k) vectorized set ops driver-side — milliseconds for
+    groups in the hundreds. For |G| beyond max_groups, crossJoin the
+    tiny blob frame and run the algebra on executors instead.
+    """
+    from .sketches.kmv import (
+        KMV,
+        kmv_intersection_estimate,
+        kmv_jaccard_estimate,
+        kmv_union,
+    )
+
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    vcol = F.col(value) if isinstance(value, str) else value
+    proj = df.select(
+        gcol.cast("string").alias("g"), vcol.cast("string").alias("v")
+    ).where(F.col("g").isNotNull())
+    blobs = sketch_by_key(proj, ["g"], "v", lambda: KMV(k))
+    rows = blobs.collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"{len(rows)} groups > max_groups={max_groups}: collect is "
+            "bounded by design — raise max_groups or move the pairwise "
+            "algebra executor-side (crossJoin of the blob frame)"
+        )
+    sks = sorted(
+        ((r["g"], KMV.deserialize(bytes(r["sketch"]))) for r in rows),
+        key=lambda t: t[0],
+    )
+    out = []
+    for i in range(len(sks)):
+        ga, a = sks[i]
+        for gb, b in sks[i + 1 :]:
+            u = kmv_union(a, b)
+            out.append(
+                (
+                    ga,
+                    gb,
+                    a.estimate(),
+                    b.estimate(),
+                    kmv_intersection_estimate(a, b),
+                    u.estimate(),
+                    kmv_jaccard_estimate(a, b),
+                    not u.saturated,
+                )
+            )
+    return df.sparkSession.createDataFrame(
+        out,
+        "group_a string, group_b string, distinct_a double, "
+        "distinct_b double, intersection_est double, union_est double, "
+        "jaccard_est double, kmv_exact boolean",
+    )
+
+
 def grouped_distinct_kmv(
     df: DataFrame, keys: list[str], value: Column | str, k: int = 1024
 ) -> DataFrame:

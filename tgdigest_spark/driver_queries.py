@@ -1003,6 +1003,71 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmv_overlap_event_types",
+    """
+    WITH s AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         g AS (SELECT event_type, COUNT(*) AS d FROM s GROUP BY event_type),
+         p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                      COUNT(*) AS inter
+               FROM s a JOIN s b
+                 ON a.user_id = b.user_id AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+    SELECT ga.event_type AS group_a,
+           gb.event_type AS group_b,
+           CAST(ga.d AS BIGINT) AS distinct_a,
+           CAST(gb.d AS BIGINT) AS distinct_b,
+           CAST(COALESCE(p.inter, 0) AS BIGINT) AS intersection_exact,
+           CAST(ga.d + gb.d - COALESCE(p.inter, 0) AS BIGINT) AS union_exact,
+           CAST(COALESCE(p.inter, 0) AS DOUBLE)
+             / (ga.d + gb.d - COALESCE(p.inter, 0)) AS jaccard,
+           TRUE AS kmv_exact_regime
+    FROM g ga
+    JOIN g gb ON ga.event_type < gb.event_type
+    LEFT JOIN p ON p.ta = ga.event_type AND p.tb = gb.event_type
+    ORDER BY group_a, group_b
+    """,
+)
+def kmv_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user "audience overlap" matrix between event
+    types via per-group KMV sketches (api.grouped_kmv_overlap): ONE
+    scan of events builds one bottom-k sketch per type (map-side
+    combine + one blob shuffle), then theta-framework set algebra per
+    unordered pair. k=32768 keeps every pair's MERGED union sub-k at
+    all test scales, so the emitted matrix is EXACT (flagged,
+    falsifiable) and the oracle is the plain distinct self-join; above
+    k the same code degrades to the published estimators
+    (bound-tested in pytest, not gated).
+
+    The corpus use of the same operator: overlap between document
+    SOURCES in content-hash space — how much of source A is also in
+    source B before mixing a training corpus.
+
+    Reference anchor: distinct-set membership per metric
+    (/root/reference/src/cache.rs:181), generalized to set algebra the
+    reference's HashSets answer only pairwise-in-memory."""
+    from .api import grouped_kmv_overlap
+
+    ev = load(spark, sf_dir, "events")
+    m = grouped_kmv_overlap(ev, "event_type", "user_id", k=32768)
+    return (
+        m.select(
+            "group_a",
+            "group_b",
+            F.col("distinct_a").cast("long").alias("distinct_a"),
+            F.col("distinct_b").cast("long").alias("distinct_b"),
+            F.col("intersection_est").cast("long").alias("intersection_exact"),
+            F.col("union_est").cast("long").alias("union_exact"),
+            # exact regime: sample-count ratio == exact inter/union; the
+            # same two small ints divide bit-identically in both engines
+            F.col("jaccard_est").alias("jaccard"),
+            F.col("kmv_exact").alias("kmv_exact_regime"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
 # J1/J3 — broadcast dim-join enrichment (the reference's channel-entity
 # memo lookup, workers/tg.rs:13-34, generalized to a star join)
 @register(
@@ -3552,6 +3617,7 @@ _GATE_ORDER = [
     # new in round 5: Misra-Gries frequent items + KMV set algebra
     "sketch_mg_heavy_hitters",
     "sketch_kmv_setops",
+    "kmv_overlap_event_types",
     # training-data pipeline operators
     "budget_cutoff_docs",
     "chunk_docs_digest",
@@ -3571,12 +3637,12 @@ _GATE_ORDER = [
     # general SQL surface
     "set_ops_except",
     "exact_quantiles_by_type",
-    "sql_api_agg",
     # --- driver window boundary (position 50) ---
-    # r1-era basics plus two 4-round-green SQL-surface rows (parked in
-    # r5 to make room for the new sketch gates): hash-green since r1,
-    # code untouched — still covered by the in-repo driver-sim artifact
-    # and tests/test_driver_contract.py
+    # r1-era basics plus three 4-round-green SQL-surface rows (parked
+    # in r5 to make room for the new sketch gates): hash-green since
+    # r1, code untouched — still covered by the in-repo driver-sim
+    # artifact and tests/test_driver_contract.py
+    "sql_api_agg",
     "week_window_topk",
     "mime_extension_counts",
     "topk_per_metric",
