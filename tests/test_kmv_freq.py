@@ -390,6 +390,37 @@ def test_grouped_kmv_overlap_union_saturation_flag(spark):
     assert r["jaccard_est"] == 0.0
 
 
+def test_grouped_kmv_overlap_all_null_group_omitted(spark):
+    """A group whose value column is NULL in every row must not appear
+    in the matrix at all (matching the relational oracle, whose groups
+    derive from non-null (group, value) pairs)."""
+    from tgdigest_spark.api import grouped_kmv_overlap
+
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("dead", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = grouped_kmv_overlap(df, "g", "v", k=64).collect()
+    assert [(r["group_a"], r["group_b"]) for r in out] == [("a", "b")]
+    assert out[0]["intersection_est"] == 1.0
+
+
+def test_kmv_overlap_stats_matches_individual_estimators():
+    """The one-pass pair helper must agree exactly with the separate
+    estimators in both the exact and the saturated regime."""
+    from tgdigest_spark.sketches.kmv import (
+        KMV,
+        kmv_intersection_estimate,
+        kmv_jaccard_estimate,
+        kmv_overlap_stats,
+    )
+
+    for k, na, nb in [(64, 30, 40), (64, 500, 700), (1024, 2000, 100)]:
+        a = KMV(k).update([f"v{i}" for i in range(na)])
+        b = KMV(k).update([f"v{i}" for i in range(na // 2, na // 2 + nb)])
+        inter, jac = kmv_overlap_stats(a, b)
+        assert inter == kmv_intersection_estimate(a, b)
+        assert jac == kmv_jaccard_estimate(a, b)
+
+
 def test_guaranteed_heavy_hitters_rejects_small_mg(spark, events):
     from tgdigest_spark.api import frequent_items, guaranteed_heavy_hitters
 

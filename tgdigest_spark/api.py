@@ -622,25 +622,29 @@ def grouped_kmv_overlap(
     groups in the hundreds. For |G| beyond max_groups, crossJoin the
     tiny blob frame and run the algebra on executors instead.
     """
-    from .sketches.kmv import (
-        KMV,
-        kmv_intersection_estimate,
-        kmv_jaccard_estimate,
-        kmv_union,
-    )
+    from .sketches.kmv import KMV, kmv_overlap_stats, kmv_union
 
     gcol = F.col(group_col) if isinstance(group_col, str) else group_col
     vcol = F.col(value) if isinstance(value, str) else value
-    proj = df.select(
-        gcol.cast("string").alias("g"), vcol.cast("string").alias("v")
-    ).where(F.col("g").isNotNull())
+    proj = (
+        df.select(
+            gcol.cast("string").alias("g"), vcol.cast("string").alias("v")
+        )
+        # dropping v-NULL rows (not just relying on the sketch's null
+        # skip) means all-null groups emit NO row at all, matching the
+        # relational oracle whose groups derive from non-null pairs
+        .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    )
     blobs = sketch_by_key(proj, ["g"], "v", lambda: KMV(k))
-    rows = blobs.collect()
+    # bound the collect BEFORE it happens: pull at most max_groups + 1
+    # rows so a runaway group column fails fast instead of OOMing the
+    # driver first
+    rows = blobs.limit(max_groups + 1).collect()
     if len(rows) > max_groups:
         raise ValueError(
-            f"{len(rows)} groups > max_groups={max_groups}: collect is "
-            "bounded by design — raise max_groups or move the pairwise "
-            "algebra executor-side (crossJoin of the blob frame)"
+            f"> max_groups={max_groups} groups: collect is bounded by "
+            "design — raise max_groups or move the pairwise algebra "
+            "executor-side (crossJoin of the blob frame)"
         )
     sks = sorted(
         ((r["g"], KMV.deserialize(bytes(r["sketch"]))) for r in rows),
@@ -651,15 +655,16 @@ def grouped_kmv_overlap(
         ga, a = sks[i]
         for gb, b in sks[i + 1 :]:
             u = kmv_union(a, b)
+            inter_est, jac_est = kmv_overlap_stats(a, b)
             out.append(
                 (
                     ga,
                     gb,
                     a.estimate(),
                     b.estimate(),
-                    kmv_intersection_estimate(a, b),
+                    inter_est,
                     u.estimate(),
-                    kmv_jaccard_estimate(a, b),
+                    jac_est,
                     not u.saturated,
                 )
             )

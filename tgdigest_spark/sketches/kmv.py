@@ -174,3 +174,18 @@ def kmv_jaccard_estimate(a: KMV, b: KMV) -> float:
     if union.size == 0:
         return 0.0
     return float(np.intersect1d(ha, hb).size) / float(union.size)
+
+
+def kmv_overlap_stats(a: KMV, b: KMV) -> tuple[float, float]:
+    """(intersection_est, jaccard_est) in ONE pass over the shared-theta
+    samples — identical values to kmv_intersection_estimate /
+    kmv_jaccard_estimate (same cut, same strictly-below samples), but
+    the cut search, prefix slicing, and intersect1d run once instead of
+    per-estimator. The hot path for pairwise overlap matrices, where the
+    caller evaluates O(|G|^2) pairs of up-to-k-element arrays."""
+    cut = _shared_cut(a, b)
+    ha, hb = _below(a, cut), _below(b, cut)
+    inter = np.intersect1d(ha, hb, assume_unique=True)
+    union = np.union1d(ha, hb)
+    jac = float(inter.size) / float(union.size) if union.size else 0.0
+    return float(inter.size) / _theta(cut), jac
