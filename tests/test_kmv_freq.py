@@ -403,6 +403,51 @@ def test_grouped_kmv_overlap_all_null_group_omitted(spark):
     assert out[0]["intersection_est"] == 1.0
 
 
+def test_grouped_kmv_overlap_distributed_parity(spark, events):
+    """The block-pair executor-side formulation must emit the
+    bit-identical matrix to the driver-loop formulation — forced onto
+    a genuinely multi-block grid (block_size=2 → diagonal AND
+    cross-block cells) so the grid enumeration itself is exercised."""
+    import pandas as pd
+
+    from tgdigest_spark.api import (
+        grouped_kmv_overlap,
+        grouped_kmv_overlap_distributed,
+    )
+
+    a = (
+        grouped_kmv_overlap(events, "event_type", "user_id", k=8)
+        .orderBy("group_a", "group_b")
+        .toPandas()
+    )
+    b = (
+        grouped_kmv_overlap_distributed(
+            events, "event_type", "user_id", k=8, block_size=2
+        )
+        .orderBy("group_a", "group_b")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # k=8 < the 15 distinct users per type → every pair left the exact
+    # regime, so the parity above covers the estimator path too
+    assert not a["kmv_exact"].any()
+
+
+def test_grouped_kmv_overlap_distributed_degenerate(spark):
+    """<2 groups → empty matrix with the full schema, no job blow-up."""
+    from tgdigest_spark.api import grouped_kmv_overlap_distributed
+
+    df = spark.createDataFrame(
+        [("only", "x"), ("only", "y"), ("dead", None)], "g string, v string"
+    )
+    out = grouped_kmv_overlap_distributed(df, "g", "v", k=64)
+    assert out.count() == 0
+    assert out.columns == [
+        "group_a", "group_b", "distinct_a", "distinct_b",
+        "intersection_est", "union_est", "jaccard_est", "kmv_exact",
+    ]
+
+
 def test_kmv_overlap_stats_matches_individual_estimators():
     """The one-pass pair helper must agree exactly with the separate
     estimators in both the exact and the saturated regime."""

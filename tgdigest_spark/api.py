@@ -619,8 +619,9 @@ def grouped_kmv_overlap(
     explodes on hot values; this ships one bounded blob per group
     (<= 8k hashes each, guarded by ``max_groups``) and does
     O(|G|^2 * k) vectorized set ops driver-side — milliseconds for
-    groups in the hundreds. For |G| beyond max_groups, crossJoin the
-    tiny blob frame and run the algebra on executors instead.
+    groups in the hundreds. For |G| beyond max_groups use
+    ``grouped_kmv_overlap_distributed`` (block-pair grid join; same
+    matrix, executor-side algebra).
     """
     from .sketches.kmv import KMV, kmv_overlap_stats, kmv_union
 
@@ -643,8 +644,8 @@ def grouped_kmv_overlap(
     if len(rows) > max_groups:
         raise ValueError(
             f"> max_groups={max_groups} groups: collect is bounded by "
-            "design — raise max_groups or move the pairwise algebra "
-            "executor-side (crossJoin of the blob frame)"
+            "design — raise max_groups or use "
+            "grouped_kmv_overlap_distributed (executor-side algebra)"
         )
     sks = sorted(
         ((r["g"], KMV.deserialize(bytes(r["sketch"]))) for r in rows),
@@ -670,10 +671,135 @@ def grouped_kmv_overlap(
             )
     return df.sparkSession.createDataFrame(
         out,
-        "group_a string, group_b string, distinct_a double, "
-        "distinct_b double, intersection_est double, union_est double, "
-        "jaccard_est double, kmv_exact boolean",
+        _OVERLAP_SCHEMA,
     )
+
+
+_OVERLAP_SCHEMA = (
+    "group_a string, group_b string, distinct_a double, "
+    "distinct_b double, intersection_est double, union_est double, "
+    "jaccard_est double, kmv_exact boolean"
+)
+
+
+def grouped_kmv_overlap_distributed(
+    df: DataFrame,
+    group_col: Column | str,
+    value: Column | str,
+    k: int = 8192,
+    block_size: int = 256,
+) -> DataFrame:
+    """``grouped_kmv_overlap`` for group cardinalities beyond a driver
+    collect — same matrix, bit-identical values (same sketches, same
+    one-pass pair algebra), computed executor-side via a block-pair
+    grid join instead of a driver loop.
+
+    Scale shape: groups hash into B = ceil(|G|/block_size) disjoint
+    blocks (content hash of the group value — layout-independent);
+    each block's sketches are bundled into ONE row, and a tiny
+    broadcast frame of the B(B+1)/2 unordered block pairs fans the
+    bundles out, so every unordered GROUP pair lands in exactly one
+    grid cell (cross-block cells for ba < bb, the i<j triangle within
+    diagonal cells). Replication factor is B bundles per bundle —
+    O(|G|·B·k) bytes moved, the minimum for an inherently quadratic
+    output — versus the driver path's single-machine O(|G|·k) collect
+    that stops scaling at max_groups. mapInPandas streams one grid
+    cell at a time (≤ block_size² pairs in flight), so executor memory
+    stays bounded regardless of |G|.
+    """
+    import math
+
+    from .sketches.kmv import KMV, kmv_overlap_stats, kmv_union
+
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    vcol = F.col(value) if isinstance(value, str) else value
+    proj = df.select(
+        gcol.cast("string").alias("g"), vcol.cast("string").alias("v")
+    ).where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    blobs = sketch_by_key(proj, ["g"], "v", lambda: KMV(k)).persist()
+    try:
+        n_groups = blobs.count()
+        spark = df.sparkSession
+        if n_groups < 2:
+            return spark.createDataFrame([], _OVERLAP_SCHEMA)
+        n_blocks = max(1, math.ceil(n_groups / block_size))
+        bundled = (
+            blobs.groupBy(
+                F.pmod(F.xxhash64("g"), F.lit(n_blocks))
+                .cast("int")
+                .alias("blk")
+            )
+            .agg(F.collect_list(F.struct("g", "sketch")).alias("bundle"))
+            .persist()
+        )
+        pairs = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+            "ba int, bb int",
+        )
+        cells = (
+            F.broadcast(pairs)
+            .join(
+                bundled.select(
+                    F.col("blk").alias("ba"), F.col("bundle").alias("bun_a")
+                ),
+                "ba",
+            )
+            .join(
+                bundled.select(
+                    F.col("blk").alias("bb"), F.col("bundle").alias("bun_b")
+                ),
+                "bb",
+            )
+        )
+
+        def _cell_pairs(batches):
+            cols = [
+                "group_a", "group_b", "distinct_a", "distinct_b",
+                "intersection_est", "union_est", "jaccard_est", "kmv_exact",
+            ]
+            for pdf in batches:
+                for ba, bb, bun_a, bun_b in zip(
+                    pdf["ba"], pdf["bb"], pdf["bun_a"], pdf["bun_b"]
+                ):
+                    sks_a = [
+                        (r["g"], KMV.deserialize(bytes(r["sketch"])))
+                        for r in bun_a
+                    ]
+                    diag = ba == bb
+                    sks_b = sks_a if diag else [
+                        (r["g"], KMV.deserialize(bytes(r["sketch"])))
+                        for r in bun_b
+                    ]
+                    out = []
+                    for i, (ga, a) in enumerate(sks_a):
+                        for gb, b in sks_a[i + 1 :] if diag else sks_b:
+                            if gb < ga:
+                                ga2, a2, gb2, b2 = gb, b, ga, a
+                            else:
+                                ga2, a2, gb2, b2 = ga, a, gb, b
+                            u = kmv_union(a2, b2)
+                            inter, jac = kmv_overlap_stats(a2, b2)
+                            out.append(
+                                (
+                                    ga2, gb2, a2.estimate(), b2.estimate(),
+                                    inter, u.estimate(), jac,
+                                    not u.saturated,
+                                )
+                            )
+                    if out:
+                        yield pd.DataFrame(out, columns=cols)
+
+        result = cells.mapInPandas(_cell_pairs, _OVERLAP_SCHEMA)
+        # the bundles only exist while the persisted frames do: callers
+        # get a materialization-independent result via localCheckpoint
+        result = result.localCheckpoint(eager=True)
+        return result
+    finally:
+        blobs.unpersist()
+        try:
+            bundled.unpersist()
+        except NameError:
+            pass
 
 
 def grouped_distinct_kmv(

@@ -1003,9 +1003,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "kmv_overlap_event_types",
-    """
+_KMV_OVERLAP_ORACLE = """
     WITH s AS (SELECT DISTINCT event_type, user_id FROM events
                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
          g AS (SELECT event_type, COUNT(*) AS d FROM s GROUP BY event_type),
@@ -1027,8 +1025,30 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN g gb ON ga.event_type < gb.event_type
     LEFT JOIN p ON p.ta = ga.event_type AND p.tb = gb.event_type
     ORDER BY group_a, group_b
-    """,
-)
+    """
+
+
+def _overlap_gate_frame(m: DataFrame) -> DataFrame:
+    """Cast the exact-regime overlap matrix to the gate's integer
+    anchor columns (shared by both formulations)."""
+    return (
+        m.select(
+            "group_a",
+            "group_b",
+            F.col("distinct_a").cast("long").alias("distinct_a"),
+            F.col("distinct_b").cast("long").alias("distinct_b"),
+            F.col("intersection_est").cast("long").alias("intersection_exact"),
+            F.col("union_est").cast("long").alias("union_exact"),
+            # exact regime: sample-count ratio == exact inter/union; the
+            # same two small ints divide bit-identically in both engines
+            F.col("jaccard_est").alias("jaccard"),
+            F.col("kmv_exact").alias("kmv_exact_regime"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
+@register("kmv_overlap_event_types", _KMV_OVERLAP_ORACLE)
 def kmv_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise distinct-user "audience overlap" matrix between event
     types via per-group KMV sketches (api.grouped_kmv_overlap): ONE
@@ -1050,21 +1070,34 @@ def kmv_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .api import grouped_kmv_overlap
 
     ev = load(spark, sf_dir, "events")
-    m = grouped_kmv_overlap(ev, "event_type", "user_id", k=32768)
-    return (
-        m.select(
-            "group_a",
-            "group_b",
-            F.col("distinct_a").cast("long").alias("distinct_a"),
-            F.col("distinct_b").cast("long").alias("distinct_b"),
-            F.col("intersection_est").cast("long").alias("intersection_exact"),
-            F.col("union_est").cast("long").alias("union_exact"),
-            # exact regime: sample-count ratio == exact inter/union; the
-            # same two small ints divide bit-identically in both engines
-            F.col("jaccard_est").alias("jaccard"),
-            F.col("kmv_exact").alias("kmv_exact_regime"),
+    return _overlap_gate_frame(
+        grouped_kmv_overlap(ev, "event_type", "user_id", k=32768)
+    )
+
+
+@register("kmv_overlap_distributed_event_types", _KMV_OVERLAP_ORACLE)
+def kmv_overlap_distributed_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME overlap matrix as kmv_overlap_event_types, computed by
+    the scale formulation (api.grouped_kmv_overlap_distributed): groups
+    hash into blocks, a broadcast grid of unordered block pairs fans
+    the bundled sketches out, and the theta algebra runs executor-side
+    in mapInPandas — no driver collect of sketch blobs, so the same
+    code holds for group cardinalities far beyond the driver path's
+    max_groups. block_size=2 forces a genuinely multi-block grid (3
+    blocks for the 5 event types) even at test scale, so diagonal AND
+    cross-block cells are exercised. Identical oracle SQL to the
+    driver-path row: the gate itself proves cross-formulation,
+    cross-engine agreement (the asof_join / asof_join_intervals
+    pattern)."""
+    from .api import grouped_kmv_overlap_distributed
+
+    ev = load(spark, sf_dir, "events")
+    return _overlap_gate_frame(
+        grouped_kmv_overlap_distributed(
+            ev, "event_type", "user_id", k=32768, block_size=2
         )
-        .orderBy("group_a", "group_b")
     )
 
 
@@ -3614,10 +3647,13 @@ _GATE_ORDER = [
     "sketch_grouped_kll",
     "sketch_grouped_hll",
     "sketch_grouped_cm",
-    # new in round 5: Misra-Gries frequent items + KMV set algebra
+    # new in round 5: Misra-Gries frequent items + KMV set algebra,
+    # pairwise overlap matrix in both formulations (cross-formulation
+    # agreement gated against ONE shared oracle, like the asof pair)
     "sketch_mg_heavy_hitters",
     "sketch_kmv_setops",
     "kmv_overlap_event_types",
+    "kmv_overlap_distributed_event_types",
     # training-data pipeline operators
     "budget_cutoff_docs",
     "chunk_docs_digest",
@@ -3636,12 +3672,12 @@ _GATE_ORDER = [
     "ann_lsh_recall",
     # general SQL surface
     "set_ops_except",
-    "exact_quantiles_by_type",
     # --- driver window boundary (position 50) ---
-    # r1-era basics plus three 4-round-green SQL-surface rows (parked
+    # r1-era basics plus four 4-round-green SQL-surface rows (parked
     # in r5 to make room for the new sketch gates): hash-green since
     # r1, code untouched — still covered by the in-repo driver-sim
     # artifact and tests/test_driver_contract.py
+    "exact_quantiles_by_type",
     "sql_api_agg",
     "week_window_topk",
     "mime_extension_counts",
