@@ -420,17 +420,27 @@ def test_grouped_kmv_overlap_distributed_parity(spark, events):
         .orderBy("group_a", "group_b")
         .toPandas()
     )
-    b = (
-        grouped_kmv_overlap_distributed(
-            events, "event_type", "user_id", k=8, block_size=2
-        )
-        .orderBy("group_a", "group_b")
-        .toPandas()
+    dist = grouped_kmv_overlap_distributed(
+        events, "event_type", "user_id", k=8, block_size=2
     )
-    pd.testing.assert_frame_equal(a, b)
+    release = dist.release_cache  # capture before transforming
+    try:
+        b = dist.orderBy("group_a", "group_b").toPandas()
+    finally:
+        release()
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
     # k=8 < the 15 distinct users per type → every pair left the exact
     # regime, so the parity above covers the estimator path too
     assert not a["kmv_exact"].any()
+
+
+def test_grouped_kmv_overlap_distributed_rejects_bad_block_size(spark):
+    from tgdigest_spark.api import grouped_kmv_overlap_distributed
+
+    df = spark.createDataFrame([("a", "x")], "g string, v string")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="block_size"):
+            grouped_kmv_overlap_distributed(df, "g", "v", block_size=bad)
 
 
 def test_grouped_kmv_overlap_distributed_degenerate(spark):

@@ -623,20 +623,9 @@ def grouped_kmv_overlap(
     ``grouped_kmv_overlap_distributed`` (block-pair grid join; same
     matrix, executor-side algebra).
     """
-    from .sketches.kmv import KMV, kmv_overlap_stats, kmv_union
+    from .sketches.kmv import KMV, kmv_pair_row
 
-    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
-    vcol = F.col(value) if isinstance(value, str) else value
-    proj = (
-        df.select(
-            gcol.cast("string").alias("g"), vcol.cast("string").alias("v")
-        )
-        # dropping v-NULL rows (not just relying on the sketch's null
-        # skip) means all-null groups emit NO row at all, matching the
-        # relational oracle whose groups derive from non-null pairs
-        .where(F.col("g").isNotNull() & F.col("v").isNotNull())
-    )
-    blobs = sketch_by_key(proj, ["g"], "v", lambda: KMV(k))
+    blobs = _overlap_blobs(df, group_col, value, k)
     # bound the collect BEFORE it happens: pull at most max_groups + 1
     # rows so a runaway group column fails fast instead of OOMing the
     # driver first
@@ -655,20 +644,7 @@ def grouped_kmv_overlap(
     for i in range(len(sks)):
         ga, a = sks[i]
         for gb, b in sks[i + 1 :]:
-            u = kmv_union(a, b)
-            inter_est, jac_est = kmv_overlap_stats(a, b)
-            out.append(
-                (
-                    ga,
-                    gb,
-                    a.estimate(),
-                    b.estimate(),
-                    inter_est,
-                    u.estimate(),
-                    jac_est,
-                    not u.saturated,
-                )
-            )
+            out.append(kmv_pair_row(ga, a, gb, b))
     return df.sparkSession.createDataFrame(
         out,
         _OVERLAP_SCHEMA,
@@ -682,6 +658,27 @@ _OVERLAP_SCHEMA = (
 )
 
 
+def _overlap_blobs(
+    df: DataFrame, group_col: Column | str, value: Column | str, k: int
+) -> DataFrame:
+    """One KMV blob per group with ≥1 non-null value — shared front end
+    of both overlap formulations."""
+    from .sketches.kmv import KMV
+
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    vcol = F.col(value) if isinstance(value, str) else value
+    proj = (
+        df.select(
+            gcol.cast("string").alias("g"), vcol.cast("string").alias("v")
+        )
+        # dropping v-NULL rows (not just relying on the sketch's null
+        # skip) means all-null groups emit NO row at all, matching the
+        # relational oracle whose groups derive from non-null pairs
+        .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    )
+    return sketch_by_key(proj, ["g"], "v", lambda: KMV(k))
+
+
 def grouped_kmv_overlap_distributed(
     df: DataFrame,
     group_col: Column | str,
@@ -690,116 +687,111 @@ def grouped_kmv_overlap_distributed(
     block_size: int = 256,
 ) -> DataFrame:
     """``grouped_kmv_overlap`` for group cardinalities beyond a driver
-    collect — same matrix, bit-identical values (same sketches, same
-    one-pass pair algebra), computed executor-side via a block-pair
-    grid join instead of a driver loop.
+    collect — same matrix, bit-identical values (one shared
+    ``kmv_pair_row`` definition), computed executor-side via a
+    block-pair grid join instead of a driver loop.
 
-    Scale shape: groups hash into B = ceil(|G|/block_size) disjoint
-    blocks (content hash of the group value — layout-independent);
-    each block's sketches are bundled into ONE row, and a tiny
-    broadcast frame of the B(B+1)/2 unordered block pairs fans the
-    bundles out, so every unordered GROUP pair lands in exactly one
-    grid cell (cross-block cells for ba < bb, the i<j triangle within
-    diagonal cells). Replication factor is B bundles per bundle —
-    O(|G|·B·k) bytes moved, the minimum for an inherently quadratic
+    Scale shape: groups are ranked by content hash and chunked into
+    B = ceil(|G|/block_size) blocks of EXACTLY ≤ block_size groups
+    (rank, not pmod — a hash-modulo block is only binomially balanced,
+    and a hot block's bundle row would break the memory bound). The
+    rank window runs on the NARROW group column only (never sketch
+    bytes). Each block's sketches bundle into ONE row; diagonal cells
+    come straight from the bundle table (no second bundle copy), and
+    the ba < bb cross cells fan out via an executor-side range join,
+    so every unordered GROUP pair lands in exactly one grid cell.
+    O(|G|·B·k) bytes moved — the minimum for an inherently quadratic
     output — versus the driver path's single-machine O(|G|·k) collect
     that stops scaling at max_groups. mapInPandas streams one grid
-    cell at a time (≤ block_size² pairs in flight), so executor memory
-    stays bounded regardless of |G|.
+    cell at a time (≤ block_size² pairs in flight), so executor
+    memory stays bounded regardless of |G|.
+
+    The result is LAZY and reads two persisted frames; call the
+    attached ``release_cache()`` handle after the final action
+    (capture it before transforming — transformations drop Python
+    attributes).
     """
     import math
 
-    from .sketches.kmv import KMV, kmv_overlap_stats, kmv_union
+    from pyspark.sql import Window
 
-    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
-    vcol = F.col(value) if isinstance(value, str) else value
-    proj = df.select(
-        gcol.cast("string").alias("g"), vcol.cast("string").alias("v")
-    ).where(F.col("g").isNotNull() & F.col("v").isNotNull())
-    blobs = sketch_by_key(proj, ["g"], "v", lambda: KMV(k)).persist()
-    try:
-        n_groups = blobs.count()
-        spark = df.sparkSession
-        if n_groups < 2:
-            return spark.createDataFrame([], _OVERLAP_SCHEMA)
-        n_blocks = max(1, math.ceil(n_groups / block_size))
-        bundled = (
-            blobs.groupBy(
-                F.pmod(F.xxhash64("g"), F.lit(n_blocks))
-                .cast("int")
-                .alias("blk")
-            )
-            .agg(F.collect_list(F.struct("g", "sketch")).alias("bundle"))
-            .persist()
-        )
-        pairs = spark.createDataFrame(
-            [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-            "ba int, bb int",
-        )
-        cells = (
-            F.broadcast(pairs)
-            .join(
-                bundled.select(
-                    F.col("blk").alias("ba"), F.col("bundle").alias("bun_a")
-                ),
-                "ba",
-            )
-            .join(
-                bundled.select(
-                    F.col("blk").alias("bb"), F.col("bundle").alias("bun_b")
-                ),
-                "bb",
-            )
-        )
+    from .sketches.kmv import KMV, kmv_pair_row
 
-        def _cell_pairs(batches):
-            cols = [
-                "group_a", "group_b", "distinct_a", "distinct_b",
-                "intersection_est", "union_est", "jaccard_est", "kmv_exact",
-            ]
-            for pdf in batches:
-                for ba, bb, bun_a, bun_b in zip(
-                    pdf["ba"], pdf["bb"], pdf["bun_a"], pdf["bun_b"]
-                ):
-                    sks_a = [
-                        (r["g"], KMV.deserialize(bytes(r["sketch"])))
-                        for r in bun_a
-                    ]
-                    diag = ba == bb
-                    sks_b = sks_a if diag else [
-                        (r["g"], KMV.deserialize(bytes(r["sketch"])))
-                        for r in bun_b
-                    ]
-                    out = []
-                    for i, (ga, a) in enumerate(sks_a):
-                        for gb, b in sks_a[i + 1 :] if diag else sks_b:
-                            if gb < ga:
-                                ga2, a2, gb2, b2 = gb, b, ga, a
-                            else:
-                                ga2, a2, gb2, b2 = ga, a, gb, b
-                            u = kmv_union(a2, b2)
-                            inter, jac = kmv_overlap_stats(a2, b2)
-                            out.append(
-                                (
-                                    ga2, gb2, a2.estimate(), b2.estimate(),
-                                    inter, u.estimate(), jac,
-                                    not u.saturated,
-                                )
-                            )
-                    if out:
-                        yield pd.DataFrame(out, columns=cols)
-
-        result = cells.mapInPandas(_cell_pairs, _OVERLAP_SCHEMA)
-        # the bundles only exist while the persisted frames do: callers
-        # get a materialization-independent result via localCheckpoint
-        result = result.localCheckpoint(eager=True)
-        return result
-    finally:
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    blobs = _overlap_blobs(df, group_col, value, k).persist()
+    n_groups = blobs.count()
+    spark = df.sparkSession
+    if n_groups < 2:
         blobs.unpersist()
-        try:
-            bundled.unpersist()
-        except NameError:
-            pass
+        return spark.createDataFrame([], _OVERLAP_SCHEMA)
+    n_blocks = math.ceil(n_groups / block_size)
+    rank = F.row_number().over(Window.orderBy(F.xxhash64("g"), "g"))
+    assign = blobs.select("g").withColumn(
+        "blk", F.floor((rank - F.lit(1)) / F.lit(block_size)).cast("int")
+    )
+    bundled = (
+        blobs.join(assign, "g")
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("g", "sketch")).alias("bundle"))
+        .persist()
+    )
+    # grid cells: the diagonal needs no join at all; cross cells pair
+    # every ba < bb via a range self-join (executor-side — no
+    # driver-side O(B^2) pair list)
+    diag = bundled.select(
+        F.col("blk").alias("ba"),
+        F.col("blk").alias("bb"),
+        F.col("bundle").alias("bun_a"),
+        F.slice("bundle", 1, 0).alias("bun_b"),
+    )
+    ra = spark.range(n_blocks).select(F.col("id").cast("int").alias("ba"))
+    rb = spark.range(n_blocks).select(F.col("id").cast("int").alias("bb"))
+    cross = (
+        ra.join(rb, F.col("ba") < F.col("bb"))
+        .join(
+            bundled.select(
+                F.col("blk").alias("ba"), F.col("bundle").alias("bun_a")
+            ),
+            "ba",
+        )
+        .join(
+            bundled.select(
+                F.col("blk").alias("bb"), F.col("bundle").alias("bun_b")
+            ),
+            "bb",
+        )
+    )
+    cells = diag.unionByName(cross)
+
+    def _cell_pairs(batches):
+        cols = [
+            "group_a", "group_b", "distinct_a", "distinct_b",
+            "intersection_est", "union_est", "jaccard_est", "kmv_exact",
+        ]
+        for pdf in batches:
+            for ba, bb, bun_a, bun_b in zip(
+                pdf["ba"], pdf["bb"], pdf["bun_a"], pdf["bun_b"]
+            ):
+                sks_a = [
+                    (r["g"], KMV.deserialize(bytes(r["sketch"])))
+                    for r in bun_a
+                ]
+                diag_cell = ba == bb
+                sks_b = sks_a if diag_cell else [
+                    (r["g"], KMV.deserialize(bytes(r["sketch"])))
+                    for r in bun_b
+                ]
+                out = []
+                for i, (ga, a) in enumerate(sks_a):
+                    for gb, b in sks_a[i + 1 :] if diag_cell else sks_b:
+                        out.append(kmv_pair_row(ga, a, gb, b))
+                if out:
+                    yield pd.DataFrame(out, columns=cols)
+
+    result = cells.mapInPandas(_cell_pairs, _OVERLAP_SCHEMA)
+    result.release_cache = lambda: (blobs.unpersist(), bundled.unpersist())
+    return result
 
 
 def grouped_distinct_kmv(

@@ -1094,11 +1094,17 @@ def kmv_overlap_distributed_event_types(
     from .api import grouped_kmv_overlap_distributed
 
     ev = load(spark, sf_dir, "events")
-    return _overlap_gate_frame(
-        grouped_kmv_overlap_distributed(
-            ev, "event_type", "user_id", k=32768, block_size=2
-        )
+    m = grouped_kmv_overlap_distributed(
+        ev, "event_type", "user_id", k=32768, block_size=2
     )
+    release = m.release_cache  # capture before transforming
+    out = _overlap_gate_frame(m)
+    try:
+        # materialize the tiny matrix, then drop the blob/bundle caches
+        rows = out.collect()
+    finally:
+        release()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # J1/J3 — broadcast dim-join enrichment (the reference's channel-entity

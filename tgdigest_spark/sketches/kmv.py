@@ -176,6 +176,24 @@ def kmv_jaccard_estimate(a: KMV, b: KMV) -> float:
     return float(np.intersect1d(ha, hb).size) / float(union.size)
 
 
+def kmv_pair_row(ga: str, a: KMV, gb: str, b: KMV) -> tuple:
+    """Canonical overlap-matrix row for one unordered group pair:
+    (group_a, group_b, distinct_a, distinct_b, intersection_est,
+    union_est, jaccard_est, kmv_exact) with group_a < group_b. THE
+    single definition both grouped_kmv_overlap formulations (driver
+    loop and block-pair grid) share — their bit-identical parity
+    contract rests on this being one function, not two synchronized
+    copies."""
+    if gb < ga:
+        ga, a, gb, b = gb, b, ga, a
+    u = kmv_union(a, b)
+    inter, jac = kmv_overlap_stats(a, b)
+    return (
+        ga, gb, a.estimate(), b.estimate(), inter, u.estimate(), jac,
+        not u.saturated,
+    )
+
+
 def kmv_overlap_stats(a: KMV, b: KMV) -> tuple[float, float]:
     """(intersection_est, jaccard_est) in ONE pass over the shared-theta
     samples — identical values to kmv_intersection_estimate /
