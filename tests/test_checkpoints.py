@@ -8,6 +8,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -361,3 +362,115 @@ def test_window_quantiles_over_streaming_store(spark, tmp_path):
         store, FACTORY, keys=lambda k: "2024-01-02" <= k <= "2024-01-03"
     )
     assert win.count == 400
+
+
+def test_streaming_session_windows_match_batch(spark, transcripts_path, tmp_path):
+    """Streaming session_window sessionization emits exactly the batch
+    session_window sessions the final watermark has closed (value-equal
+    rows), withholds only still-open tail sessions, and the per-key
+    session COUNTS match the batch lag-formulation under the >=
+    boundary convention for fully-closed keys."""
+    from pyspark.sql import Window, functions as F
+
+    from tgdigest_spark.streaming.windowed import session_turn_stats
+
+    src = spark.read.parquet(transcripts_path)
+    stream_dir = str(tmp_path / "sess_src")
+    src.limit(5000).repartition(4).write.parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+    )
+    agg = session_turn_stats(
+        stream, gap="5 minutes", watermark="1 hour", key="conv_id"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    out = (
+        spark.sql("SELECT * FROM sess_out")
+        .toPandas()
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0
+
+    batch = spark.read.parquet(stream_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    exact = (
+        batch.groupBy(
+            F.session_window("ts", "5 minutes").alias("sess"), "conv_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "conv_id", "n_events", "first_ts", "last_ts",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # append mode emits a session only once the watermark passes its
+    # end; the final watermark is max(ts) - delay, so sessions ending
+    # inside the last hour stay OPEN and are withheld. Emitted rows
+    # must be exactly the batch sessions past that cutoff, and every
+    # withheld row must still be open at stream end.
+    import datetime
+
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(hours=1)
+    merged = out.merge(exact, how="outer", indicator=True)
+    assert (merged["_merge"] != "left_only").all()  # stream ⊆ batch
+    withheld = merged[merged["_merge"] == "right_only"]
+    assert (withheld["session_end"] > cutoff).all()
+    closed = (
+        exact[exact["session_end"] <= cutoff]
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    emitted_closed = (
+        out[out["session_end"] <= cutoff]
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(emitted_closed, closed, check_exact=True)
+
+    # cross-formulation: per-key session counts equal the lag-form with
+    # the session_window boundary convention (new session at gap >= g),
+    # restricted to keys with no withheld (still-open) session
+    w = Window.partitionBy("conv_id").orderBy("ts")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    lag_form = (
+        batch.withColumn(
+            "new_s",
+            F.when(gap_s.isNull() | (gap_s >= 300), 1).otherwise(0),
+        )
+        .groupBy("conv_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+        .toPandas()
+        .set_index("conv_id")["n_sessions"]
+    )
+    open_convs = set(withheld["conv_id"])
+    stream_counts = out.groupby("conv_id").size()
+    checked = 0
+    for conv, n in stream_counts.items():
+        if conv in open_convs:
+            continue
+        assert n == lag_form[conv], conv
+        checked += 1
+    assert checked > 0

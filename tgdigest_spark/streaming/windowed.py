@@ -46,3 +46,49 @@ def windowed_turn_stats(
             "approx_convs",
         )
     )
+
+
+def session_turn_stats(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful counterpart of
+    the batch ``sessionization`` gate query, built on Spark's native
+    ``session_window`` (dynamic-length windows that MERGE while events
+    keep arriving within ``gap``; watermark passage closes a session
+    and evicts its state, so append mode emits each session exactly
+    once with no unbounded state).
+
+    Boundary convention: ``session_window`` starts a NEW session when
+    the inter-event gap is >= the gap duration, while the batch
+    lag-formulation in driver_queries.sessionization uses strictly >
+    — an event landing exactly on the threshold is the one row that
+    can differ (pinned in the parity test).
+
+    Scale shape: state is per (key, open session) — bounded by the
+    watermark horizon, keys partition the state store, and merging is
+    done by the SessionWindowStateStore without any per-row Python.
+    """
+    # watermarks require TIMESTAMP (NTZ rejected); session TZ is UTC so
+    # the cast is an identity relabel
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key,
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
