@@ -474,3 +474,90 @@ def test_streaming_session_windows_match_batch(spark, transcripts_path, tmp_path
         assert n == lag_form[conv], conv
         checked += 1
     assert checked > 0
+
+
+def test_streaming_exact_dedup_bounded_state(spark, transcripts_path, tmp_path):
+    """dropDuplicatesWithinWatermark-based streaming exact dedup: with
+    every duplicate pair inside the watermark horizon, the streamed
+    output has exactly the batch-distinct key set, once each —
+    including dups split across micro-batches."""
+    from tgdigest_spark.streaming.dedup_stream import exact_dedup_stream
+
+    src = spark.read.parquet(transcripts_path).limit(3000)
+    dup_src = src.limit(1000)  # exact re-delivery of the first 1000 rows
+    stream_dir = str(tmp_path / "dedup_src")
+    src.unionByName(dup_src).repartition(4).write.parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+    )
+    deduped = exact_dedup_stream(
+        stream, keys=["conv_id", "turn_idx"], watermark="90 days"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    out = spark.sql("SELECT conv_id, turn_idx FROM dedup_out").toPandas()
+    assert not out.duplicated(["conv_id", "turn_idx"]).any()
+    batch_keys = (
+        src.select("conv_id", "turn_idx").distinct().toPandas()
+    )
+    assert len(out) == len(batch_keys)
+    merged = out.merge(batch_keys, how="outer", indicator=True)
+    assert (merged["_merge"] == "both").all()
+
+
+def test_streaming_exact_dedup_content_hash_null_guard(spark, tmp_path):
+    """content_cols path: all-null content rows are duplicates of each
+    other, and a row whose text is a literal sentinel-lookalike string
+    stays DISTINCT from a true-NULL row (xxhash64 alone ignores null
+    inputs, and an in-band sentinel would collide with its own literal
+    — the null-flag is hashed out-of-band instead)."""
+    import pandas as pd
+
+    from tgdigest_spark.streaming.dedup_stream import exact_dedup_stream
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": [None, None, "\x00null", "same"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:05",
+                 "2024-01-01 00:10", "2024-01-01 00:15"]
+            ),
+        }
+    )
+    stream_dir = str(tmp_path / "content_src")
+    spark.createDataFrame(pdf).write.parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .parquet(stream_dir)
+    )
+    deduped = exact_dedup_stream(
+        stream, content_cols=["text"], watermark="1 day"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("content_out")
+        .option("checkpointLocation", str(tmp_path / "content_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM content_out").toPandas()
+    texts = set(out["text"].where(out["text"].notna(), "<NULL>"))
+    # one NULL survivor, the sentinel-lookalike string, and "same"
+    assert len(out) == 3 and texts == {"<NULL>", "\x00null", "same"}
+    assert "_content_key" not in out.columns
