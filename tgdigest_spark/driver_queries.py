@@ -461,6 +461,67 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _global_quantile_row(spark, ev, est)
 
 
+# probe points ~p25/p50/p90 of events.value (distribution is sf-invariant)
+_CDF_PROBES = [15.0, 35.0, 115.0]
+
+
+@register(
+    "sketch_cdf_rank",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value <= 15.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_x1,
+           CAST(SUM(CASE WHEN value <= 35.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_x2,
+           CAST(SUM(CASE WHEN value <= 115.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_x3,
+           TRUE AS td_cdf_ok_x1, TRUE AS td_cdf_ok_x2, TRUE AS td_cdf_ok_x3,
+           TRUE AS kll_rank_ok_x1, TRUE AS kll_rank_ok_x2, TRUE AS kll_rank_ok_x3
+    FROM events
+    """,
+)
+def sketch_cdf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse of the quantile gate rows: CDF/rank estimates at fixed
+    probe points via TDigest.cdf and KLL.rank — the other half of the
+    reference t-digest's query surface (quantile(q) and cdf(x) are the
+    two public reads). Anchors are the integer-exact inclusive-rank
+    counts (BIGINT — cross-engine exact); flags assert each estimate
+    lands in the tie-robust interval [#(v<x)/n - tol, #(v<=x)/n + tol]
+    with the same generous tol as the quantile rows (tight bounds live
+    in pytest)."""
+    from .api import cdf as td_cdf, ranks_kll
+
+    ev = load(spark, sf_dir, "events")
+    est_td = td_cdf(ev, "value", _CDF_PROBES, delta=200)
+    est_kll = ranks_kll(ev, "value", _CDF_PROBES, k=200)
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, x in enumerate(_CDF_PROBES):
+        aggs.append(
+            F.sum((F.col("value") < F.lit(x)).cast("long")).alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("value") <= F.lit(x)).cast("long")).alias(f"_le{i}")
+        )
+    r = ev.agg(*aggs).collect()[0]
+    n = r["_n"]
+
+    def _ok(e: float, i: int) -> bool:
+        return (r[f"_lt{i}"] / n - _RANK_TOL <= e) and (
+            e <= r[f"_le{i}"] / n + _RANK_TOL
+        )
+
+    td_flags = [_ok(est_td[x], i) for i, x in enumerate(_CDF_PROBES)]
+    kll_flags = [_ok(est_kll[x], i) for i, x in enumerate(_CDF_PROBES)]
+    return spark.createDataFrame(
+        [
+            (int(n), int(r["_le0"]), int(r["_le1"]), int(r["_le2"]))
+            + tuple(td_flags)
+            + tuple(kll_flags)
+        ],
+        "n long, le_x1 long, le_x2 long, le_x3 long, "
+        "td_cdf_ok_x1 boolean, td_cdf_ok_x2 boolean, td_cdf_ok_x3 boolean, "
+        "kll_rank_ok_x1 boolean, kll_rank_ok_x2 boolean, kll_rank_ok_x3 boolean",
+    )
+
+
 @register(
     "sketch_hll_distinct",
     """
@@ -3645,6 +3706,7 @@ _GATE_ORDER = [
     # sketches
     "sketch_tdigest_quantiles",
     "sketch_kll_quantiles",
+    "sketch_cdf_rank",
     "sketch_hll_distinct",
     "sketch_cm_heavy_hitters",
     "sketch_bloom_membership",
@@ -3676,13 +3738,13 @@ _GATE_ORDER = [
     "ann_cosine_topk",
     "neardup_rescore_exact",
     "ann_lsh_recall",
-    # general SQL surface
-    "set_ops_except",
     # --- driver window boundary (position 50) ---
-    # r1-era basics plus four 4-round-green SQL-surface rows (parked
-    # in r5 to make room for the new sketch gates): hash-green since
-    # r1, code untouched — still covered by the in-repo driver-sim
-    # artifact and tests/test_driver_contract.py
+    # r1-era basics plus five 4-round-green SQL-surface rows (parked
+    # in r5 to make room for the new sketch gates; set_ops_except
+    # parked for sketch_cdf_rank): hash-green since r1, code
+    # untouched — still covered by the in-repo driver-sim artifact
+    # and tests/test_driver_contract.py
+    "set_ops_except",
     "exact_quantiles_by_type",
     "sql_api_agg",
     "week_window_topk",

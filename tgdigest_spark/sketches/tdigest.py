@@ -224,7 +224,16 @@ class TDigest(Sketch):
         centroid arrays concatenated once, and the piecewise-linear
         interpolation for ALL digests runs as a single searchsorted over
         a (2*segment_id + normalized-rank) key (ranks normalized to
-        [0,1] make the key strictly increasing across segments)."""
+        [0,1] make the key strictly increasing across segments).
+
+        Parity contract vs quantile(): the interpolation itself runs in
+        RAW rank space with np.interp's slope-form float ops, so for the
+        same node pair the result is bit-identical. Node SELECTION goes
+        through the packed normalized key, whose rounding can pick the
+        neighboring node only when q collides with a node rank within
+        ~one ulp — the answers then differ by at most one interpolation
+        step of that collision (|diff| <= slope * ulp(rank)), the bound
+        test_quantile_blobs_property_parity asserts eps-scaled."""
         import struct as _struct
 
         p = len(blobs)
@@ -266,21 +275,28 @@ class TDigest(Sketch):
         starts = ends - ns_l
         cs = np.cumsum(w)
         cs_before = np.concatenate(([0.0], cs[ends[:-1] - 1]))
-        # centroid mid-ranks normalized to [0, 1] within each segment
-        rank_norm = (cs - cs_before[seg_of] - 0.5 * w) / counts_l[seg_of]
+        # centroid mid-ranks: raw within-segment (the space quantile()
+        # interpolates in), plus a [0, 1]-normalized copy used ONLY to
+        # build the strictly-increasing cross-segment search key
+        rank_raw = cs - cs_before[seg_of] - 0.5 * w
+        rank_norm = rank_raw / counts_l[seg_of]
 
         k = ns_l + 2  # nodes: min + centroids + max
         node_ends = np.cumsum(k) - 1
         node_starts = node_ends - k + 1
         total = int(node_ends[-1]) + 1
         rr = np.empty(total)
+        rr_raw = np.empty(total)
         vv = np.empty(total)
         rr[node_starts] = 0.0
         rr[node_ends] = 1.0
+        rr_raw[node_starts] = 0.0
+        rr_raw[node_ends] = counts_l
         vv[node_starts] = mins_l
         vv[node_ends] = maxs_l
         pos = node_starts[seg_of] + 1 + (np.arange(m.size) - starts[seg_of])
         rr[pos] = rank_norm
+        rr_raw[pos] = rank_raw
         vv[pos] = m
 
         rkey = 2.0 * np.repeat(np.arange(nseg), k) + rr
@@ -291,11 +307,17 @@ class TDigest(Sketch):
         seg_rep = np.repeat(np.arange(nseg), nq)
         lo = np.clip(idx - 1, node_starts[seg_rep], node_ends[seg_rep] - 1)
         hi = lo + 1
-        t = np.tile(qs_arr, nseg)
-        denom = rr[hi] - rr[lo]
-        frac = np.where(denom > 0, (t - rr[lo]) / np.where(denom > 0, denom, 1), 0.0)
-        frac = np.clip(frac, 0.0, 1.0)
-        est = vv[lo] + frac * (vv[hi] - vv[lo])
+        # interpolate in RAW rank space with np.interp's slope-form
+        # arithmetic — elementwise bit-identical to quantile()'s
+        # np.interp(q*count, ranks, vals) for the same node pair
+        cnt_rep = counts_l[seg_rep]
+        t_raw = np.tile(qs_arr, nseg) * cnt_rep
+        denom = rr_raw[hi] - rr_raw[lo]
+        slope = (vv[hi] - vv[lo]) / np.where(denom > 0, denom, 1.0)
+        est = vv[lo] + slope * (t_raw - rr_raw[lo])
+        # np.interp clamps to the end values at/beyond the extremes
+        est = np.where(t_raw >= cnt_rep, maxs_l[seg_rep], est)
+        est = np.where(t_raw <= 0.0, mins_l[seg_rep], est)
         est = est.reshape(nseg, nq)
         # parity with quantile(): a single-centroid digest answers its
         # mean for every q (no interpolation toward min/max)
