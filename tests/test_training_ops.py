@@ -350,13 +350,27 @@ def test_real_decode_through_spark_pipeline(spark):
         feats[1], _moments(decode_wav(encode_wav(wav, 22050))[0])
     )
 
+    # real JPEG decodes through the pipeline too (baseline codec)
+    from tgdigest_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    jp = encode_jpeg(rgb, quality=90)
     jpeg_rows = [
-        (2, "image", bytearray(b"\xff\xd8\xff\xe0" + b"x" * 64),
-         {"width": 1, "height": 1, "duration_s": None, "sample_rate": None, "codec": "jpeg"})
+        (2, "image", bytearray(jp),
+         {"width": 24, "height": 32, "duration_s": None, "sample_rate": None, "codec": "jpeg"})
+    ]
+    jfeat = extract_features(
+        spark.createDataFrame(jpeg_rows, MEDIA_SCHEMA), decode_fn=real_decode
+    ).collect()[0]["feature"]
+    np.testing.assert_allclose(np.array(jfeat), _moments(decode_jpeg(jp)))
+
+    # formats with no pure-numpy codec still refuse loudly (mp4)
+    mp4_rows = [
+        (3, "video", bytearray(b"\x00\x00\x00\x18ftypmp42" + b"x" * 64),
+         {"width": 1, "height": 1, "duration_s": 1.0, "sample_rate": None, "codec": "mp4"})
     ]
     with pytest.raises(Exception, match="NotImplemented|decode"):
         extract_features(
-            spark.createDataFrame(jpeg_rows, MEDIA_SCHEMA), decode_fn=real_decode
+            spark.createDataFrame(mp4_rows, MEDIA_SCHEMA), decode_fn=real_decode
         ).collect()
 
 

@@ -4,10 +4,12 @@ The Spark-side plumbing is real and tested — schemas, partition-aware
 ``mapInPandas`` decode pipelines, Arrow batch shapes, frame sampling
 arithmetic. Decode itself is REAL for the formats a pure-numpy/stdlib
 parser can handle — netpbm P5/P6 images (:func:`decode_ppm`), PNG
-(:func:`decode_png`, zlib inflate + numpy unfiltering), and RIFF/WAVE
-PCM audio (:func:`decode_wav`), all round-trip-tested bit-exact —
-while codec formats (jpeg/mp4) stay behind a loud NotImplementedError
-(this container has no codec libraries). ``decode_fn`` defaults to a
+(:func:`decode_png`, zlib inflate + numpy unfiltering), baseline JPEG
+(:mod:`.jpegcodec`, spec-implemented huffman + IDCT; lossy-bounded
+round trips rather than bit-exact), and RIFF/WAVE PCM audio
+(:func:`decode_wav`), the lossless ones round-trip-tested bit-exact —
+while mp4 stays behind a loud NotImplementedError (this container has
+no codec libraries). ``decode_fn`` defaults to a
 deterministic fake for tests/benchmarks; pass ``real_decode`` to run
 the real path.
 
@@ -320,24 +322,29 @@ def _moments(arr: np.ndarray) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
     """The production decode hook: REAL for the formats a pure-numpy
-    decoder can handle (netpbm P5/P6 images, RIFF/WAVE PCM audio —
-    payload sniffed by magic bytes), NotImplementedError for codec
-    formats (jpeg/png/mp4/...) that need libraries absent from this
-    container. Returns the FEATURE_DIM moment vector of the decoded
-    pixels/samples, matching the extract_features contract."""
+    decoder can handle (netpbm P5/P6 images, PNG, baseline JPEG,
+    RIFF/WAVE PCM audio — payload sniffed by magic bytes),
+    NotImplementedError for codec formats (mp4/...) that need
+    libraries absent from this container. Returns the FEATURE_DIM
+    moment vector of the decoded pixels/samples, matching the
+    extract_features contract."""
     if payload is not None and len(payload) >= 12:
         if payload[:2] in (b"P5", b"P6"):
             return _moments(decode_ppm(payload))
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return _moments(decode_png(payload))
+        if payload[:3] == b"\xff\xd8\xff":
+            from .jpegcodec import decode_jpeg
+
+            return _moments(decode_jpeg(payload))
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, _ = decode_wav(payload)
             return _moments(samples)
     raise NotImplementedError(
         "decode for this payload format requires codec libraries not "
         "present in this environment (pure-numpy/stdlib path covers "
-        "netpbm P5/P6, PNG, and WAVE PCM); inject decode_fn= or use "
-        "the deterministic fake"
+        "netpbm P5/P6, PNG, baseline JPEG, and WAVE PCM); inject "
+        "decode_fn= or use the deterministic fake"
     )
 
 
