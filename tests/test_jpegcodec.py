@@ -104,3 +104,49 @@ def test_quality_monotone_size():
     assert sizes == sorted(sizes)
     # lower quality still decodes to something recognizable
     assert _psnr(img, decode_jpeg(encode_jpeg(img, quality=30))) > 22.0
+
+
+def test_high_frequency_roundtrip():
+    """Noise image: every AC coefficient is live, so this pins the
+    dequantization-order bug (zigzag-position steps vs natural-order
+    steps) the smooth-image tests cannot see."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert _psnr(img, dec) > 30.0
+
+
+def test_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker — conformant streams with padding must decode."""
+    img = _smooth_rgb(16, 24, seed=2)
+    enc = encode_jpeg(img, quality=90)
+    i = enc.index(b"\xff\xdb")  # before the first DQT
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
+
+
+def test_malformed_segments_raise_value_error():
+    """Structurally broken segment bodies raise ValueError (the
+    documented loud-failure contract), not struct.error or
+    ZeroDivisionError."""
+    img = _smooth_rgb(16, 16)
+    enc = encode_jpeg(img, quality=90)
+    sos = enc.index(b"\xff\xda")
+    # DRI with a 1-byte body (seglen=3)
+    bad_dri = enc[:sos] + b"\xff\xdd\x00\x03\x01" + enc[sos:]
+    with pytest.raises(ValueError):
+        decode_jpeg(bad_dri)
+    # SOF truncated to fewer bytes than its component list needs
+    sof = enc.index(b"\xff\xc0")
+    seglen = int.from_bytes(enc[sof + 2:sof + 4], "big")
+    trunc = bytearray(enc)
+    trunc[sof + 2:sof + 4] = (8).to_bytes(2, "big")  # too short for 3 comps
+    del trunc[sof + 2 + 8:sof + 2 + seglen]
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(trunc))
+    # zero sampling factor in SOF
+    zs = bytearray(enc)
+    zs[sof + 2 + 8] = 0x00  # first component's h/v byte
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(zs))

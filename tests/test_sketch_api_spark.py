@@ -176,3 +176,15 @@ def test_cdf_rank_monotone_and_edges(spark, transcripts):
         assert seq == sorted(seq), seq
         assert seq[0] == 0.0
         assert seq[-1] == 1.0
+
+
+def test_cdf_rank_accept_iterator_probes(spark, transcripts):
+    """cdf/ranks_kll materialize their probe iterable once — a
+    generator input must produce a fully-populated result dict."""
+    from tgdigest_spark.api import cdf, ranks_kll
+
+    col = F.length("text").cast("double")
+    got = cdf(transcripts, col, (x for x in (10.0, 50.0)))
+    assert set(got) == {10.0, 50.0} and all(0 <= v <= 1 for v in got.values())
+    got = ranks_kll(transcripts, col, iter([10.0, 50.0]))
+    assert set(got) == {10.0, 50.0}

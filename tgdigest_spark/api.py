@@ -544,10 +544,11 @@ def cdf(
     Rank-accuracy bound is the quantile bound transposed: the estimate
     lies within the published q(1-q) c/delta band of the tie interval
     [#(v<x)/n, #(v<=x)/n]."""
+    xs = [float(x) for x in xs]  # materialize once: xs is consumed twice
     if where is not None:
         df = df.where(where)
     sk = sketch_column(df, value, lambda: TDigest(delta))
-    est = sk.cdf(list(xs))
+    est = sk.cdf(xs)
     return dict(zip(xs, [float(e) for e in np.atleast_1d(est)]))
 
 
@@ -561,10 +562,11 @@ def ranks_kll(
     """Rank-error-flavor CDF via KLL: KLL.rank(x) estimates the
     inclusive normalized rank #(v<=x)/n within the KLL eps(k) bound
     (same API shape as ``cdf``)."""
+    xs = [float(x) for x in xs]  # materialize once: xs is consumed twice
     if where is not None:
         df = df.where(where)
     sk = sketch_column(df, value, lambda: KLL(k))
-    est = sk.rank(list(xs))
+    est = sk.rank(xs)
     return dict(zip(xs, [float(e) for e in np.atleast_1d(est)]))
 
 

@@ -398,24 +398,33 @@ def _exact_q(ev: DataFrame, qs: list[float]) -> list[float]:
     return [float(row[f"q{i}"]) for i in range(len(qs))]
 
 
+def _rank_intervals(
+    ev: DataFrame, xs: list[float]
+) -> tuple[int, list[tuple[int, int]]]:
+    """ONE agg pass over ``value``: total n plus the tie interval
+    [#(v<x), #(v<=x)] for each probe value — the shared machinery of
+    every tie-robust rank-accuracy flag (quantile AND cdf gate rows)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, x in enumerate(xs):
+        aggs.append(
+            F.sum((F.col("value") < F.lit(x)).cast("long")).alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("value") <= F.lit(x)).cast("long")).alias(f"_le{i}")
+        )
+    r = ev.agg(*aggs).collect()[0]
+    return r["_n"], [(r[f"_lt{i}"], r[f"_le{i}"]) for i in range(len(xs))]
+
+
 def _global_rank_flags(
     ev: DataFrame, ests: list[float], qs: list[float], tol: float = _RANK_TOL
 ) -> list[bool]:
     """True iff each estimate's rank interval [#(v<est), #(v<=est)]
     covers q*n within ±tol*n — tie-robust rank accuracy, one agg pass."""
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for i, e in enumerate(ests):
-        aggs.append(
-            F.sum((F.col("value") < F.lit(e)).cast("long")).alias(f"_lt{i}")
-        )
-        aggs.append(
-            F.sum((F.col("value") <= F.lit(e)).cast("long")).alias(f"_le{i}")
-        )
-    r = ev.agg(*aggs).collect()[0]
-    n = r["_n"]
+    n, intervals = _rank_intervals(ev, ests)
     return [
-        (q * n >= r[f"_lt{i}"] - tol * n) and (q * n <= r[f"_le{i}"] + tol * n)
-        for i, q in enumerate(qs)
+        (q * n >= lt - tol * n) and (q * n <= le + tol * n)
+        for q, (lt, le) in zip(qs, intervals)
     ]
 
 
@@ -492,27 +501,17 @@ def sketch_cdf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_td = td_cdf(ev, "value", _CDF_PROBES, delta=200)
     est_kll = ranks_kll(ev, "value", _CDF_PROBES, k=200)
 
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for i, x in enumerate(_CDF_PROBES):
-        aggs.append(
-            F.sum((F.col("value") < F.lit(x)).cast("long")).alias(f"_lt{i}")
-        )
-        aggs.append(
-            F.sum((F.col("value") <= F.lit(x)).cast("long")).alias(f"_le{i}")
-        )
-    r = ev.agg(*aggs).collect()[0]
-    n = r["_n"]
+    n, intervals = _rank_intervals(ev, _CDF_PROBES)
 
     def _ok(e: float, i: int) -> bool:
-        return (r[f"_lt{i}"] / n - _RANK_TOL <= e) and (
-            e <= r[f"_le{i}"] / n + _RANK_TOL
-        )
+        lt, le = intervals[i]
+        return (lt / n - _RANK_TOL <= e) and (e <= le / n + _RANK_TOL)
 
     td_flags = [_ok(est_td[x], i) for i, x in enumerate(_CDF_PROBES)]
     kll_flags = [_ok(est_kll[x], i) for i, x in enumerate(_CDF_PROBES)]
     return spark.createDataFrame(
         [
-            (int(n), int(r["_le0"]), int(r["_le1"]), int(r["_le2"]))
+            (int(n),) + tuple(int(le) for _, le in intervals)
             + tuple(td_flags)
             + tuple(kll_flags)
         ],

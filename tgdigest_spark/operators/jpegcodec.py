@@ -366,6 +366,8 @@ def _decode_block(
             break
         if rs == 0xF0:  # ZRL
             k += 16
+            if k > 63:
+                raise ValueError("corrupt JPEG AC coefficient run")
             continue
         run, size = rs >> 4, rs & 0x0F
         k += run
@@ -374,7 +376,12 @@ def _decode_block(
         zz[k] = _extend(br.read(size), size)
         k += 1
     flat = np.zeros(64, dtype=np.float64)
-    flat[ZIGZAG] = zz * qt.astype(np.float64)
+    # scatter zigzag-stream coefficients to natural order FIRST, then
+    # dequantize with the natural-order table (the encoder quantizes in
+    # natural order before zigzagging — dequant steps must line up with
+    # natural positions, not stream positions)
+    flat[ZIGZAG] = zz
+    flat *= qt.astype(np.float64)
     block = _DCT_C.T @ flat.reshape(8, 8) @ _DCT_C
     return block + 128.0, dc
 
@@ -398,6 +405,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         need(2)
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # any number of 0xFF fill bytes may pad before a marker
+        # (T.81 B.1.1.2) — skip all but the last
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            need(2)
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before any scan
@@ -440,15 +452,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[tc_th] = _HuffTable(bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
-            restart_interval = struct.unpack(">H", body)[0]
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF segment")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs == 0 or vs == 0:
+                    raise ValueError("zero JPEG sampling factor")
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -457,6 +478,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             scan_tabs = []
             for si in range(ns):
