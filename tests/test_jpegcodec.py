@@ -40,6 +40,21 @@ def test_roundtrip_420_subsampled():
     assert _psnr(img, decode_jpeg(enc420)) > 28.0
 
 
+def test_roundtrip_422_asymmetric_sampling():
+    """4:2:2 exercises the decoder's hmax != vmax upsample path."""
+    img = _smooth_rgb(30, 42, seed=17)
+    enc444 = encode_jpeg(img, quality=85, subsample="4:4:4")
+    enc422 = encode_jpeg(img, quality=85, subsample="4:2:2")
+    assert len(enc444) > len(enc422) > len(
+        encode_jpeg(img, quality=85, subsample="4:2:0")
+    )
+    assert _psnr(img, decode_jpeg(enc422)) > 29.0
+    flat = np.full((11, 9, 3), 201, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, quality=90, subsample="4:2:2")), flat
+    )
+
+
 def test_roundtrip_grayscale():
     rng = np.random.default_rng(3)
     g = np.clip(

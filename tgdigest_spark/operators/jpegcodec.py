@@ -200,8 +200,9 @@ def encode_jpeg(
 ) -> bytes:
     """uint8 (h, w, 3) RGB or (h, w) grayscale -> baseline JFIF bytes.
 
-    ``subsample``: "4:4:4" (chroma at full resolution) or "4:2:0"
-    (box 2x2 chroma downsample). Grayscale ignores it.
+    ``subsample``: "4:4:4" (chroma at full resolution), "4:2:2"
+    (box 1x2 horizontal chroma downsample), or "4:2:0" (box 2x2).
+    Grayscale ignores it.
     ``restart_interval``: emit a DRI segment and RSTn markers every N
     MCUs (0 = none) — exercises the decoder's restart path.
     """
@@ -211,7 +212,7 @@ def encode_jpeg(
     gray = pixels.ndim == 2
     if not gray and pixels.shape[2] != 3:
         raise ValueError("encode_jpeg wants 3 channels for color input")
-    if subsample not in ("4:4:4", "4:2:0"):
+    if subsample not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError(f"unsupported subsample {subsample!r}")
     h, w = pixels.shape[:2]
     if h == 0 or w == 0:
@@ -233,6 +234,11 @@ def encode_jpeg(
             cb = _pad_to(cb, h2, w2).reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
             cr = _pad_to(cr, h2, w2).reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "4:2:2":
+            w2 = (w + 1) // 2 * 2
+            cb = _pad_to(cb, h, w2).reshape(h, w2 // 2, 2).mean(2)
+            cr = _pad_to(cr, h, w2).reshape(h, w2 // 2, 2).mean(2)
+            samp = [(2, 1), (1, 1), (1, 1)]
         else:
             samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
