@@ -453,12 +453,18 @@ def test_streaming_session_windows_match_batch(spark, transcripts_path, tmp_path
     # cross-formulation: per-key session counts equal the lag-form with
     # the session_window boundary convention (new session at gap >= g),
     # restricted to keys with no withheld (still-open) session
+    # microsecond-exact gap: cast('long') truncates to whole seconds,
+    # which diverges from session_window's exact boundaries when a gap
+    # straddles the threshold inside one second (same fix as the batch
+    # sessionization gate query)
     w = Window.partitionBy("conv_id").orderBy("ts")
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
     lag_form = (
         batch.withColumn(
             "new_s",
-            F.when(gap_s.isNull() | (gap_s >= 300), 1).otherwise(0),
+            F.when(gap_us.isNull() | (gap_us >= 300_000_000), 1).otherwise(0),
         )
         .groupBy("conv_id")
         .agg(F.sum("new_s").alias("n_sessions"))
@@ -509,8 +515,14 @@ def test_streaming_exact_dedup_bounded_state(spark, transcripts_path, tmp_path):
 
     out = spark.sql("SELECT conv_id, turn_idx FROM dedup_out").toPandas()
     assert not out.duplicated(["conv_id", "turn_idx"]).any()
+    # oracle from the WRITTEN files, not a re-evaluation of the
+    # nondeterministic limit() plan (a parallel scan may pick a
+    # different row subset on the second evaluation)
     batch_keys = (
-        src.select("conv_id", "turn_idx").distinct().toPandas()
+        spark.read.parquet(stream_dir)
+        .select("conv_id", "turn_idx")
+        .distinct()
+        .toPandas()
     )
     assert len(out) == len(batch_keys)
     merged = out.merge(batch_keys, how="outer", indicator=True)
@@ -520,9 +532,9 @@ def test_streaming_exact_dedup_bounded_state(spark, transcripts_path, tmp_path):
 def test_streaming_exact_dedup_content_hash_null_guard(spark, tmp_path):
     """content_cols path: all-null content rows are duplicates of each
     other, and a row whose text is a literal sentinel-lookalike string
-    stays DISTINCT from a true-NULL row (xxhash64 alone ignores null
-    inputs, and an in-band sentinel would collide with its own literal
-    — the null-flag is hashed out-of-band instead)."""
+    stays DISTINCT from a true-NULL row (an in-band sentinel would
+    collide with its own literal — the 128-bit md5 key hashes an
+    out-of-band null flag plus a length-prefixed value instead)."""
     import pandas as pd
 
     from tgdigest_spark.streaming.dedup_stream import exact_dedup_stream
@@ -556,8 +568,38 @@ def test_streaming_exact_dedup_content_hash_null_guard(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    assert not q.isActive
     out = spark.sql("SELECT * FROM content_out").toPandas()
     texts = set(out["text"].where(out["text"].notna(), "<NULL>"))
     # one NULL survivor, the sentinel-lookalike string, and "same"
     assert len(out) == 3 and texts == {"<NULL>", "\x00null", "same"}
     assert "_content_key" not in out.columns
+
+
+def test_to_instant_monotone_across_dst_gap(spark):
+    """to_instant (the streaming modules' NTZ->TIMESTAMP rebuild) stays
+    monotone across a spring-forward gap under a DST session timezone,
+    where the bare cast idiom relabels wall times non-monotonically."""
+    import pandas as pd
+
+    from tgdigest_spark.functions.timeutil import to_instant
+
+    # wall times straddling the US 2024 spring-forward gap (02:00->03:00)
+    walls = ["2024-03-10 01:30:00", "2024-03-10 02:15:00",
+             "2024-03-10 02:45:00", "2024-03-10 03:10:00"]
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        df = spark.createDataFrame(
+            [(s,) for s in walls], "s string"
+        ).select(F.to_timestamp_ntz("s").alias("ts"))  # tz-free parse
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        inst = df.select(
+            F.unix_micros(to_instant("ts", "timestamp_ntz")).alias("us")
+        ).toPandas()["us"]
+        assert list(inst) == sorted(inst) and inst.is_unique
+        # spacing preserved exactly: 45, 30, 25 minutes
+        diffs = inst.diff().dropna().tolist()
+        assert diffs == [45 * 60e6, 30 * 60e6, 25 * 60e6]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

@@ -87,6 +87,19 @@ def from_epoch_us(expr: Column, dtype: str) -> Column:
     return expr.cast("long")
 
 
+def to_instant(col: str | Column, dtype: str) -> Column:
+    """Rebuild a temporal column as a true TIMESTAMP (instant) whose
+    ``unix_micros`` equals :func:`epoch_us` of the source — the
+    timezone-SAFE replacement for ``cast(ntz AS TIMESTAMP)``, which
+    relabels wall times through the session timezone and is
+    non-monotone inside DST gaps. Streaming operators use this to
+    satisfy Spark's watermark TIMESTAMP requirement without inheriting
+    session-timezone semantics."""
+    if dtype == "timestamp":
+        return F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros(epoch_us(col, dtype))
+
+
 def epoch_sec(col: str | Column, dtype: str) -> Column:
     """Whole-second twin of :func:`epoch_us` (fractional seconds
     truncated toward -inf, matching ``epoch // 1e6`` on non-negative

@@ -39,20 +39,37 @@ def exact_dedup_stream(
     arriving within ``watermark`` of each other; first arrival wins.
 
     Exactly one of ``keys`` / ``content_cols`` must be given. With
-    ``content_cols`` the key is xxhash64 over (null-flag, coalesced
-    value) pairs: xxhash64 IGNORES null inputs, and any in-band
+    ``content_cols`` the key is a 128-bit md5 (matching the batch
+    exact-dedup key width — a bare 64-bit hash would silently merge
+    distinct contents at birthday scale) over an INJECTIVE encoding of
+    the columns: per column an out-of-band null flag (any in-band
     sentinel can collide with a literal occurrence of the sentinel
-    string, so the null-ness is hashed as its own out-of-band field.
+    string), a length prefix, and the value — length-prefixing makes
+    the concatenation unambiguous even when values contain the field
+    separator.
     """
     if (keys is None) == (content_cols is None):
         raise ValueError("pass exactly one of keys= or content_cols=")
-    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    from ..functions.timeutil import to_instant
+
+    stream_df = stream_df.withColumn(
+        ts_col, to_instant(ts_col, dict(stream_df.dtypes)[ts_col])
+    )
     if content_cols is not None:
-        fields = []
+        if _CONTENT_KEY in stream_df.columns:
+            raise ValueError(
+                f"input already has a {_CONTENT_KEY!r} column; rename it "
+                "or dedup on keys= instead"
+            )
+        parts = []
         for c in content_cols:
-            fields.append(F.col(c).isNull().cast("string"))
-            fields.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
-        stream_df = stream_df.withColumn(_CONTENT_KEY, F.xxhash64(*fields))
+            vc = F.coalesce(F.col(c).cast("string"), F.lit(""))
+            parts.append(F.col(c).isNull().cast("string"))
+            parts.append(F.length(vc).cast("string"))
+            parts.append(vc)
+        stream_df = stream_df.withColumn(
+            _CONTENT_KEY, F.md5(F.concat_ws("\x1f", *parts))
+        )
         keys = [_CONTENT_KEY]
     out = stream_df.withWatermark(ts_col, watermark)
     out = out.dropDuplicatesWithinWatermark(list(keys))

@@ -23,9 +23,13 @@ def windowed_turn_stats(
     ts_col: str = "ts",
 ) -> DataFrame:
     """stream → watermarked per-window per-role aggregates (append-safe)."""
-    # watermarks require TIMESTAMP (NTZ is rejected); session TZ is UTC
-    # so the cast is an identity relabel
-    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    # watermarks require TIMESTAMP (NTZ is rejected); rebuild it
+    # timezone-safely (see session_turn_stats)
+    from ..functions.timeutil import to_instant
+
+    stream_df = stream_df.withColumn(
+        ts_col, to_instant(ts_col, dict(stream_df.dtypes)[ts_col])
+    )
     win = (
         F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     )
@@ -72,9 +76,15 @@ def session_turn_stats(
     watermark horizon, keys partition the state store, and merging is
     done by the SessionWindowStateStore without any per-row Python.
     """
-    # watermarks require TIMESTAMP (NTZ rejected); session TZ is UTC so
-    # the cast is an identity relabel
-    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    # watermarks require TIMESTAMP (NTZ rejected); to_instant rebuilds
+    # it timezone-safely (a bare cast relabels wall times through the
+    # session timezone and is non-monotone inside DST gaps, which can
+    # reorder events across a session boundary)
+    from ..functions.timeutil import to_instant
+
+    stream_df = stream_df.withColumn(
+        ts_col, to_instant(ts_col, dict(stream_df.dtypes)[ts_col])
+    )
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("sess"), key)
