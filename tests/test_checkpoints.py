@@ -404,9 +404,12 @@ def test_streaming_session_windows_match_batch(spark, transcripts_path, tmp_path
     )
     assert len(out) > 0
 
-    batch = spark.read.parquet(stream_dir).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    # batch oracle must rebuild the TIMESTAMP the same tz-safe way the
+    # streaming operator does, or the parity claim only holds under UTC
+    from tgdigest_spark.functions.timeutil import to_instant_of
+
+    batch_raw = spark.read.parquet(stream_dir)
+    batch = batch_raw.withColumn("ts", to_instant_of(batch_raw, "ts"))
     exact = (
         batch.groupBy(
             F.session_window("ts", "5 minutes").alias("sess"), "conv_id"
@@ -603,3 +606,18 @@ def test_to_instant_monotone_across_dst_gap(spark):
         assert diffs == [45 * 60e6, 30 * 60e6, 25 * 60e6]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_to_instant_rejects_string_ts(spark):
+    """to_instant raises on unsupported dtypes instead of silently
+    nulling every event time (the watermark would never advance)."""
+    import pytest as _pytest
+
+    from tgdigest_spark.functions.timeutil import to_instant
+    from tgdigest_spark.streaming.dedup_stream import exact_dedup_stream
+
+    with _pytest.raises(ValueError, match="unsupported ts dtype"):
+        to_instant("ts", "string")
+    df = spark.createDataFrame([("a", "2024-01-01 00:00:00")], "k string, ts string")
+    with _pytest.raises(ValueError, match="unsupported ts dtype"):
+        exact_dedup_stream(df, keys=["k"])

@@ -87,6 +87,10 @@ def from_epoch_us(expr: Column, dtype: str) -> Column:
     return expr.cast("long")
 
 
+_INSTANT_DTYPES = ("timestamp", "timestamp_ntz", "date",
+                   "tinyint", "smallint", "int", "bigint", "long")
+
+
 def to_instant(col: str | Column, dtype: str) -> Column:
     """Rebuild a temporal column as a true TIMESTAMP (instant) whose
     ``unix_micros`` equals :func:`epoch_us` of the source — the
@@ -94,10 +98,27 @@ def to_instant(col: str | Column, dtype: str) -> Column:
     relabels wall times through the session timezone and is
     non-monotone inside DST gaps. Streaming operators use this to
     satisfy Spark's watermark TIMESTAMP requirement without inheriting
-    session-timezone semantics."""
+    session-timezone semantics.
+
+    Integral columns follow the engine-wide integer-time convention:
+    epoch MICROSECONDS (see :func:`epoch_us`), not the epoch seconds
+    ``cast(long AS TIMESTAMP)`` would read. Unsupported dtypes
+    (e.g. string) raise instead of silently producing NULL event
+    times — parse strings upstream with ``to_timestamp_ntz``."""
+    if dtype not in _INSTANT_DTYPES:
+        raise ValueError(
+            f"to_instant: unsupported ts dtype {dtype!r}; parse to a "
+            "timestamp/timestamp_ntz column upstream"
+        )
     if dtype == "timestamp":
         return F.col(col) if isinstance(col, str) else col
     return F.timestamp_micros(epoch_us(col, dtype))
+
+
+def to_instant_of(df: DataFrame, col: str) -> Column:
+    """:func:`to_instant` with the dtype looked up from ``df`` (the
+    ``*_of`` convention of epoch_us_of/epoch_sec_of)."""
+    return to_instant(col, dict(df.dtypes)[col])
 
 
 def epoch_sec(col: str | Column, dtype: str) -> Column:

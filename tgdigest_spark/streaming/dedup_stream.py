@@ -50,11 +50,11 @@ def exact_dedup_stream(
     """
     if (keys is None) == (content_cols is None):
         raise ValueError("pass exactly one of keys= or content_cols=")
-    from ..functions.timeutil import to_instant
+    from ..functions.timeutil import to_instant_of
 
-    stream_df = stream_df.withColumn(
-        ts_col, to_instant(ts_col, dict(stream_df.dtypes)[ts_col])
-    )
+    # tz-safe TIMESTAMP rebuild; integral ts = epoch MICROSECONDS
+    # (engine convention), string ts raises — parse upstream
+    stream_df = stream_df.withColumn(ts_col, to_instant_of(stream_df, ts_col))
     if content_cols is not None:
         if _CONTENT_KEY in stream_df.columns:
             raise ValueError(

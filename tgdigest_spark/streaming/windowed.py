@@ -24,12 +24,11 @@ def windowed_turn_stats(
 ) -> DataFrame:
     """stream → watermarked per-window per-role aggregates (append-safe)."""
     # watermarks require TIMESTAMP (NTZ is rejected); rebuild it
-    # timezone-safely (see session_turn_stats)
-    from ..functions.timeutil import to_instant
+    # timezone-safely (see session_turn_stats); integral ts = epoch
+    # MICROSECONDS (engine convention), string ts raises
+    from ..functions.timeutil import to_instant_of
 
-    stream_df = stream_df.withColumn(
-        ts_col, to_instant(ts_col, dict(stream_df.dtypes)[ts_col])
-    )
+    stream_df = stream_df.withColumn(ts_col, to_instant_of(stream_df, ts_col))
     win = (
         F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     )
@@ -79,12 +78,11 @@ def session_turn_stats(
     # watermarks require TIMESTAMP (NTZ rejected); to_instant rebuilds
     # it timezone-safely (a bare cast relabels wall times through the
     # session timezone and is non-monotone inside DST gaps, which can
-    # reorder events across a session boundary)
-    from ..functions.timeutil import to_instant
+    # reorder events across a session boundary); integral ts = epoch
+    # MICROSECONDS (engine convention), string ts raises
+    from ..functions.timeutil import to_instant_of
 
-    stream_df = stream_df.withColumn(
-        ts_col, to_instant(ts_col, dict(stream_df.dtypes)[ts_col])
-    )
+    stream_df = stream_df.withColumn(ts_col, to_instant_of(stream_df, ts_col))
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("sess"), key)
