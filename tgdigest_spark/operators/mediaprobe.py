@@ -1,0 +1,264 @@
+"""Media metadata probing — the real first stage of a multimodal
+pipeline at scale: extract typed metadata (dimensions, duration,
+sample rate, codec) from binary payloads WITHOUT decoding samples.
+
+Every format here is probed for real with pure stdlib/numpy parsing:
+
+- netpbm P5/P6: header tokens → width/height
+- PNG: IHDR → width/height
+- JPEG: marker walk to SOF → width/height (works for progressive
+  streams too — metadata needs no entropy decode, so this probes
+  files the baseline decoder refuses)
+- RIFF/WAVE: fmt/data chunks → sample_rate, duration
+- MP4/ISO-BMFF: box walk → mvhd duration/timescale, trak count,
+  ftyp major brand (frame DECODE still requires codec libraries and
+  stays behind operators/multimodal.real_decode's loud stub — but
+  the metadata layer is plain box structure, parsed here for real)
+
+Spark side: ``probe_media`` runs the probe map-side over
+``mapInPandas`` — payload bytes never shuffle; the output is a
+compact typed metadata row per asset (the same never-move-payloads
+contract as operators/multimodal.extract_features).
+
+Structurally broken payloads raise ValueError; ``probe_media``
+surfaces per-row errors in an ``error`` column instead of failing the
+batch (quarantine-friendly, like the JSONL source).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def probe_netpbm(payload: bytes) -> dict:
+    """P5/P6 header → dims (same tokenizer contract as decode_ppm)."""
+    from .multimodal import _netpbm_header
+
+    magic, w, h, _maxval, _off = _netpbm_header(payload)
+    return {"format": "ppm" if magic == b"P6" else "pgm",
+            "width": w, "height": h}
+
+
+def probe_png(payload: bytes) -> dict:
+    if payload[:8] != b"\x89PNG\r\n\x1a\n" or len(payload) < 24:
+        raise ValueError("not a PNG payload")
+    length, typ = struct.unpack_from(">I4s", payload, 8)
+    if typ != b"IHDR" or length < 8:
+        raise ValueError("PNG missing IHDR")
+    w, h = struct.unpack_from(">II", payload, 16)
+    return {"format": "png", "width": int(w), "height": int(h)}
+
+
+def probe_jpeg(payload: bytes) -> dict:
+    """Marker walk to the first SOFn: dims without entropy decode —
+    probes progressive/arithmetic streams the baseline decoder
+    refuses (metadata is frame-header structure only)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    _SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        if pos + 2 > len(payload):
+            break
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        if marker in _SOF:
+            if seglen < 7:
+                raise ValueError("truncated SOF segment")
+            _prec, h, w = struct.unpack_from(">BHH", payload, pos + 2)
+            return {"format": "jpeg", "width": int(w), "height": int(h)}
+        pos += seglen
+    raise ValueError("JPEG stream has no frame header")
+
+
+def probe_wav(payload: bytes) -> dict:
+    """fmt + data chunk sizes → sample rate and duration (no sample
+    decode; mirrors decode_wav's chunk-walk contract)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    data_len = None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body_start = pos + 8
+        if body_start + size > len(payload):
+            raise ValueError("truncated WAVE chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            _fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, body_start
+            )
+        elif cid == b"data":
+            data_len = size
+        pos = body_start + size + (size & 1)  # chunks are 2-byte aligned
+    if rate is None or data_len is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    frame_bytes = max(1, channels * (bits // 8))
+    return {
+        "format": "wav",
+        "sample_rate": int(rate),
+        "duration_s": float(data_len // frame_bytes) / float(rate),
+    }
+
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for ISO-BMFF boxes."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        size, typ = struct.unpack_from(">I4s", payload, pos)
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = struct.unpack_from(">Q", payload, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("bad MP4 box size")
+        yield typ, body, pos + size
+        pos += size
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO-BMFF box walk: ftyp brand, mvhd duration/timescale, trak
+    count — real structural metadata without any codec (T.81-style
+    frame decode is a separate, honestly-stubbed concern)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (ISO-BMFF) payload")
+    brand = payload[8:12].decode("ascii", "replace").strip()
+    duration_s = None
+    n_tracks = 0
+    for typ, body, box_end in _walk_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in _walk_boxes(payload, body, box_end):
+            if t2 == b"mvhd":
+                if b2 >= e2:
+                    raise ValueError("truncated mvhd box")
+                ver = payload[b2]
+                if ver == 1:
+                    if b2 + 28 > e2:
+                        raise ValueError("truncated mvhd v1 box")
+                    timescale = struct.unpack_from(">I", payload, b2 + 20)[0]
+                    duration = struct.unpack_from(">Q", payload, b2 + 24)[0]
+                else:
+                    if b2 + 20 > e2:
+                        raise ValueError("truncated mvhd v0 box")
+                    timescale = struct.unpack_from(">I", payload, b2 + 12)[0]
+                    duration = struct.unpack_from(">I", payload, b2 + 16)[0]
+                if timescale == 0:
+                    raise ValueError("mvhd timescale is zero")
+                duration_s = duration / timescale
+            elif t2 == b"trak":
+                n_tracks += 1
+    if duration_s is None:
+        raise ValueError("MP4 has no mvhd box")
+    return {
+        "format": f"mp4/{brand}",
+        "duration_s": float(duration_s),
+        "n_tracks": int(n_tracks),
+    }
+
+
+def probe_payload(payload: bytes) -> dict:
+    """Dispatch on magic bytes; ValueError on unknown/broken payloads."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("payload too short to probe")
+    if payload[:2] in (b"P5", b"P6"):
+        return probe_netpbm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return probe_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return probe_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return probe_wav(payload)
+    if payload[4:8] == b"ftyp":
+        return probe_mp4(payload)
+    raise ValueError("unrecognized media payload")
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """media(asset_id, kind, payload, ...) → one typed metadata row per
+    asset (PROBE_SCHEMA). Probing runs map-side over mapInPandas —
+    payload bytes never shuffle — and per-row failures land in the
+    ``error`` column instead of failing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                base = {
+                    "asset_id": aid,
+                    "kind": kind,
+                    "format": None,
+                    "width": None,
+                    "height": None,
+                    "duration_s": None,
+                    "sample_rate": None,
+                    "n_tracks": None,
+                    "n_bytes": 0 if payload is None else len(payload),
+                    "error": None,
+                }
+                try:
+                    base.update(
+                        probe_payload(
+                            None if payload is None else bytes(payload)
+                        )
+                    )
+                except (ValueError, NotImplementedError) as ex:
+                    base["error"] = str(ex)
+                rows.append(base)
+            out = pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA])
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["n_tracks"] = out["n_tracks"].astype("Int32")
+            yield out
+
+    return media.select("asset_id", "kind", "payload").mapInPandas(
+        run, PROBE_SCHEMA
+    )

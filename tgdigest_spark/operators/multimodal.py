@@ -76,21 +76,16 @@ STRICT_DECODE = False
 FEATURE_DIM = 16
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Pure-numpy netpbm decoder for binary PPM (P6, RGB) and PGM (P5,
-    grayscale): header tokens (with ``#`` comments) then raw samples.
-    Returns (height, width, 3) for P6 or (height, width) for P5 —
-    uint8 for maxval < 256, uint16 (big-endian per spec) otherwise.
-    No codec library needed; this makes the decode path REAL for one
-    image format while jpeg/png stay behind the strict-mode guard."""
+def _netpbm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Tokenize a binary netpbm header: magic, width, height, maxval;
+    ``#`` starts a comment to end-of-line; ONE whitespace byte
+    separates the maxval token from the raster. Returns (magic, w, h,
+    maxval, raster_offset). Shared by decode_ppm and mediaprobe."""
     if payload is None or len(payload) < 2 or payload[:1] != b"P":
         raise ValueError("not a netpbm payload")
     magic = payload[:2]
     if magic not in (b"P5", b"P6"):
         raise ValueError(f"unsupported netpbm magic {magic!r} (binary P5/P6 only)")
-    # tokenize the header: magic, width, height, maxval; '#' starts a
-    # comment to end-of-line; ONE whitespace byte separates the maxval
-    # token from the raster
     tokens, i, n = [], 2, len(payload)
     while len(tokens) < 3 and i < n:
         c = payload[i : i + 1]
@@ -111,6 +106,17 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     width, height, maxval = (int(t) for t in tokens)
     if not (0 < maxval < 65536):
         raise ValueError(f"bad netpbm maxval {maxval}")
+    return magic, width, height, maxval, i
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy netpbm decoder for binary PPM (P6, RGB) and PGM (P5,
+    grayscale): header tokens (with ``#`` comments) then raw samples.
+    Returns (height, width, 3) for P6 or (height, width) for P5 —
+    uint8 for maxval < 256, uint16 (big-endian per spec) otherwise.
+    No codec library needed; this makes the decode path REAL for one
+    image format while jpeg/png stay behind the strict-mode guard."""
+    magic, width, height, maxval, i = _netpbm_header(payload)
     channels = 3 if magic == b"P6" else 1
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
     count = width * height * channels
