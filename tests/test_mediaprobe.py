@@ -149,3 +149,78 @@ def test_probe_media_spark(spark):
     )
     assert out[4]["error"] is not None and out[4]["format"] is None
     assert all(out[i]["error"] is None for i in range(4))
+
+
+def test_probe_mp4_review_findings():
+    """mvhd v1 bounds off-by-4, and the all-ones 'duration unknown'
+    sentinel (fragmented MP4 / DASH) reported as None."""
+    # v1 mvhd whose body ends at +28: duration read would overrun
+    short_v1 = _box(b"ftyp", b"mp42" + bytes(4)) + _box(
+        b"moov",
+        _box(b"mvhd", bytes([1, 0, 0, 0]) + struct.pack(">QQI", 0, 0, 1000))
+        + _box(b"trak", b""),
+    )
+    with pytest.raises(ValueError, match="mvhd"):
+        probe_mp4(short_v1)
+    # unknown-duration sentinels -> duration_s None, no error
+    for ver, dur in ((0, 2**32 - 1), (1, 2**64 - 1)):
+        p = _box(b"ftyp", b"mp42" + bytes(4)) + _box(
+            b"moov", _mvhd(1000, dur, version=ver) + _box(b"trak", b"")
+        )
+        got = probe_mp4(p)
+        assert got["duration_s"] is None and got["n_tracks"] == 1
+
+
+def test_probe_wav_byte_rate_duration():
+    """Duration uses the fmt byte_rate, so compressed / sub-byte-sample
+    formats (bits//8 == 0) report correctly."""
+    # hand-build an IMA-ADPCM-ish WAV: fmt=17, 1ch, 8000Hz,
+    # byte_rate=4000, bits=4, 4000 data bytes -> 1.0s
+    fmt = struct.pack("<HHIIHH", 17, 1, 8000, 4000, 256, 4)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4000) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4000) + b"\x00" * 4000
+    )
+    got = probe_payload(wav)
+    assert got["duration_s"] == pytest.approx(1.0)
+    # zero byte_rate refuses
+    bad = wav.replace(struct.pack("<HHIIHH", 17, 1, 8000, 4000, 256, 4),
+                      struct.pack("<HHIIHH", 17, 1, 8000, 0, 256, 4))
+    with pytest.raises(ValueError, match="zero rate"):
+        probe_payload(bad)
+
+
+def test_probe_bounds_and_small_payloads(spark):
+    """Out-of-Int32 dims are quarantined per row (never a batch
+    failure), zero dims refuse, and a 10-byte 1x1 P5 probes fine."""
+    from tgdigest_spark.operators.mediaprobe import probe_media, probe_png
+    from tgdigest_spark.operators.multimodal import MEDIA_SCHEMA
+
+    tiny_p5 = b"P5\n1 1\n9\n\x07"  # 10 bytes, decodable
+    assert probe_payload(tiny_p5) == {"format": "pgm", "width": 1, "height": 1}
+
+    huge_png = bytearray(encode_png(np.zeros((2, 2, 3), np.uint8)))
+    huge_png[16:20] = b"\xff\xff\xff\xff"  # IHDR width = 2^32-1
+    with pytest.raises(ValueError, match="dimensions"):
+        probe_png(bytes(huge_png))
+    zero_png = bytearray(encode_png(np.zeros((2, 2, 3), np.uint8)))
+    zero_png[16:20] = struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="dimensions"):
+        probe_png(bytes(zero_png))
+
+    # batch with a huge-dims PNG: that row quarantines, others survive
+    meta = {"width": None, "height": None, "duration_s": None,
+            "sample_rate": None, "codec": None}
+    rows = [
+        (0, "image", bytearray(tiny_p5), meta),
+        (1, "image", bytearray(bytes(huge_png)), meta),
+    ]
+    out = {
+        r["asset_id"]: r.asDict()
+        for r in probe_media(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out[0]["error"] is None and out[0]["width"] == 1
+    assert out[1]["error"] is not None and out[1]["width"] is None

@@ -62,17 +62,28 @@ def probe_netpbm(payload: bytes) -> dict:
     from .multimodal import _netpbm_header
 
     magic, w, h, _maxval, _off = _netpbm_header(payload)
+    if not (0 < w < 2**31 and 0 < h < 2**31):
+        raise ValueError("bad netpbm dimensions")
     return {"format": "ppm" if magic == b"P6" else "pgm",
             "width": w, "height": h}
 
 
 def probe_png(payload: bytes) -> dict:
+    """IHDR parse only — deliberately DUPLICATED from decode_png's
+    interleaved chunk+CRC walk: the probe is a strict, cheap validator
+    for the quarantine stage and must not pay (or depend on) the full
+    decode path."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n" or len(payload) < 24:
         raise ValueError("not a PNG payload")
     length, typ = struct.unpack_from(">I4s", payload, 8)
     if typ != b"IHDR" or length < 8:
         raise ValueError("PNG missing IHDR")
     w, h = struct.unpack_from(">II", payload, 16)
+    # spec caps dims at 2^31-1; zero dims are structurally corrupt
+    # (decode_png rejects them too) — and the bound keeps the Int32
+    # output column safe
+    if not (0 < w < 2**31 and 0 < h < 2**31):
+        raise ValueError("bad PNG dimensions")
     return {"format": "png", "width": int(w), "height": int(h)}
 
 
@@ -103,18 +114,24 @@ def probe_jpeg(payload: bytes) -> dict:
             if seglen < 7:
                 raise ValueError("truncated SOF segment")
             _prec, h, w = struct.unpack_from(">BHH", payload, pos + 2)
+            if w == 0 or h == 0:
+                raise ValueError("bad JPEG dimensions")
             return {"format": "jpeg", "width": int(w), "height": int(h)}
         pos += seglen
     raise ValueError("JPEG stream has no frame header")
 
 
 def probe_wav(payload: bytes) -> dict:
-    """fmt + data chunk sizes → sample rate and duration (no sample
-    decode; mirrors decode_wav's chunk-walk contract)."""
+    """fmt + data chunk sizes → sample rate and duration. Duration is
+    data_len / byte_rate — correct for ANY audio_format including
+    compressed and sub-byte-sample codecs, where a channels×(bits/8)
+    frame size would be wrong or zero. Deliberately STRICTER than
+    decode_wav's walk (raises on any overrunning chunk, not just
+    fmt/data): the probe is the quarantine-stage validator."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAVE payload")
     pos = 12
-    rate = channels = bits = None
+    rate = byte_rate = None
     data_len = None
     while pos + 8 <= len(payload):
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
@@ -124,7 +141,7 @@ def probe_wav(payload: bytes) -> dict:
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("truncated fmt chunk")
-            _fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+            _fmt, _ch, rate, byte_rate, _ba, _bits = struct.unpack_from(
                 "<HHIIHH", payload, body_start
             )
         elif cid == b"data":
@@ -132,11 +149,14 @@ def probe_wav(payload: bytes) -> dict:
         pos = body_start + size + (size & 1)  # chunks are 2-byte aligned
     if rate is None or data_len is None:
         raise ValueError("WAVE missing fmt or data chunk")
-    frame_bytes = max(1, channels * (bits // 8))
+    if rate == 0 or byte_rate == 0:
+        raise ValueError("bad WAVE fmt chunk (zero rate)")
+    if rate >= 2**31:
+        raise ValueError("bad WAVE sample rate")
     return {
         "format": "wav",
         "sample_rate": int(rate),
-        "duration_s": float(data_len // frame_bytes) / float(rate),
+        "duration_s": float(data_len) / float(byte_rate),
     }
 
 
@@ -169,6 +189,7 @@ def probe_mp4(payload: bytes) -> dict:
         raise ValueError("not an MP4 (ISO-BMFF) payload")
     brand = payload[8:12].decode("ascii", "replace").strip()
     duration_s = None
+    saw_mvhd = False
     n_tracks = 0
     for typ, body, box_end in _walk_boxes(payload, 0, len(payload)):
         if typ != b"moov":
@@ -179,32 +200,41 @@ def probe_mp4(payload: bytes) -> dict:
                     raise ValueError("truncated mvhd box")
                 ver = payload[b2]
                 if ver == 1:
-                    if b2 + 28 > e2:
+                    if b2 + 32 > e2:  # duration is the 8 bytes ending at +32
                         raise ValueError("truncated mvhd v1 box")
                     timescale = struct.unpack_from(">I", payload, b2 + 20)[0]
                     duration = struct.unpack_from(">Q", payload, b2 + 24)[0]
+                    unknown = duration == 2**64 - 1
                 else:
                     if b2 + 20 > e2:
                         raise ValueError("truncated mvhd v0 box")
                     timescale = struct.unpack_from(">I", payload, b2 + 12)[0]
                     duration = struct.unpack_from(">I", payload, b2 + 16)[0]
+                    unknown = duration == 2**32 - 1
                 if timescale == 0:
                     raise ValueError("mvhd timescale is zero")
-                duration_s = duration / timescale
+                # all-ones duration is the ISO-BMFF 'unspecified'
+                # sentinel (fragmented MP4 / DASH init segments carry
+                # the real duration in mehd/moof) — report None, not
+                # a ~49,710-day number
+                saw_mvhd = True
+                duration_s = None if unknown else duration / timescale
             elif t2 == b"trak":
                 n_tracks += 1
-    if duration_s is None:
+    if not saw_mvhd:
         raise ValueError("MP4 has no mvhd box")
     return {
         "format": f"mp4/{brand}",
-        "duration_s": float(duration_s),
+        "duration_s": None if duration_s is None else float(duration_s),
         "n_tracks": int(n_tracks),
     }
 
 
 def probe_payload(payload: bytes) -> dict:
-    """Dispatch on magic bytes; ValueError on unknown/broken payloads."""
-    if payload is None or len(payload) < 12:
+    """Dispatch on magic bytes; ValueError on unknown/broken payloads.
+    Each branch carries its own length guard — a blanket floor would
+    reject small valid payloads (a 1x1 P5 is 10 bytes)."""
+    if payload is None or len(payload) < 2:
         raise ValueError("payload too short to probe")
     if payload[:2] in (b"P5", b"P6"):
         return probe_netpbm(payload)
@@ -212,10 +242,11 @@ def probe_payload(payload: bytes) -> dict:
         return probe_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return probe_jpeg(payload)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return probe_wav(payload)
-    if payload[4:8] == b"ftyp":
-        return probe_mp4(payload)
+    if len(payload) >= 12:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return probe_wav(payload)
+        if payload[4:8] == b"ftyp":
+            return probe_mp4(payload)
     raise ValueError("unrecognized media payload")
 
 
@@ -249,8 +280,18 @@ def probe_media(media: DataFrame) -> DataFrame:
                             None if payload is None else bytes(payload)
                         )
                     )
+                    # quarantine guard: a value outside Int32 must land
+                    # in THIS row's error column, not blow up the whole
+                    # batch at the astype below
+                    for f in ("width", "height", "sample_rate", "n_tracks"):
+                        v = base[f]
+                        if v is not None and not (-(2**31) <= v < 2**31):
+                            raise ValueError(f"probed {f} out of range")
                 except (ValueError, NotImplementedError) as ex:
-                    base["error"] = str(ex)
+                    base = {**base, "error": str(ex), "format": None,
+                            "width": None, "height": None,
+                            "duration_s": None, "sample_rate": None,
+                            "n_tracks": None}
                 rows.append(base)
             out = pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA])
             out["width"] = out["width"].astype("Int32")
