@@ -505,6 +505,13 @@ def _decode_scan(payload, pos, frame, scan_tabs, qtables, htables, dri):
     ncomp = len(comps)
     if len(scan_tabs) != ncomp:
         raise NotImplementedError("non-interleaved JPEG scans not supported")
+    if ncomp == 1:
+        # T.81 A.2: a scan with exactly one component is NON-interleaved —
+        # the MCU is one data unit (ceil(w/8) x ceil(h/8) blocks in raster
+        # order) regardless of the frame's declared sampling factors.
+        # Grayscale streams that keep 2x2 Y sampling (e.g. chroma-dropped
+        # 4:2:0 sources) would otherwise mis-decode or raise (r5 advice).
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)

@@ -66,6 +66,18 @@ class FrequentItems(Sketch):
             vc = sv.value_counts()  # vectorized; index = distinct items
         else:
             w = np.asarray(counts, dtype=np.int64)[mask]
+            # Negative weights would silently corrupt n and the tracked
+            # err, voiding the one-sided est <= true <= est + err
+            # guarantee that guaranteed_heavy_hitters' exactness proof
+            # rests on (r5 advice). Zero weights carry no information
+            # but would squat a counter slot — drop them.
+            if (w < 0).any():
+                raise ValueError("negative weights are not allowed")
+            if (w == 0).any():
+                nz = w != 0
+                sv, w = sv[nz], w[nz]
+                if len(sv) == 0:
+                    return self
             vc = pd.Series(w).groupby(sv.to_numpy(), sort=False).sum()
         items, cnts = vc.index.to_numpy(), vc.to_numpy(dtype=np.int64)
         d = self.counts
