@@ -527,3 +527,58 @@ def test_grouped_frequent_items_bounds(spark, events):
     for r in got:
         true = exact.get((r["event_type"], r["item"]), 0)
         assert r["est_count"] <= true <= r["est_count"] + r["max_undercount"]
+
+
+def test_grouped_kmv_overlap_auto_dispatch_and_parity(spark, events):
+    """grouped_kmv_overlap_auto must pick the driver loop when the
+    (narrow-agg-counted) group cardinality fits max_groups and the
+    block-pair grid otherwise — with bit-identical matrices from both
+    dispatch outcomes (the asof_join_auto contract)."""
+    import pandas as pd
+
+    from tgdigest_spark.api import grouped_kmv_overlap_auto
+
+    small = grouped_kmv_overlap_auto(events, "event_type", "user_id", k=8)
+    assert small.dispatch_path == "driver"
+    small.release_cache()  # uniform no-op handle on the driver path
+    a = small.orderBy("group_a", "group_b").toPandas()
+
+    big = grouped_kmv_overlap_auto(
+        events, "event_type", "user_id", k=8, max_groups=2, block_size=2
+    )
+    assert big.dispatch_path == "grid"
+    release = big.release_cache  # capture before transforming
+    try:
+        b = big.orderBy("group_a", "group_b").toPandas()
+    finally:
+        release()
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_grouped_kmv_overlap_scope_releases_cache(spark, events):
+    """The context-manager form must unpersist the grid path's two
+    cached frames on exit even when the caller transforms the yielded
+    frame without capturing release_cache (the r5 advice leak)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.api import grouped_kmv_overlap_scope
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    with grouped_kmv_overlap_scope(
+        events, "event_type", "user_id", k=8, max_groups=1, block_size=2
+    ) as pairs:
+        assert pairs.dispatch_path == "grid"
+        # transform WITHOUT capturing release_cache — the scope already
+        # holds the handle
+        n = pairs.agg(F.count("jaccard_est").alias("n")).collect()[0]["n"]
+        assert n > 0
+        assert n_cached() >= before + 1  # blobs materialized+cached
+    deadline = time.time() + 10  # unpersist is async at the RDD layer
+    while n_cached() > before and time.time() < deadline:
+        time.sleep(0.2)
+    assert n_cached() == before

@@ -6,6 +6,8 @@ side; the exact paths double as oracles in tests.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
@@ -831,6 +833,81 @@ def grouped_kmv_overlap_distributed(
     result = cells.mapInPandas(_cell_pairs, _OVERLAP_SCHEMA)
     result.release_cache = lambda: (blobs.unpersist(), bundled.unpersist())
     return result
+
+
+def grouped_kmv_overlap_auto(
+    df: DataFrame,
+    group_col: Column | str,
+    value: Column | str,
+    k: int = 8192,
+    max_groups: int = 4096,
+    block_size: int = 256,
+) -> DataFrame:
+    """Pick the right overlap-matrix formulation automatically (the
+    ``asof_join_auto`` pattern): ONE narrow distinct-count over the
+    group column decides between the driver-loop form (cheapest for
+    |G| <= max_groups — a single bounded collect, no second shuffle)
+    and the block-pair grid (executor-side algebra, memory bounded
+    regardless of |G|). Both formulations share ``kmv_pair_row`` and
+    are bit-identical (pytest + cross-gated against one oracle).
+
+    When the grid path is taken the result is LAZY and carries the
+    ``release_cache`` handle (capture before transforming), plus a
+    ``dispatch_path`` attribute ('driver' | 'grid') on both paths for
+    observability. For guaranteed cleanup use
+    :func:`grouped_kmv_overlap_scope`.
+    """
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    vcol = F.col(value) if isinstance(value, str) else value
+    n_groups = (
+        df.select(
+            gcol.cast("string").alias("g"), vcol.cast("string").alias("v")
+        )
+        .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .agg(F.countDistinct("g").alias("n"))
+        .collect()[0]["n"]
+    )
+    if n_groups <= max_groups:
+        res = grouped_kmv_overlap(df, group_col, value, k, max_groups)
+        res.dispatch_path = "driver"
+        res.release_cache = lambda: None  # uniform call-site contract
+        return res
+    res = grouped_kmv_overlap_distributed(df, group_col, value, k, block_size)
+    res.dispatch_path = "grid"
+    return res
+
+
+@contextmanager
+def grouped_kmv_overlap_scope(
+    df: DataFrame,
+    group_col: Column | str,
+    value: Column | str,
+    k: int = 8192,
+    max_groups: int = 4096,
+    block_size: int = 256,
+):
+    """Context-manager form of :func:`grouped_kmv_overlap_auto` with
+    GUARANTEED cache cleanup (r5 advice: the bare ``release_cache``
+    Python attribute vanishes on the first transformation, so a caller
+    who transforms before capturing it leaks two persisted frames).
+    The handle is captured here BEFORE the caller sees the frame:
+
+        with grouped_kmv_overlap_scope(df, "g", "v") as pairs:
+            top = pairs.orderBy(F.desc("jaccard_est")).limit(10).collect()
+        # persisted blob/bundle frames are unpersisted on exit
+
+    Collect/materialize everything you need inside the block — the
+    frame is lazy, and after exit the grid path's cached inputs are
+    released (a post-exit action would silently recompute them).
+    """
+    res = grouped_kmv_overlap_auto(
+        df, group_col, value, k, max_groups, block_size
+    )
+    release = res.release_cache
+    try:
+        yield res
+    finally:
+        release()
 
 
 def grouped_distinct_kmv(
