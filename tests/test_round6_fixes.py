@@ -79,3 +79,17 @@ def test_frequent_items_bound_holds_with_weights():
     assert fi.err <= fi.n // (fi.k + 1)
     for it, est in fi.items():
         assert est <= true[it] <= est + fi.err
+
+
+def test_kmv_gate_k_scales_with_cardinality(spark):
+    """_kmv_gate_k (r5 advice): gate sketches derive k from the data so
+    the exact-regime oracle contract holds at any scale factor."""
+    from tgdigest_spark.driver_queries import _kmv_gate_k
+
+    tiny = spark.createDataFrame([("a",), ("b",), ("a",)], "v string")
+    assert _kmv_gate_k(tiny, "v") == 32768  # floor
+    big = spark.range(70_000).selectExpr("cast(id as string) v")
+    # 2 * 70k = 140k -> next power of two is 262144
+    assert _kmv_gate_k(big, "v") == 262144
+    # clamp: k_max wins even when 2n exceeds it
+    assert _kmv_gate_k(big, "v", k_max=65536) == 65536

@@ -995,6 +995,26 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_gate_k(df: DataFrame, col: str, k_min: int = 32768,
+                k_max: int = 1 << 22) -> int:
+    """Derive a KMV gate's k from the DATA: one narrow countDistinct,
+    then the smallest power-of-two >= 2x that cardinality (clamped to
+    [k_min, k_max]). The exact-regime gate oracles pin
+    kmv_exact_regime=TRUE and exact counts, which is only honest while
+    every sketch (and every pairwise merged union) stays sub-k — a
+    hardcoded k=32768 would make the rows fail BY CONSTRUCTION at sf1
+    (~100k distinct o_custkey) rather than on a real bug (r5 advice).
+    2x headroom keeps pairwise unions of overlapping subsets sub-k as
+    well; k_max (4.2M hashes, ~64 MB serialized) covers every sf this
+    sandbox can generate — a deployment beyond it should gate the
+    estimator regime instead (pytest carries those bound tests)."""
+    n = int(df.agg(F.countDistinct(col).alias("n")).collect()[0]["n"])
+    k = k_min
+    while k < 2 * n and k < k_max:
+        k *= 2
+    return k
+
+
 @register(
     "sketch_kmv_setops",
     """
@@ -1021,12 +1041,13 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-customer set algebra between the <=1996 and >=1997
     order eras via two KMV bottom-k sketches — union, intersection,
     difference and Jaccard, the queries HLL registers cannot answer.
-    k=32768 keeps both eras' cardinalities below k at every test scale
-    (sf0.1 has 14,999 distinct custkeys), so the sketches are in the
-    EXACT sub-k regime (flagged, falsifiable) and every emitted value
-    matches the exact SQL oracle; above k the same code degrades to the
-    published (k-1)/U_(k) / theta-framework estimators (bound-tested in
-    pytest, not gated).
+    k is DERIVED from the data (_kmv_gate_k: power-of-two >= 2x the
+    distinct o_custkey count, floor 32768), so both eras' sketches stay
+    in the EXACT sub-k regime (flagged, falsifiable) at ANY scale
+    factor and every emitted value matches the exact SQL oracle; with a
+    production-pinned k the same code degrades to the published
+    (k-1)/U_(k) / theta-framework estimators (bound-tested in pytest,
+    not gated).
 
     Scale shape: one scan per side + blob tree-merge; the driver does
     set algebra on two <= k-hash samples (<= 256 KB each) instead of
@@ -1040,10 +1061,11 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     od = load(spark, sf_dir, "orders")
+    k = _kmv_gate_k(od, "o_custkey")  # bounds both eras' cardinality
     a = od.where(F.year("o_orderdate") <= 1996)
     b = od.where(F.year("o_orderdate") >= 1997)
-    sa = kmv_sketch(a, "o_custkey", k=32768)
-    sb = kmv_sketch(b, "o_custkey", k=32768)
+    sa = kmv_sketch(a, "o_custkey", k=k)
+    sb = kmv_sketch(b, "o_custkey", k=k)
     exact_regime = (not sa.saturated) and (not sb.saturated)
     return spark.createDataFrame(
         [
@@ -1114,11 +1136,12 @@ def kmv_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     types via per-group KMV sketches (api.grouped_kmv_overlap): ONE
     scan of events builds one bottom-k sketch per type (map-side
     combine + one blob shuffle), then theta-framework set algebra per
-    unordered pair. k=32768 keeps every pair's MERGED union sub-k at
-    all test scales, so the emitted matrix is EXACT (flagged,
-    falsifiable) and the oracle is the plain distinct self-join; above
-    k the same code degrades to the published estimators
-    (bound-tested in pytest, not gated).
+    unordered pair. k is DERIVED from the data (_kmv_gate_k over global
+    distinct user_id — an upper bound on every pair's MERGED union), so
+    the emitted matrix is EXACT (flagged, falsifiable) at ANY scale
+    factor and the oracle is the plain distinct self-join; with a
+    production-pinned k the same code degrades to the published
+    estimators (bound-tested in pytest, not gated).
 
     The corpus use of the same operator: overlap between document
     SOURCES in content-hash space — how much of source A is also in
@@ -1131,7 +1154,9 @@ def kmv_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return _overlap_gate_frame(
-        grouped_kmv_overlap(ev, "event_type", "user_id", k=32768)
+        grouped_kmv_overlap(
+            ev, "event_type", "user_id", k=_kmv_gate_k(ev, "user_id")
+        )
     )
 
 
@@ -1155,7 +1180,8 @@ def kmv_overlap_distributed_event_types(
 
     ev = load(spark, sf_dir, "events")
     m = grouped_kmv_overlap_distributed(
-        ev, "event_type", "user_id", k=32768, block_size=2
+        ev, "event_type", "user_id", k=_kmv_gate_k(ev, "user_id"),
+        block_size=2,
     )
     release = m.release_cache  # capture before transforming
     out = _overlap_gate_frame(m)
