@@ -224,3 +224,48 @@ def test_probe_bounds_and_small_payloads(spark):
     }
     assert out[0]["error"] is None and out[0]["width"] == 1
     assert out[1]["error"] is not None and out[1]["width"] is None
+
+
+def test_synth_media_round_trip(spark):
+    """synth_media_table → probe_media recovers exactly the generator
+    contract's metadata for every format, and the injected broken rows
+    quarantine without failing the batch (round-6 gate machinery)."""
+    from tgdigest_spark.operators.mediaprobe import (
+        probe_media,
+        synth_media_table,
+        synth_payload,
+    )
+
+    ids = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["asset_id"]: r
+        for r in probe_media(synth_media_table(ids)).collect()
+    }
+    assert len(rows) == 300
+    for i in range(300):
+        r = rows[i]
+        kind, payload = synth_payload(i)
+        assert r["n_bytes"] == len(payload)
+        if i % 97 == 0:
+            assert r["error"] is not None and r["format"] is None
+            continue
+        assert r["error"] is None
+        k = i % 5
+        if k == 0:
+            assert r["format"] == "ppm"
+            assert (r["width"], r["height"]) == (i % 31 + 1, i % 17 + 1)
+        elif k == 1:
+            assert r["format"] == "png"
+            assert (r["width"], r["height"]) == (i % 63 + 1, i % 41 + 1)
+        elif k == 2:
+            assert r["format"] == "jpeg"
+            assert (r["width"], r["height"]) == (i % 200 + 1, i % 150 + 1)
+        elif k == 3:
+            assert r["format"] == "wav"
+            rate = (10000, 20000, 25000, 50000)[i % 4]
+            assert r["sample_rate"] == rate
+            assert r["duration_s"] == 32 * (i % 50 + 1) / (2 * rate)
+        else:
+            assert r["format"] == "mp4/isom"
+            assert r["n_tracks"] == i % 3
+            assert r["duration_s"] == ((i % 120000) + 1) / 1000.0

@@ -49,40 +49,62 @@ def test_temporal_gates_timezone_free(spark, sf001_dir, name):
 
 def test_gate_window_covers_priority_queries():
     """The driver's correctness gate checks registry[0:50] exactly
-    (r4 verdict). The explicit _GATE_ORDER must keep every
-    never/stale-gated query plus the freshly-changed temporal rows
-    inside that window, and only four-rounds-green untouched rows
-    outside it."""
+    (r4 verdict); the window ROTATES each round (r5 verdict #1): rows
+    parked last round must return, new rows and rows whose code
+    changed this round must be in-window, and only rows with a
+    driver-green row from LAST round may park."""
     from tgdigest_spark.driver_queries import _GATE_ORDER, REGISTRY
 
     assert list(REGISTRY) == _GATE_ORDER  # rebuild actually applied
     window = set(list(REGISTRY)[:50])
     must_gate = {
-        # never driver-gated before round 5
-        "ann_ivf_recall",
-        "checkpointed_quantiles",
-        "passage_overlap_summary",
-        "training_prep_pipeline",
-        "stratified_sample_counts",
-        "sequence_pack_stats",
-        # last gated r02/r03
-        "training_prep_exact_stages",
-        "multimodal_pipeline_stats",
-        "checkpoint_lineage_counts",
-        "decontaminate_counts",
-        "pii_scrub_stats",
-        "bpe_token_counts",
-        "repetition_stats_docs",
-        "train_val_split_counts",
-        # changed in round 5
-        "scd2_order_history",
-        "asof_join_orders",
-        "asof_intervals_orders",
-        "range_join_windows",
-        "interval_overlap_orders",
-        "sessionization",
+        # parked in round 5 (past position 50) — must return in r6
+        "set_ops_except",
+        "exact_quantiles_by_type",
+        "sql_api_agg",
+        "week_window_topk",
+        "mime_extension_counts",
+        "topk_per_metric",
+        "events_range_topk",
+        "heavy_hitters_exact",
+        "distinct_exact",
+        "first_event_per_user",
+        "pricing_summary",
+        "calendar_buckets",
+        "running_sum_cutoff",
+        "tail_window_min",
+        "point_lookup_neighbors",
+        "exact_dedup_docs",
+        "join_enrich_topn",
+        "neighbor_pairs",
+        "rollup_counts",
+        # new in round 6
+        "mediaprobe_stats",
+        # code changed in round 6 (derived KMV k, freq validation)
+        "sketch_kmv_setops",
+        "kmv_overlap_event_types",
+        "kmv_overlap_distributed_event_types",
+        "sketch_mg_heavy_hitters",
     }
     assert must_gate <= window, sorted(must_gate - window)
+    # every parked row was driver-green in round 5 (its row sat inside
+    # CORRECTNESS_r05.json's window) — pin the parked set explicitly
+    parked = set(list(REGISTRY)[50:])
+    r5_window_green = {
+        "ann_ivf_recall", "checkpointed_quantiles",
+        "passage_overlap_summary", "training_prep_pipeline",
+        "stratified_sample_counts", "sequence_pack_stats",
+        "training_prep_exact_stages", "checkpoint_lineage_counts",
+        "decontaminate_counts", "pii_scrub_stats", "bpe_token_counts",
+        "repetition_stats_docs", "train_val_split_counts",
+        "scd2_order_history", "asof_join_orders",
+        "asof_intervals_orders", "range_join_windows",
+        "interval_overlap_orders", "sessionization",
+        "sketch_tdigest_quantiles",
+    }
+    assert parked == r5_window_green, sorted(
+        parked.symmetric_difference(r5_window_green)
+    )
 
 
 def test_epoch_us_round_trip_and_tz_invariance(spark):

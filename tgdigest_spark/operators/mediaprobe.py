@@ -303,3 +303,120 @@ def probe_media(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "kind", "payload").mapInPandas(
         run, PROBE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic media synthesis — REAL byte streams (each one parses in
+# its reference tool family) whose metadata derives from the id alone,
+# so an oracle can recompute every probed field with plain arithmetic.
+# Used by the mediaprobe_stats driver gate and pytest; the production
+# entry point stays probe_media over whatever payloads arrive.
+# ---------------------------------------------------------------------------
+
+SYNTH_QUARANTINE_MOD = 97  # ids divisible by this get a broken payload
+
+
+def synth_payload(doc_id: int) -> tuple[str, bytes]:
+    """(kind, payload) for a document id — the generator contract the
+    oracle mirrors:
+
+    - id % 97 == 0        → 4 garbage bytes (quarantine row)
+    - else id % 5 == 0    → P6 ppm,  w=(id%31)+1, h=(id%17)+1
+    -      id % 5 == 1    → PNG,     w=(id%63)+1, h=(id%41)+1
+    -      id % 5 == 2    → JPEG,    w=(id%200)+1, h=(id%150)+1 (SOF0)
+    -      id % 5 == 3    → WAV,     rate in {10,20,25,50}kHz via
+                             id%4, mono 16-bit, data=32*((id%50)+1)
+                             bytes → duration integral in microseconds
+    -      id % 5 == 4    → MP4,     mvhd v0 timescale 1000, duration
+                             (id%120000)+1 ms, (id%3) empty traks
+
+    Every stream is structurally real: PNG chunks carry valid CRCs,
+    WAV chunk sizes are exact, MP4 box sizes nest correctly.
+    """
+    import zlib
+
+    if doc_id % SYNTH_QUARANTINE_MOD == 0:
+        return "broken", b"\xde\xad\xbe\xef"
+    k = doc_id % 5
+    if k == 0:
+        w, h = (doc_id % 31) + 1, (doc_id % 17) + 1
+        return "image", f"P6\n{w} {h}\n255\n".encode() + bytes(w * h * 3)
+    if k == 1:
+        w, h = (doc_id % 63) + 1, (doc_id % 41) + 1
+        ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n"
+        for typ, body in ((b"IHDR", ihdr), (b"IEND", b"")):
+            out += struct.pack(">I", len(body)) + typ + body
+            out += struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        return "image", out
+    if k == 2:
+        w, h = (doc_id % 200) + 1, (doc_id % 150) + 1
+        sof = struct.pack(">BHHB3B", 8, h, w, 1, 1, 0x11, 0)
+        return (
+            "image",
+            b"\xff\xd8\xff\xc0"
+            + struct.pack(">H", len(sof) + 2)
+            + sof
+            + b"\xff\xd9",
+        )
+    if k == 3:
+        rate = (10000, 20000, 25000, 50000)[doc_id % 4]
+        data_len = 32 * ((doc_id % 50) + 1)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, 2 * rate, 2, 16)
+        return (
+            "audio",
+            b"RIFF"
+            + struct.pack("<I", 36 + data_len)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", 16)
+            + fmt
+            + b"data"
+            + struct.pack("<I", data_len)
+            + bytes(data_len),
+        )
+    n_traks = doc_id % 3
+    duration_ms = (doc_id % 120000) + 1
+    mvhd_body = (
+        struct.pack(">IIIII", 0, 0, 0, 1000, duration_ms)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + bytes(10)
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + bytes(24)
+        + struct.pack(">I", n_traks + 1)
+    )
+    mvhd = struct.pack(">I4s", 8 + len(mvhd_body), b"mvhd") + mvhd_body
+    traks = struct.pack(">I4s", 8, b"trak") * n_traks
+    moov = struct.pack(">I4s", 8 + len(mvhd) + len(traks), b"moov") + mvhd + traks
+    ftyp = struct.pack(">I4s4sI", 16, b"ftyp", b"isom", 0)
+    return "video", ftyp + moov
+
+
+def synth_media_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids[id_col] → media(asset_id, kind, payload) with
+    :func:`synth_payload` bytes — generated map-side (mapInPandas), so
+    at any scale the payloads are born distributed and, composed with
+    :func:`probe_media`, never shuffle or land on disk."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                kind, payload = synth_payload(int(i))
+                rows.append((int(i), kind, payload))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "payload"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, out_schema)
