@@ -69,6 +69,13 @@ def main() -> int:
         help="comma-separated query names to run (default: all; "
         "gate_window still reflects the FULL registry position)",
     )
+    ap.add_argument(
+        "--tz",
+        default=None,
+        help="set spark.sql.session.timeZone (and DuckDB TimeZone) to "
+        "this zone — the full-registry timezone sweep (r5 verdict #3): "
+        "every query must stay oracle-green under a non-UTC session",
+    )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
@@ -77,15 +84,19 @@ def main() -> int:
     import __spark_entry__ as entry
 
     # DEFAULT session on purpose: no UTC pin, stock shuffle partitions
-    spark = (
+    builder = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
         )
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if args.tz:
+        builder = builder.config("spark.sql.session.timeZone", args.tz)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
+    if args.tz:
+        con.execute(f"SET TimeZone = '{args.tz}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -148,7 +159,11 @@ def main() -> int:
         "n_queries": len(results),
         "n_pass": n_pass,
         "wall_s": round(time.time() - t0, 1),
-        "session": "default (no UTC pin, stock shuffle partitions)",
+        "session": (
+            f"timeZone={args.tz}, stock shuffle partitions"
+            if args.tz
+            else "default (no UTC pin, stock shuffle partitions)"
+        ),
         "results": results,
     }
     with open(out_path, "w") as f:
