@@ -749,6 +749,100 @@ def run_skewstress(target_rows: int = 10_000_000) -> dict:
     return out
 
 
+def run_overlapstress(
+    n_rows: int = 10_000_000, n_groups: int = 5_000
+) -> dict:
+    """Scale-stress for the block-pair overlap grid (r5 verdict #4):
+    |G| ≈ 5,000 groups → C(5000,2) ≈ 12.5M pairs through
+    grouped_kmv_overlap_distributed, plus a hot-group variant where ONE
+    group holds ~20% of the 10^7 fact rows — that skew hits the
+    sketch-build stage (the only stage that touches fact rows, absorbed
+    by sketch_by_key's map-side combine) BEFORE the rank-capped blocks,
+    whose bundle-memory bound (block_size·k hashes per bundle row) is
+    independent of both |G| and the hot group's size. Reports wall,
+    shuffle MB, and max single-task ms per leg; the pair matrix is
+    consumed by an executor-side aggregate (never collected)."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.api import grouped_kmv_overlap_distributed
+    from tgdigest_spark.session import get_spark
+
+    spark = get_spark(
+        "tgdigest-overlapstress",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf=_BENCH_CONF,
+    )
+    k, block_size = 512, 256
+    legs: dict[str, dict] = {}
+    for tag in ("uniform", "hot20"):
+        base = spark.range(n_rows)
+        if tag == "uniform":
+            g = F.col("id") % n_groups
+        else:
+            # ids ending 0/1 (20% of rows) all land in one hot group
+            g = F.when(F.pmod("id", 10) < 2, F.lit(-1)).otherwise(
+                F.col("id") % (n_groups - 1)
+            )
+        # ~2k distinct hashed values per uniform group (k=512 keeps the
+        # sketches saturated — the estimator regime, full-size blobs)
+        fact = base.select(
+            F.concat(F.lit("g"), g.cast("string")).alias("g"),
+            (F.xxhash64("id") % 1_000_000).cast("string").alias("v"),
+        )
+
+        def q_grid():
+            m = grouped_kmv_overlap_distributed(
+                fact, "g", "v", k=k, block_size=block_size
+            )
+            release = m.release_cache
+            try:
+                return m.agg(
+                    F.count(F.lit(1)).alias("n_pairs"),
+                    F.avg("jaccard_est").alias("mean_jaccard"),
+                    F.max("union_est").alias("max_union"),
+                ).collect()[0]
+            finally:
+                release()
+
+        row = q_grid()  # warmup (also yields the pair count)
+        pre_stages = _completed_stage_ids(spark)
+        s0 = _shuffle_totals(spark)
+        t0 = time.perf_counter()
+        q_grid()
+        wall = time.perf_counter() - t0
+        s1 = _shuffle_totals(spark)
+        new_stages = (
+            _completed_stage_ids(spark) - pre_stages if pre_stages else set()
+        )
+        legs[f"overlap_grid@{tag}"] = {
+            "wall_s": round(wall, 3),
+            "n_pairs": int(row["n_pairs"]),
+            "shuffle_read_mb": round((s1[0] - s0[0]) / 1e6, 2)
+            if s0 and s1
+            else None,
+            "max_task_ms": _max_task_ms(spark, new_stages),
+        }
+        print(f"overlap_grid@{tag}: {legs[f'overlap_grid@{tag}']}", flush=True)
+    out = {
+        "metric": "overlapstress_grid",
+        "value": round(sum(l["wall_s"] for l in legs.values()), 3),
+        "unit": "sec",
+        "queries": {n: l["wall_s"] for n, l in legs.items()},
+        "legs": legs,
+        "sf": SF,
+        "extra": {
+            "n_rows": n_rows,
+            "n_groups": n_groups,
+            "k": k,
+            "block_size": block_size,
+            "hot_share": 0.2,
+        },
+    }
+    spark.stop()
+    return out
+
+
 def run_rehearse100x(target_rows: int = 100_000_000) -> dict:
     """One-command 100x rehearsal: replicate the sf transcripts to
     ~10^8 rows ON DISK (written once, cached), run the transcript
@@ -1016,5 +1110,7 @@ if __name__ == "__main__":
         print(json.dumps(run_rehearse100x()))
     elif "--skewstress" in sys.argv:
         print(json.dumps(run_skewstress()))
+    elif "--overlapstress" in sys.argv:
+        print(json.dumps(run_overlapstress()))
     else:
         print(json.dumps(run_bench()))

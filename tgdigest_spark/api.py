@@ -803,7 +803,18 @@ def grouped_kmv_overlap_distributed(
             "bb",
         )
     )
-    cells = diag.unionByName(cross)
+    # Spread cells across tasks by CELL IDENTITY, not bytes: a cell is
+    # ~2 bundle rows (≈ 2·block_size·k·8 bytes) but carries up to
+    # block_size² pair computations — AQE's byte-based coalescing packs
+    # the whole quadratic workload into a handful of tasks (measured at
+    # |G|=5000: max-task 153 s ≈ the full 177 s wall, i.e. serialized).
+    # One hash shuffle on (ba, bb) over ~n_cells partitions costs a
+    # second pass over the O(|G|·B·k) bundle bytes — the right trade,
+    # since the pair compute is the quadratic term and bundle bytes are
+    # the linear one.
+    n_cells = n_blocks * (n_blocks + 1) // 2
+    par = min(max(spark.sparkContext.defaultParallelism * 4, 8), n_cells)
+    cells = diag.unionByName(cross).repartition(par, "ba", "bb")
 
     def _cell_pairs(batches):
         cols = [
@@ -1065,4 +1076,77 @@ def grouped_frequent_items(
         ],
         per_sketch,
         multi_row=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch: unbiased frequencies + F2 / self-join size (AMS)
+# ---------------------------------------------------------------------------
+
+def count_sketch(
+    df: DataFrame,
+    value: Column | str,
+    depth: int = 5,
+    width: int = 8192,
+    where: Column | None = None,
+) -> "CountSketch":
+    """Build one Count-Sketch over ``value`` (one scan + blob
+    tree-merge, the sketch_column topology). Unlike count-min the
+    point estimates are UNBIASED (two-sided error ~ sqrt(F2/width)),
+    and the squared-counter sums estimate F2 (AMS tug-of-war)."""
+    from .sketches.countsketch import CountSketch
+
+    if where is not None:
+        df = df.where(where)
+    col = F.col(value) if isinstance(value, str) else value
+    return sketch_column(
+        df.select(col.cast("string").alias("v")),
+        "v",
+        lambda: CountSketch(depth, width),
+    )
+
+
+def selfjoin_size(
+    df: DataFrame,
+    value: Column | str,
+    depth: int = 5,
+    width: int = 8192,
+    where: Column | None = None,
+) -> int:
+    """Approximate SELF-JOIN SIZE of ``value``: F2 = sum_x f_x^2 =
+    |{(r1,r2) : value(r1) = value(r2)}| (null keys excluded), via the
+    AMS estimator on a Count-Sketch. Published bound: each row of the
+    sketch is unbiased with sd <= F2*sqrt(2/width); the returned value
+    is the median over ``depth`` rows.
+
+    This is the planner's pre-shuffle question at cluster scale — "how
+    big is the output / the max reducer of a join on this key?" —
+    answered in ONE map-side pass with a (depth x width) int64 blob
+    merge, no shuffle of the fact rows. Exact counterpart (the gate
+    oracle): SUM(cnt*cnt) over GROUP BY value."""
+    return count_sketch(df, value, depth, width, where).f2_estimate()
+
+
+def grouped_selfjoin_size(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    depth: int = 5,
+    width: int = 8192,
+) -> DataFrame:
+    """Per-group F2 / self-join-size estimates →
+    DataFrame[keys..., f2_est long]. Same one-blob-shuffle topology as
+    every grouped sketch (map-side combine via sketch_by_key)."""
+    from pyspark.sql.types import LongType, StructField
+
+    from .sketches.countsketch import CountSketch
+
+    return _grouped_key_sketch(
+        df,
+        keys,
+        value,
+        lambda: CountSketch(depth, width),
+        CountSketch.deserialize,
+        [StructField("f2_est", LongType())],
+        lambda sk: (sk.f2_estimate(),),
     )

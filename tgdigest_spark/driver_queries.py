@@ -950,6 +950,69 @@ def sketch_grouped_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_f2_selfjoin",
+    """
+    WITH cnts AS (
+        SELECT event_type, user_id, COUNT(*) AS cnt
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2,
+           TRUE AS f2_within_bound
+    FROM cnts
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sketch_f2_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type SELF-JOIN SIZE (second frequency moment F2 =
+    SUM over users of count^2) via the AMS tug-of-war estimator on a
+    Count-Sketch (api.grouped_selfjoin_size, Alon-Matias-Szegedy 1996 /
+    Charikar 2002) — the one-map-side-pass answer to "how big is the
+    output / max reducer of a join on this key" that a planner wants
+    BEFORE committing to the shuffle. Emitted as the exact SQL anchor
+    (SUM(cnt*cnt), BIGINT — DuckDB HUGEINT would float-truncate) plus a
+    6-sigma relative bound flag: each sketch row is unbiased with
+    sd <= F2*sqrt(2/width), median over depth=5 rows; hashes are fixed
+    seeds, so the flag is deterministic per dataset — verified at
+    sf0.001/0.01/0.1. Nulls: the sketch drops null user_ids (base_hash),
+    so both exact sides filter them.
+
+    Reference anchor: exact per-metric counts feeding top-k
+    (/root/reference/src/post.rs:76-90) are the exact form of the
+    frequency workload this sketch sizes at scale."""
+    from .api import grouped_selfjoin_size
+
+    width = 8192
+    ev = load(spark, sf_dir, "events")
+    est = grouped_selfjoin_size(
+        ev, ["event_type"], "user_id", depth=5, width=width
+    )
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("exact_f2"))
+    )
+    tol = 6.0 * (2.0 / width) ** 0.5
+    return (
+        est.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "exact_f2",
+            (
+                F.abs(F.col("f2_est") - F.col("exact_f2"))
+                <= F.lit(tol) * F.col("exact_f2")
+            ).alias("f2_within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "sketch_mg_heavy_hitters",
     """
     SELECT CAST(user_id AS VARCHAR) AS item,
@@ -3850,6 +3913,8 @@ _GATE_ORDER = [
     "sketch_kmv_setops",
     "kmv_overlap_event_types",
     "kmv_overlap_distributed_event_types",
+    # new in round 6: AMS/Count-Sketch self-join-size estimator
+    "sketch_f2_selfjoin",
     # remaining r5-window rows keeping fresh driver evidence
     "sketch_kll_quantiles",
     "sketch_cdf_rank",
@@ -3875,11 +3940,11 @@ _GATE_ORDER = [
     "simhash_summary",
     "ann_cosine_topk",
     "neardup_rescore_exact",
-    "ann_lsh_recall",
     # --- driver window boundary (position 50) ---
     # parked for round 6: every row below was DRIVER-green in round 5
     # (CORRECTNESS_r05.json) and its code is untouched this round; all
     # remain covered by pytest + the full-registry driver-sim artifact
+    "ann_lsh_recall",
     "ann_ivf_recall",
     "checkpointed_quantiles",
     "passage_overlap_summary",

@@ -3,6 +3,7 @@
 from .base import Sketch
 from .bloom import Bloom
 from .countmin import CountMin
+from .countsketch import CountSketch
 from .freq import FrequentItems
 from .hll import HLL
 from .kll import KLL
@@ -15,6 +16,7 @@ __all__ = [
     "KLL",
     "HLL",
     "CountMin",
+    "CountSketch",
     "Bloom",
     "KMV",
     "FrequentItems",
