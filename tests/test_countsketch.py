@@ -81,6 +81,34 @@ def test_weighted_update_and_negative_weight_raises():
         cs.update(np.array(["c"]), counts=np.array([-1]))
 
 
+def test_inner_product_join_size_within_bound():
+    # two zipf streams over overlapping key domains; exact join size =
+    # sum over shared keys of fA * fB; AGMS bound: per-row sd <=
+    # sqrt(2*F2a*F2b/width), median over depth rows -> 4 sigma.
+    a_items = _zipf_items(19)
+    rng = np.random.default_rng(23)
+    z = np.minimum(rng.zipf(1.4, 80_000), 3000)
+    b_items = np.array([f"u{v}" for v in z])
+    depth, width = 5, 8192
+    ca = CountSketch(depth, width)
+    for c in np.array_split(a_items, 7):
+        ca.update(c)
+    cb = CountSketch(depth, width)
+    for c in np.array_split(b_items, 5):
+        cb.update(c)
+    fa = collections.Counter(a_items.tolist())
+    fb = collections.Counter(b_items.tolist())
+    ip = sum(c * fb[k] for k, c in fa.items() if k in fb)
+    f2a = sum(v * v for v in fa.values())
+    f2b = sum(v * v for v in fb.values())
+    tol = 4.0 * np.sqrt(2.0 * f2a * f2b / width)
+    assert abs(ca.inner_product(cb) - ip) <= tol
+    # self inner product is the F2 estimator family (same table)
+    assert ca.inner_product(ca) == int(np.median(ca.f2_rows()))
+    with pytest.raises(ValueError):
+        ca.inner_product(CountSketch(depth, width // 2))
+
+
 def test_serialization_round_trip_and_mismatch():
     cs = CountSketch(5, 2048).update(_zipf_items(17, 20_000))
     rt = CountSketch.deserialize(cs.serialize())
@@ -156,6 +184,32 @@ def test_grouped_selfjoin_size_within_bound(spark, events):
     assert set(got) == set(exact)
     for et, f2 in exact.items():
         assert abs(got[et] - f2) <= 4.0 * f2 * np.sqrt(2.0 / 4096)
+
+
+def test_join_size_estimate_within_bound(spark, sf001_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.api import join_size_estimate
+
+    od = spark.read.parquet(os.path.join(sf001_dir, "orders.parquet"))
+    a = od.where(F.year("o_orderdate") <= 1996)
+    b = od.where(F.year("o_orderdate") >= 1997)
+    width = 8192
+    est = join_size_estimate(a, "o_custkey", b, "o_custkey", width=width)
+    exact = a.join(b, "o_custkey").count()
+
+    def f2(df):
+        return (
+            df.groupBy("o_custkey")
+            .count()
+            .agg(F.sum(F.col("count") * F.col("count")).alias("f2"))
+            .collect()[0]["f2"]
+        )
+
+    tol = 4.0 * np.sqrt(2.0 * f2(a) * f2(b) / width)
+    assert abs(est - exact) <= tol
 
 
 def test_nulls_dropped_and_empty_noop():

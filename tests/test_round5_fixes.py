@@ -91,8 +91,10 @@ def test_gate_window_covers_priority_queries():
     # CORRECTNESS_r05.json's window) — pin the parked set explicitly
     parked = set(list(REGISTRY)[50:])
     r5_window_green = {
-        "ann_lsh_recall",  # parked late-r6 to make room for the new
-        # sketch_f2_selfjoin row (driver-green in r5)
+        # parked late-r6 to make room for the two new Count-Sketch
+        # rows (sketch_f2_selfjoin, sketch_join_size); both were
+        # driver-green in r5
+        "ann_lsh_recall", "neardup_rescore_exact",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",
         "stratified_sample_counts", "sequence_pack_stats",

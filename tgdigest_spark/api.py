@@ -1127,6 +1127,33 @@ def selfjoin_size(
     return count_sketch(df, value, depth, width, where).f2_estimate()
 
 
+def join_size_estimate(
+    df_a: DataFrame,
+    key_a: Column | str,
+    df_b: DataFrame,
+    key_b: Column | str,
+    depth: int = 5,
+    width: int = 8192,
+) -> int:
+    """Approximate EQUI-JOIN OUTPUT SIZE |df_a JOIN df_b ON key_a =
+    key_b| = sum_x fA(x) * fB(x), via the inner product of two
+    count-sketches built with the repo's shared fixed hash seeds (AGMS
+    — Alon, Gibbons, Matias & Szegedy, PODS 1999). Null keys excluded
+    on both sides (they never equi-join anyway).
+
+    This is THE pre-shuffle planner question at cluster scale — "will
+    this join explode / is the small side broadcastable / how big is
+    the output" — answered by two independent map-side passes (one per
+    input, no co-location, no shuffle of either fact table) and a
+    (depth x width) int64 blob dot product on the driver. Per-row
+    variance <= 2*F2(A)*F2(B)/width; median over depth rows. Exact
+    counterpart (the gate oracle): SUM over matched keys of
+    cntA * cntB."""
+    return count_sketch(df_a, key_a, depth, width).inner_product(
+        count_sketch(df_b, key_b, depth, width)
+    )
+
+
 def grouped_selfjoin_size(
     df: DataFrame,
     keys: list[str],

@@ -1013,6 +1013,64 @@ def sketch_f2_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_join_size",
+    """
+    WITH a AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+               WHERE year(o_orderdate) <= 1996 AND o_custkey IS NOT NULL
+               GROUP BY o_custkey),
+         b AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+               WHERE year(o_orderdate) >= 1997 AND o_custkey IS NOT NULL
+               GROUP BY o_custkey)
+    SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_join_size,
+           TRUE AS join_est_within_bound
+    FROM a JOIN b USING (o_custkey)
+    """,
+)
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle EQUI-JOIN SIZE estimation (AGMS inner product —
+    Alon, Gibbons, Matias & Szegedy, PODS 1999): |A JOIN B on custkey|
+    for the early-years vs late-years orders halves, estimated by the
+    dot product of two count-sketches built in two INDEPENDENT map-side
+    passes — neither fact table shuffles, the only bytes moved are two
+    (depth x width) int64 blobs. At cluster scale this answers "will
+    this join explode / is it broadcastable" before committing to the
+    shuffle. Emitted as the exact SQL anchor (SUM(cntA*cntB) over the
+    per-key count join, BIGINT — DuckDB HUGEINT float-truncates) plus
+    a 6-sigma bound flag with the AGMS variance 2*F2(A)*F2(B)/width
+    (exact F2s computed Spark-side for the tolerance); fixed hash
+    seeds make the flag deterministic per dataset — verified at
+    sf0.001/0.01/0.1.
+
+    Reference anchor: the reference joins cached message frames by key
+    before top-k (/root/reference/src/post.rs:63-90); this row sizes
+    such joins without executing them."""
+    from .api import join_size_estimate
+
+    width = 8192
+    od = load(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    a = od.where(F.year("o_orderdate") <= 1996)
+    b = od.where(F.year("o_orderdate") >= 1997)
+    est = join_size_estimate(a, "o_custkey", b, "o_custkey", width=width)
+
+    def counts(df):
+        return df.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+
+    ca, cb = counts(a), counts(b)
+    joined = ca.join(cb.withColumnRenamed("cnt", "cnt_b"), "o_custkey")
+    row = joined.agg(
+        F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"),
+    ).collect()[0]
+    exact_ip = int(row["ip"] or 0)
+    f2a = ca.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f")).collect()[0]["f"]
+    f2b = cb.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f")).collect()[0]["f"]
+    tol = 6.0 * (2.0 * float(f2a) * float(f2b) / width) ** 0.5
+    return spark.createDataFrame(
+        [(exact_ip, bool(abs(est - exact_ip) <= tol))],
+        "exact_join_size long, join_est_within_bound boolean",
+    )
+
+
+@register(
     "sketch_mg_heavy_hitters",
     """
     SELECT CAST(user_id AS VARCHAR) AS item,
@@ -3913,8 +3971,9 @@ _GATE_ORDER = [
     "sketch_kmv_setops",
     "kmv_overlap_event_types",
     "kmv_overlap_distributed_event_types",
-    # new in round 6: AMS/Count-Sketch self-join-size estimator
+    # new in round 6: AMS/Count-Sketch self-join-size + AGMS join-size
     "sketch_f2_selfjoin",
+    "sketch_join_size",
     # remaining r5-window rows keeping fresh driver evidence
     "sketch_kll_quantiles",
     "sketch_cdf_rank",
@@ -3939,11 +3998,11 @@ _GATE_ORDER = [
     "minhash_lsh_neardup",
     "simhash_summary",
     "ann_cosine_topk",
-    "neardup_rescore_exact",
     # --- driver window boundary (position 50) ---
     # parked for round 6: every row below was DRIVER-green in round 5
     # (CORRECTNESS_r05.json) and its code is untouched this round; all
     # remain covered by pytest + the full-registry driver-sim artifact
+    "neardup_rescore_exact",
     "ann_lsh_recall",
     "ann_ivf_recall",
     "checkpointed_quantiles",

@@ -124,6 +124,23 @@ class CountSketch(Sketch):
         sq = self.table.astype(np.float64) ** 2
         return sq.sum(axis=1)
 
+    def inner_product(self, other: "CountSketch") -> int:
+        """JOIN-SIZE estimate (AGMS): sum_x fA(x) * fB(x) =
+        |{(ra, rb) : key(ra) = key(rb)}| for an equi-join of the two
+        sketched columns. Because both sketches share the repo's fixed
+        hash seeds, matching keys land in the same (row, bucket) with
+        the same sign, so each row's counter dot-product is an unbiased
+        estimator (Alon, Gibbons, Matias & Szegedy, PODS 1999 — "join
+        sizes ... via sketches"); median over rows. Var per row <=
+        2 * F2(A) * F2(B) / width. Requires identical (depth, width).
+        """
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("depth/width mismatch")
+        per_row = (
+            self.table.astype(np.float64) * other.table.astype(np.float64)
+        ).sum(axis=1)
+        return int(np.median(per_row))
+
     # -- serialization ----------------------------------------------------
     def serialize(self) -> bytes:
         head = self._header(
