@@ -91,10 +91,11 @@ def test_gate_window_covers_priority_queries():
     # CORRECTNESS_r05.json's window) — pin the parked set explicitly
     parked = set(list(REGISTRY)[50:])
     r5_window_green = {
-        # parked late-r6 to make room for the two new Count-Sketch
-        # rows (sketch_f2_selfjoin, sketch_join_size); both were
-        # driver-green in r5
-        "ann_lsh_recall", "neardup_rescore_exact",
+        # parked late-r6 to make room for the three new Count-Sketch /
+        # MultiSketch rows (sketch_f2_selfjoin, sketch_join_size,
+        # key_skew_profile); all three parked rows were driver-green
+        # in r5
+        "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",
         "stratified_sample_counts", "sequence_pack_stats",

@@ -1127,6 +1127,66 @@ def selfjoin_size(
     return count_sketch(df, value, depth, width, where).f2_estimate()
 
 
+def key_profile(
+    df: DataFrame,
+    value: Column | str,
+    p: int = 14,
+    depth: int = 5,
+    width: int = 8192,
+    mg_k: int = 256,
+    where: Column | None = None,
+) -> dict:
+    """ONE-SCAN shuffle-key profile — the questions a planner asks
+    before committing a 100-TB shuffle to this key, answered together
+    in a single pass (MultiSketch fans the update stream to an HLL, a
+    Count-Sketch and a Misra-Gries sketch; one blob tree-merge):
+
+    - ``n_rows``            exact non-null row count
+    - ``distinct_est``      HLL distinct keys (std err 1.04/sqrt(2^p))
+    - ``selfjoin_size_est`` AMS F2 — total pairwise reducer collisions
+    - ``avg_rows_per_key``  n / distinct
+    - ``skew_ratio``        F2 * distinct / n^2 — 1.0 for perfectly
+      uniform keys, grows with concentration (it is the ratio of the
+      expected max-quadratic reducer cost to the uniform ideal)
+    - ``top_keys``          MG candidates [(key, est, est+err)] — each
+      est is a LOWER bound and est+err an UPPER bound on the true count
+    - ``hot_share_ub``      (top1_est + err) / n — upper bound on the
+      hottest key's row share; > 1/shuffle_partitions means the hottest
+      reducer is load-bound by one key and salting is indicated
+
+    All children keep their published bounds; the profile is one scan
+    regardless of how many questions it answers."""
+    from .sketches.countsketch import CountSketch
+    from .sketches.freq import FrequentItems
+    from .sketches.multi import MultiSketch
+
+    if where is not None:
+        df = df.where(where)
+    col = F.col(value) if isinstance(value, str) else value
+    sk = sketch_column(
+        df.select(col.cast("string").alias("v")),
+        "v",
+        lambda: MultiSketch(
+            [HLL(p), CountSketch(depth, width), FrequentItems(mg_k)]
+        ),
+    )
+    hll, cs, mg = sk.children
+    n = sk.n
+    distinct = hll.estimate()
+    f2 = cs.f2_estimate()
+    items = mg.items()
+    top1_ub = (items[0][1] + mg.err) if items else 0
+    return {
+        "n_rows": n,
+        "distinct_est": distinct,
+        "selfjoin_size_est": f2,
+        "avg_rows_per_key": (n / distinct) if distinct else float("nan"),
+        "skew_ratio": (f2 * distinct / (n * n)) if n else float("nan"),
+        "top_keys": [(it, est, est + mg.err) for it, est in items[:10]],
+        "hot_share_ub": (top1_ub / n) if n else float("nan"),
+    }
+
+
 def join_size_estimate(
     df_a: DataFrame,
     key_a: Column | str,

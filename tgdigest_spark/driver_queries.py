@@ -1071,6 +1071,92 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "key_skew_profile",
+    """
+    WITH cnts AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events
+        WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS exact_distinct,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2,
+           CAST(MAX(cnt) AS BIGINT) AS exact_max_count,
+           TRUE AS distinct_within_bound,
+           TRUE AS f2_within_bound,
+           TRUE AS top1_est_le_max,
+           TRUE AS hot_share_ub_bounds_max
+    FROM cnts
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SCAN shuffle-key skew profile (api.key_profile): a
+    MultiSketch fans a single pass over events.user_id to an HLL
+    (distinct keys), a Count-Sketch (AMS F2 / reducer collision mass)
+    and a Misra-Gries sketch (hot-key candidates with deterministic
+    bounds) — together the pre-shuffle planner read on whether user_id
+    is safe to shuffle on at 100 TB. Gated as the exact SQL anchors
+    (row count / distinct / F2 / max per-key count, all BIGINT) plus
+    four falsifiable flags: 6-sigma HLL and AMS bounds, and the two
+    MG-guaranteed inequalities top1_est <= max_count (MG never
+    overcounts) and top1_est + err >= max_count (the max key's counter
+    survives within err — the hot-share upper bound really bounds).
+    Fixed hash seeds make all flags deterministic; verified at
+    sf0.001/0.01/0.1.
+
+    Reference anchor: the reference's exact per-key count scans
+    (/root/reference/src/post.rs:76-90) are the single-question form;
+    this row answers four planner questions in one scan."""
+    from .api import key_profile
+
+    p, width = 14, 8192
+    ev = load(spark, sf_dir, "events")
+    prof = key_profile(ev, "user_id", p=p, width=width, mg_k=256)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("exact_distinct"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("exact_f2"),
+            F.max("cnt").alias("exact_max_count"),
+        )
+        .collect()[0]
+    )
+    top1_est, top1_ub = (
+        (prof["top_keys"][0][1], prof["top_keys"][0][2])
+        if prof["top_keys"]
+        else (0, 0)
+    )
+    hll_tol = 6.0 * 1.04 / (2.0**p) ** 0.5
+    f2_tol = 6.0 * (2.0 / width) ** 0.5
+    return spark.createDataFrame(
+        [
+            (
+                int(exact["n_rows"]),
+                int(exact["exact_distinct"]),
+                int(exact["exact_f2"]),
+                int(exact["exact_max_count"]),
+                bool(
+                    abs(prof["distinct_est"] - exact["exact_distinct"])
+                    <= hll_tol * exact["exact_distinct"]
+                ),
+                bool(
+                    abs(prof["selfjoin_size_est"] - exact["exact_f2"])
+                    <= f2_tol * exact["exact_f2"]
+                ),
+                bool(top1_est <= exact["exact_max_count"]),
+                bool(top1_ub >= exact["exact_max_count"]),
+            )
+        ],
+        "n_rows long, exact_distinct long, exact_f2 long, "
+        "exact_max_count long, distinct_within_bound boolean, "
+        "f2_within_bound boolean, top1_est_le_max boolean, "
+        "hot_share_ub_bounds_max boolean",
+    )
+
+
+@register(
     "sketch_mg_heavy_hitters",
     """
     SELECT CAST(user_id AS VARCHAR) AS item,
@@ -3972,8 +4058,10 @@ _GATE_ORDER = [
     "kmv_overlap_event_types",
     "kmv_overlap_distributed_event_types",
     # new in round 6: AMS/Count-Sketch self-join-size + AGMS join-size
+    # + the one-scan MultiSketch shuffle-key profile
     "sketch_f2_selfjoin",
     "sketch_join_size",
+    "key_skew_profile",
     # remaining r5-window rows keeping fresh driver evidence
     "sketch_kll_quantiles",
     "sketch_cdf_rank",
@@ -3997,11 +4085,11 @@ _GATE_ORDER = [
     "incremental_dedup_batches",
     "minhash_lsh_neardup",
     "simhash_summary",
-    "ann_cosine_topk",
     # --- driver window boundary (position 50) ---
     # parked for round 6: every row below was DRIVER-green in round 5
     # (CORRECTNESS_r05.json) and its code is untouched this round; all
     # remain covered by pytest + the full-registry driver-sim artifact
+    "ann_cosine_topk",
     "neardup_rescore_exact",
     "ann_lsh_recall",
     "ann_ivf_recall",

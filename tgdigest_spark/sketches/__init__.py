@@ -7,6 +7,7 @@ from .countsketch import CountSketch
 from .freq import FrequentItems
 from .hll import HLL
 from .kll import KLL
+from .multi import MultiSketch
 from .kmv import KMV
 from .tdigest import TDigest
 
@@ -20,4 +21,5 @@ __all__ = [
     "Bloom",
     "KMV",
     "FrequentItems",
+    "MultiSketch",
 ]
