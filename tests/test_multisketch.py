@@ -110,3 +110,19 @@ def test_key_profile_against_exact(spark, sf001_dir):
     assert top_est <= true_top <= top_ub
     assert prof["hot_share_ub"] >= mx / n  # upper bound really bounds
     assert prof["skew_ratio"] > 0
+
+
+def test_key_profile_uniform_keys_ub_still_bounds(spark):
+    """Near-uniform keys leave Misra-Gries with ZERO tracked items
+    (every counter decremented away), but the one-sided guarantee
+    true <= est + err still holds with est=0 — so hot_share_ub must
+    fall back to err/n, never 0 (r6 review finding)."""
+    from tgdigest_spark.api import key_profile
+
+    df = spark.range(4000).selectExpr("concat('k', id) AS k")
+    prof = key_profile(df, "k", p=12, width=1024, mg_k=256)
+    # every key appears exactly once -> true hottest share is 1/4000
+    assert prof["hot_share_ub"] >= 1 / 4000
+    assert prof["mg_err"] >= 1
+    if not prof["top_keys"]:
+        assert prof["hot_share_ub"] == prof["mg_err"] / prof["n_rows"]

@@ -813,7 +813,11 @@ def grouped_kmv_overlap_distributed(
     # since the pair compute is the quadratic term and bundle bytes are
     # the linear one.
     n_cells = n_blocks * (n_blocks + 1) // 2
-    par = min(max(spark.sparkContext.defaultParallelism * 4, 8), n_cells)
+    try:
+        base_par = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover — Spark Connect: no SparkContext
+        base_par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    par = min(max(base_par * 4, 8), n_cells)
     cells = diag.unionByName(cross).repartition(par, "ba", "bb")
 
     def _cell_pairs(batches):
@@ -1175,7 +1179,11 @@ def key_profile(
     distinct = hll.estimate()
     f2 = cs.f2_estimate()
     items = mg.items()
-    top1_ub = (items[0][1] + mg.err) if items else 0
+    # Empty items ≠ "no key repeats": MG tracks nothing when every
+    # counter was decremented away (near-uniform keys), but the
+    # one-sided bound still guarantees true_count ≤ est + err = err,
+    # so err/n — not 0 — is the valid upper bound on the hottest share.
+    top1_ub = (items[0][1] + mg.err) if items else mg.err
     return {
         "n_rows": n,
         "distinct_est": distinct,
@@ -1183,6 +1191,7 @@ def key_profile(
         "avg_rows_per_key": (n / distinct) if distinct else float("nan"),
         "skew_ratio": (f2 * distinct / (n * n)) if n else float("nan"),
         "top_keys": [(it, est, est + mg.err) for it, est in items[:10]],
+        "mg_err": mg.err,
         "hot_share_ub": (top1_ub / n) if n else float("nan"),
     }
 

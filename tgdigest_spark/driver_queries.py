@@ -1061,8 +1061,10 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"),
     ).collect()[0]
     exact_ip = int(row["ip"] or 0)
-    f2a = ca.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f")).collect()[0]["f"]
-    f2b = cb.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f")).collect()[0]["f"]
+    # F.sum over an empty side returns NULL — guard like exact_ip above
+    # (all-on-one-side year splits are legal inputs, e.g. a trimmed sf dir).
+    f2a = ca.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f")).collect()[0]["f"] or 0
+    f2b = cb.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f")).collect()[0]["f"] or 0
     tol = 6.0 * (2.0 * float(f2a) * float(f2b) / width) ** 0.5
     return spark.createDataFrame(
         [(exact_ip, bool(abs(est - exact_ip) <= tol))],
@@ -1123,10 +1125,13 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]
     )
+    # Empty top_keys (near-uniform data) still carries the one-sided MG
+    # guarantee true <= est + err, so the valid fallback is (0, err) —
+    # a (0, 0) ub would falsely fail hot_share_ub_bounds_max.
     top1_est, top1_ub = (
         (prof["top_keys"][0][1], prof["top_keys"][0][2])
         if prof["top_keys"]
-        else (0, 0)
+        else (0, prof["mg_err"])
     )
     hll_tol = 6.0 * 1.04 / (2.0**p) ** 0.5
     f2_tol = 6.0 * (2.0 / width) ** 0.5
@@ -1220,6 +1225,21 @@ def _kmv_gate_k(df: DataFrame, col: str, k_min: int = 32768,
     while k < 2 * n and k < k_max:
         k *= 2
     return k
+
+
+# The two kmv_overlap gates always run back to back in the window and
+# need the same derived k; memoizing per (sf_dir, table, col) halves
+# the full countDistinct scan of events the derivation costs. Safe
+# because testdata sf dirs are immutable for the life of the process.
+_KMV_GATE_K_CACHE: dict = {}
+
+
+def _kmv_gate_k_cached(spark: SparkSession, sf_dir: str, table: str,
+                       col: str) -> int:
+    key = (sf_dir, table, col)
+    if key not in _KMV_GATE_K_CACHE:
+        _KMV_GATE_K_CACHE[key] = _kmv_gate_k(load(spark, sf_dir, table), col)
+    return _KMV_GATE_K_CACHE[key]
 
 
 @register(
@@ -1362,7 +1382,8 @@ def kmv_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return _overlap_gate_frame(
         grouped_kmv_overlap(
-            ev, "event_type", "user_id", k=_kmv_gate_k(ev, "user_id")
+            ev, "event_type", "user_id",
+            k=_kmv_gate_k_cached(spark, sf_dir, "events", "user_id"),
         )
     )
 
@@ -1387,7 +1408,8 @@ def kmv_overlap_distributed_event_types(
 
     ev = load(spark, sf_dir, "events")
     m = grouped_kmv_overlap_distributed(
-        ev, "event_type", "user_id", k=_kmv_gate_k(ev, "user_id"),
+        ev, "event_type", "user_id",
+        k=_kmv_gate_k_cached(spark, sf_dir, "events", "user_id"),
         block_size=2,
     )
     release = m.release_cache  # capture before transforming

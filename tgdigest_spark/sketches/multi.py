@@ -66,31 +66,26 @@ class MultiSketch(Sketch):
         return head + lens.tobytes() + b"".join(blobs)
 
     @classmethod
-    def deserialize(cls, data: bytes, child_types: list[type] | None = None
-                    ) -> "MultiSketch":
-        """child_types: expected child classes in order. Without it the
-        child blobs are dispatched by MAGIC over the known registry."""
+    def deserialize(cls, data: bytes) -> "MultiSketch":
+        """Child blobs are dispatched by MAGIC over the known registry —
+        same one-argument protocol as every other sketch."""
         (n_children, n), off = cls._check_header(data, "Iq")
         lens = np.frombuffer(data, dtype=np.int64, count=n_children,
                              offset=off)
         off += 8 * n_children
-        if child_types is None:
-            from . import Bloom, CountMin, CountSketch, FrequentItems, HLL, \
-                KLL, KMV, TDigest
+        from . import Bloom, CountMin, CountSketch, FrequentItems, HLL, \
+            KLL, KMV, TDigest
 
-            registry = {t.MAGIC: t for t in
-                        (Bloom, CountMin, CountSketch, FrequentItems, HLL,
-                         KLL, KMV, TDigest)}
+        registry = {t.MAGIC: t for t in
+                    (Bloom, CountMin, CountSketch, FrequentItems, HLL,
+                     KLL, KMV, TDigest)}
         children = []
-        for i, ln in enumerate(lens):
+        for ln in lens:
             blob = data[off: off + int(ln)]
             off += int(ln)
-            if child_types is not None:
-                t = child_types[i]
-            else:
-                t = registry.get(bytes(blob[:4]))
-                if t is None:
-                    raise ValueError(f"unknown child magic {blob[:4]!r}")
+            t = registry.get(bytes(blob[:4]))
+            if t is None:
+                raise ValueError(f"unknown child magic {blob[:4]!r}")
             children.append(t.deserialize(blob))
         sk = cls(children)
         sk.n = int(n)
