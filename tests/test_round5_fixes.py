@@ -93,8 +93,10 @@ def test_gate_window_covers_priority_queries():
     r5_window_green = {
         # parked late-r6 to make room for the three new Count-Sketch /
         # MultiSketch rows (sketch_f2_selfjoin, sketch_join_size,
-        # key_skew_profile); all three parked rows were driver-green
-        # in r5
+        # key_skew_profile) and the sketch-cube row
+        # (sketch_cube_distinct → simhash_summary parked); every parked
+        # row was driver-green in r5
+        "simhash_summary",
         "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",

@@ -1,0 +1,150 @@
+"""Re-aggregatable sketch cube: scan facts once, derive every rollup
+level by merging leaf blobs (api.sketch_cube / agg.merge_blobs_by_key).
+
+The load-bearing contracts:
+- merge-of-leaves == direct-from-facts for register-style sketches
+  (HLL): bit-exact, because register max is associative and lossless;
+- partition-layout independence (north rule): shuffled input produces
+  identical rollup estimates;
+- NULL-as-value vs NULL-as-rollup stay distinguishable via grouping_id;
+- t-digest cubes (merge-tree-dependent sketches) roll up within the
+  published quantile bound rather than bit-exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tgdigest_spark.agg import merge_blobs_by_key, sketch_by_key
+from tgdigest_spark.api import (
+    cube_distinct_counts,
+    grouped_distinct_count,
+    sketch_cube,
+    sketch_cube_scope,
+)
+from tgdigest_spark.sketches import HLL, TDigest
+
+
+def _events(spark, sf001_dir):
+    return spark.read.parquet(
+        os.path.join(sf001_dir, "events.parquet")
+    ).withColumn("day", F.to_date("ts"))
+
+
+def test_rollup_bit_exact_vs_direct_and_layout_independent(spark, sf001_dir):
+    ev = _events(spark, sf001_dir)
+    gs = [("event_type", "day"), ("event_type",), ("day",), ()]
+    cube = cube_distinct_counts(ev, ["event_type", "day"], "user_id", p=13,
+                                grouping_sets=gs)
+    rows = cube.collect()
+    cube.release_cache()
+    got = {
+        (r["grouping_id"], r["event_type"], r["day"]): r["distinct_est"]
+        for r in rows
+    }
+    # direct per-type build from raw rows must be BIT-EXACT equal
+    direct = grouped_distinct_count(
+        ev, ["event_type"], F.col("user_id").cast("string"), p=13
+    ).collect()
+    for r in direct:
+        assert got[(1, r["event_type"], None)] == r["distinct_est"]
+    # shuffled-partition permutation: identical estimates at every level
+    cube2 = cube_distinct_counts(
+        ev.repartition(17, F.pmod(F.xxhash64("user_id", "ts"), F.lit(17))),
+        ["event_type", "day"], "user_id", p=13, grouping_sets=gs,
+    )
+    rows2 = cube2.collect()
+    cube2.release_cache()
+    got2 = {
+        (r["grouping_id"], r["event_type"], r["day"]): r["distinct_est"]
+        for r in rows2
+    }
+    assert got == got2
+    # grouping_id partitions the output: leaves = |type|x|day| groups
+    n_types = ev.select("event_type").distinct().count()
+    n_days = ev.select("day").distinct().count()
+    by_gid = {}
+    for (gid, _, _) in got:
+        by_gid[gid] = by_gid.get(gid, 0) + 1
+    assert by_gid == {
+        0: ev.select("event_type", "day").distinct().count(),
+        1: n_types,
+        2: n_days,
+        3: 1,
+    }
+
+
+def test_null_dim_value_distinct_from_rollup(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", None, 2), (None, "x", 3), ("b", "y", 4)],
+        "g string, h string, v int",
+    )
+    with sketch_cube_scope(
+        df, ["g", "h"], F.col("v").cast("string"), lambda: HLL(12),
+        grouping_sets=[("g", "h"), ("g",), ()],
+    ) as cube:
+        rows = cube.collect()
+    # NULL g as a VALUE appears at grouping_id 0 and 1; NULL g as a
+    # ROLLUP only at grouping_id 2 (here the () set -> gid 3)
+    leaf_null_g = [r for r in rows if r["grouping_id"] == 0 and r["g"] is None]
+    assert len(leaf_null_g) == 1 and leaf_null_g[0]["h"] == "x"
+    lvl_g = {r["g"]: r for r in rows if r["grouping_id"] == 1}
+    assert set(lvl_g) == {"a", "b", None}
+    est_all = [r for r in rows if r["grouping_id"] == 3]
+    assert len(est_all) == 1
+    assert HLL.deserialize(bytes(est_all[0]["sketch"])).estimate() == \
+        pytest.approx(4, abs=0.5)
+
+
+def test_merge_blobs_by_key_multi_key(spark, sf001_dir):
+    ev = _events(spark, sf001_dir).withColumn(
+        "wk", F.weekofyear("ts").cast("int")
+    )
+    leaves = sketch_by_key(
+        ev, ["event_type", "wk", "day"],
+        F.col("user_id").cast("string"), lambda: HLL(12),
+    )
+    rolled = merge_blobs_by_key(leaves, ["event_type", "wk"], lambda: HLL(12))
+    got = {
+        (r["event_type"], r["wk"]): HLL.deserialize(bytes(r["sketch"])).estimate()
+        for r in rolled.collect()
+    }
+    direct = grouped_distinct_count(
+        ev, ["event_type", "wk"], F.col("user_id").cast("string"), p=12
+    ).collect()
+    assert len(direct) == len(got)
+    for r in direct:
+        assert got[(r["event_type"], r["wk"])] == r["distinct_est"]
+
+
+def test_tdigest_cube_within_bound(spark, sf001_dir):
+    ev = _events(spark, sf001_dir)
+    cube = sketch_cube(ev, ["event_type"], "value", lambda: TDigest(200),
+                       grouping_sets=[("event_type",), ()])
+    rows = cube.collect()
+    cube.release_cache()
+    glob = [r for r in rows if r["grouping_id"] == 1]
+    assert len(glob) == 1
+    td = TDigest.deserialize(bytes(glob[0]["sketch"]))
+    exact = ev.selectExpr("percentile(value, 0.5) AS m").collect()[0]["m"]
+    n = ev.where(F.col("value").isNotNull()).count()
+    # rank-interval check: the estimate's rank must sit within
+    # 0.5*n +- tol*n (tol = conservative multiple of q(1-q)/delta)
+    est = td.quantile(0.5)
+    lo = ev.where(F.col("value") < est).count()
+    hi = ev.where(F.col("value") <= est).count()
+    tol = 0.05 * n
+    assert lo <= 0.5 * n + tol and hi >= 0.5 * n - tol
+    assert abs(est - exact) / max(abs(exact), 1e-9) < 0.5
+
+
+def test_bad_grouping_set_raises(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, v int")
+    with pytest.raises(ValueError):
+        sketch_cube(df, ["g"], "v", lambda: HLL(12),
+                    grouping_sets=[("nope",)])
+    with pytest.raises(ValueError):
+        sketch_cube(df, [], "v", lambda: HLL(12))

@@ -431,9 +431,85 @@ def merge_blob_tree(blobs: list[bytes], factory: SketchFactory, depth_chunk: int
     return layer[0] if layer else factory()
 
 
+def merge_blobs_by_key(
+    blobs: DataFrame,
+    keys: list[str],
+    factory: SketchFactory,
+    blob_col: str = "sketch",
+) -> DataFrame:
+    """RE-AGGREGATION primitive: DataFrame[keys..., blob_col binary] →
+    one merged blob per distinct ``keys`` tuple, WITHOUT touching fact
+    rows. Two stages, both over blob rows only:
+
+    1. map-side combine — each input partition merges its own blobs per
+       key in one pass (mapInPandas over the whole partition). Rolling
+       B leaf blobs spread over P partitions up to G coarse keys ships
+       at most ``min(B, G*P)`` partials into the shuffle instead of B —
+       the difference between re-shuffling a 10^6-leaf cube level and
+       moving a few thousand partials.
+    2. hash repartition on ``keys`` + the same per-key merge — all of a
+       key's partials co-locate, so one pass finishes the reduction.
+
+    Sketch merges are associative and commutative (the library-wide
+    contract pytest pins via shuffled-partition permutations), so the
+    two-level tree is exact: identical registers/centroids to a
+    sequential fold.
+    """
+    proto = factory()
+    merge_bulk = getattr(proto, "merge_blob_groups_like", None)
+    schema = StructType(
+        [blobs.schema[k] for k in keys]
+        + [StructField(blob_col, BinaryType(), False)]
+    )
+
+    def _merge_pdf(allp: pd.DataFrame) -> pd.DataFrame:
+        # factorize the key tuple once; group boundaries via stable sort
+        if len(keys) == 1:
+            codes, uniq = pd.factorize(allp[keys[0]], use_na_sentinel=False)
+            key_of = lambda c: (uniq[c],)  # noqa: E731
+        else:
+            mi = pd.MultiIndex.from_frame(allp[list(keys)])
+            codes, uniq = pd.factorize(mi, use_na_sentinel=False)
+            key_of = lambda c: tuple(uniq[c])  # noqa: E731
+        import numpy as np
+
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        blobs_s = allp[blob_col].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.r_[starts[1:], codes_s.size]
+        if merge_bulk is not None:
+            merged = merge_bulk(blobs_s, starts, ends)
+        else:
+            merged = [
+                blobs_s[s]
+                if e - s == 1
+                else _merge_blobs(factory, list(blobs_s[s:e])).serialize()
+                for s, e in zip(starts, ends)
+            ]
+        out_keys = [key_of(codes_s[s]) for s in starts]
+        data = {k: [t[i] for t in out_keys] for i, k in enumerate(keys)}
+        data[blob_col] = list(merged)
+        return pd.DataFrame(data)
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        allp = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        yield _merge_pdf(allp)
+
+    narrow = blobs.select(*keys, blob_col)
+    partials = narrow.mapInPandas(per_partition, schema)
+    return partials.repartition(*[F.col(k) for k in keys]).mapInPandas(
+        per_partition, schema
+    )
+
+
 __all__ = [
     "sketch_column",
     "sketch_by_key",
     "with_quantiles",
     "merge_blob_tree",
+    "merge_blobs_by_key",
 ]

@@ -230,6 +230,144 @@ def grouped_distinct_count(
     )
 
 
+def sketch_cube(
+    df: DataFrame,
+    dims: list[str],
+    value: Column | str,
+    factory,
+    grouping_sets: list[tuple] | None = None,
+    method: str = "combine",
+) -> DataFrame:
+    """Re-aggregatable SKETCH CUBE: scan the fact table ONCE to build
+    leaf sketches at the finest grain (the full ``dims`` tuple), then
+    derive every coarser grouping set purely by MERGING leaf blobs
+    (:func:`agg.merge_blobs_by_key`) — fact rows are never re-scanned
+    or re-shuffled. This is the 100-TB OLAP pattern the mergeability
+    contract exists for: a day×type leaf layer is built in the nightly
+    scan, and month / type / global rollups are answered later from
+    kilobyte blobs. Because sketch merges are associative and lossless
+    for register-style sketches (HLL max, Bloom or, count-min add), a
+    rolled-up sketch is IDENTICAL to one built directly from the raw
+    rows of that group — the cube gate pins that equality, which is
+    also the north-rule merge-associativity evidence in query form.
+
+    ``grouping_sets`` defaults to the rollup chain
+    ``[dims, dims[:-1], ..., ()]``; pass explicit tuples for a full
+    cube. Returns a LAZY DataFrame[dims..., grouping_id int, sketch]
+    where a rolled-up dim is NULL and ``grouping_id`` uses the SQL
+    convention (bit ``len(dims)-1-i`` set ⇔ ``dims[i]`` rolled up), so
+    NULL-as-value and NULL-as-rollup stay distinguishable. The leaf
+    layer is persisted (reused once per grouping set); release it via
+    ``result.release_cache()`` after materializing, or use
+    :func:`sketch_cube_scope`.
+
+    Reference anchor: the reference recomputes each per-chat digest
+    window from raw messages every time (/root/reference/src/digest.rs
+    top-k over a scanned range); the cube is the scan-once /
+    re-aggregate-forever generalization Spark's blob shuffle makes
+    natural.
+    """
+    from .agg import merge_blobs_by_key
+
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    leaves = sketch_by_key(df, list(dims), value, factory, method=method)
+    leaves = leaves.persist()
+    if grouping_sets is None:
+        grouping_sets = [tuple(dims[:i]) for i in range(len(dims), -1, -1)]
+    seen = set()
+    frames = []
+    for gs in grouping_sets:
+        gs = tuple(gs)
+        unknown = [d for d in gs if d not in dims]
+        if unknown:
+            raise ValueError(f"grouping set {gs} not a subset of dims: {unknown}")
+        if gs in seen:
+            continue
+        seen.add(gs)
+        gid = 0
+        for i, d in enumerate(dims):
+            if d not in gs:
+                gid |= 1 << (len(dims) - 1 - i)
+        if set(gs) == set(dims):
+            level = leaves
+        elif gs:
+            level = merge_blobs_by_key(leaves, list(gs), factory)
+        else:
+            level = merge_blobs_by_key(
+                leaves.withColumn("_all", F.lit(0)), ["_all"], factory
+            ).drop("_all")
+        cols = []
+        for d in dims:
+            if d in gs:
+                cols.append(F.col(d))
+            else:
+                cols.append(
+                    F.lit(None).cast(leaves.schema[d].dataType).alias(d)
+                )
+        cols.append(F.lit(gid).cast("int").alias("grouping_id"))
+        cols.append(F.col("sketch"))
+        frames.append(level.select(*cols))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    out.release_cache = leaves.unpersist  # capture BEFORE transforming
+    return out
+
+
+@contextmanager
+def sketch_cube_scope(
+    df: DataFrame,
+    dims: list[str],
+    value: Column | str,
+    factory,
+    grouping_sets: list[tuple] | None = None,
+    method: str = "combine",
+):
+    """Context-manager form of :func:`sketch_cube` with guaranteed
+    leaf-cache cleanup (same contract as
+    :func:`grouped_kmv_overlap_scope`): materialize inside the block."""
+    res = sketch_cube(df, dims, value, factory, grouping_sets, method)
+    release = res.release_cache
+    try:
+        yield res
+    finally:
+        release()
+
+
+def cube_distinct_counts(
+    df: DataFrame,
+    dims: list[str],
+    value: Column | str,
+    p: int = 12,
+    grouping_sets: list[tuple] | None = None,
+) -> DataFrame:
+    """HLL distinct-count cube → DataFrame[dims..., grouping_id,
+    distinct_est double]. Value is cast to string (the key-sketch
+    normalization — see :func:`_grouped_key_sketch`). Lazy; carries the
+    same ``release_cache`` handle as :func:`sketch_cube`."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    col = F.col(value) if isinstance(value, str) else value
+    cube = sketch_cube(
+        df, dims, col.cast("string"), lambda: HLL(p), grouping_sets
+    )
+    fields = [f for f in cube.schema.fields if f.name != "sketch"]
+    out_schema = StructType(fields + [StructField("distinct_est", DoubleType())])
+
+    def extract(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["sketch"])
+            out["distinct_est"] = [
+                HLL.deserialize(bytes(b)).estimate() for b in pdf["sketch"]
+            ]
+            yield out
+
+    res = cube.mapInPandas(extract, out_schema)
+    res.release_cache = cube.release_cache
+    return res
+
+
 def grouped_cm_counts(
     df: DataFrame,
     keys: list[str],

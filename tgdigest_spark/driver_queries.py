@@ -875,6 +875,125 @@ def sketch_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_cube_distinct",
+    """
+    SELECT (CASE WHEN GROUPING(event_type) = 1 THEN 2 ELSE 0 END
+          + CASE WHEN GROUPING(day) = 1 THEN 1 ELSE 0 END) AS grouping_id,
+           event_type,
+           CAST(day AS VARCHAR) AS day_s,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS est_within_bound,
+           TRUE AS merge_equals_direct
+    FROM (SELECT event_type, CAST(ts AS DATE) AS day, user_id
+          FROM events) base
+    GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+    ORDER BY grouping_id, event_type, day_s
+    """,
+)
+def sketch_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE SKETCH CUBE (api.sketch_cube): ONE fact scan
+    builds HLL leaf sketches at (event_type, day) grain; the (type),
+    (day) and global levels are derived purely by merging leaf BLOBS —
+    fact rows are never re-scanned. Gated three ways per cube row:
+    the exact GROUPING SETS distinct count (SQL anchor), a 6-sigma
+    accuracy flag, and merge_equals_direct — the rolled-up estimate
+    must EXACTLY equal an independent sketch built directly from that
+    group's raw rows (HLL register max is associative and lossless, so
+    merge-of-leaves and direct build produce identical registers; any
+    drift is a merge bug). That flag is the north-rule
+    merge-associativity contract in driver-gated query form; it is
+    trivially TRUE on the 150 leaf rows (same code path) and carries
+    its teeth on the 36 rolled rows. At 100 TB the cube is the
+    scan-once / re-aggregate-forever layer: rollups move kilobyte
+    blobs, not petabyte facts.
+
+    Reference anchor: the reference re-scans raw messages per digest
+    window (/root/reference/src/digest.rs); the cube generalizes that
+    to any rollup without a second scan."""
+    from .api import cube_distinct_counts, grouped_distinct_count
+
+    p = 14
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    uid = F.col("user_id").cast("string")
+    cube = cube_distinct_counts(
+        ev,
+        ["event_type", "day"],
+        "user_id",
+        p=p,
+        grouping_sets=[("event_type", "day"), ("event_type",), ("day",), ()],
+    )
+    # exact anchors for every grouping set in one pass; Spark's
+    # grouping_id() bit layout (dims[0] = MSB) matches sketch_cube's
+    exact = ev.cube("event_type", "day").agg(
+        F.grouping_id().alias("grouping_id"),
+        F.countDistinct(uid).alias("exact_distinct"),
+    )
+    # independent DIRECT builds of each rolled level from raw rows —
+    # the associativity oracle for merge-of-leaves
+    d_type = grouped_distinct_count(ev, ["event_type"], uid, p=p).select(
+        F.lit(1).alias("grouping_id"),
+        "event_type",
+        F.lit(None).cast("date").alias("day"),
+        F.col("distinct_est").alias("direct_est"),
+    )
+    d_day = grouped_distinct_count(ev, ["day"], uid, p=p).select(
+        F.lit(2).alias("grouping_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        "day",
+        F.col("distinct_est").alias("direct_est"),
+    )
+    d_all = grouped_distinct_count(
+        ev.withColumn("_all", F.lit(0)), ["_all"], uid, p=p
+    ).select(
+        F.lit(3).alias("grouping_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("date").alias("day"),
+        F.col("distinct_est").alias("direct_est"),
+    )
+    direct = d_type.unionByName(d_day).unionByName(d_all)
+    keys = [
+        cube["grouping_id"] == exact["grouping_id"],
+        cube["event_type"].eqNullSafe(exact["event_type"]),
+        cube["day"].eqNullSafe(exact["day"]),
+    ]
+    joined = cube.join(exact, keys).select(
+        cube["grouping_id"],
+        cube["event_type"],
+        cube["day"],
+        "distinct_est",
+        "exact_distinct",
+    )
+    dkeys = [
+        joined["grouping_id"] == direct["grouping_id"],
+        joined["event_type"].eqNullSafe(direct["event_type"]),
+        joined["day"].eqNullSafe(direct["day"]),
+    ]
+    out = joined.join(direct, dkeys, "left").select(
+        joined["grouping_id"],
+        joined["event_type"],
+        joined["day"].cast("string").alias("day_s"),
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= F.lit(_HLL_TOL) * F.col("exact_distinct")
+        ).alias("est_within_bound"),
+        # leaf rows (gid 0) have no independent direct build — the
+        # leaves ARE the direct build — so the flag holds vacuously
+        F.coalesce(
+            F.col("direct_est") == F.col("distinct_est"), F.lit(True)
+        ).alias("merge_equals_direct"),
+    )
+    res = out.orderBy("grouping_id", "event_type", "day_s")
+    # collect-then-release (repo gate convention): the row count is
+    # bounded by (|types|+1)*(|days|+1) ≈ 200, and releasing the leaf
+    # cache before materializing would recompute the leaves once per
+    # grouping-set branch of the union
+    rows = res.collect()
+    cube.release_cache()
+    return spark.createDataFrame(rows, res.schema)
+
+
+@register(
     "sketch_grouped_cm",
     """
     WITH probes AS (
@@ -4080,10 +4199,12 @@ _GATE_ORDER = [
     "kmv_overlap_event_types",
     "kmv_overlap_distributed_event_types",
     # new in round 6: AMS/Count-Sketch self-join-size + AGMS join-size
-    # + the one-scan MultiSketch shuffle-key profile
+    # + the one-scan MultiSketch shuffle-key profile + the
+    # re-aggregatable HLL sketch cube (merge-of-leaves == direct build)
     "sketch_f2_selfjoin",
     "sketch_join_size",
     "key_skew_profile",
+    "sketch_cube_distinct",
     # remaining r5-window rows keeping fresh driver evidence
     "sketch_kll_quantiles",
     "sketch_cdf_rank",
@@ -4106,11 +4227,11 @@ _GATE_ORDER = [
     "jaccard_prefix_pairs",
     "incremental_dedup_batches",
     "minhash_lsh_neardup",
-    "simhash_summary",
     # --- driver window boundary (position 50) ---
     # parked for round 6: every row below was DRIVER-green in round 5
     # (CORRECTNESS_r05.json) and its code is untouched this round; all
     # remain covered by pytest + the full-registry driver-sim artifact
+    "simhash_summary",
     "ann_cosine_topk",
     "neardup_rescore_exact",
     "ann_lsh_recall",
