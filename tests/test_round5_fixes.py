@@ -94,9 +94,12 @@ def test_gate_window_covers_priority_queries():
         # parked late-r6 to make room for the three new Count-Sketch /
         # MultiSketch rows (sketch_f2_selfjoin, sketch_join_size,
         # key_skew_profile) and the sketch-cube row
-        # (sketch_cube_distinct → simhash_summary parked); every parked
-        # row was driver-green in r5
+        # (sketch_cube_distinct → simhash_summary parked) and the
+        # bloom-pruned join row (bloom_prune_join_orders →
+        # minhash_lsh_neardup parked); every parked row was
+        # driver-green in r5
         "simhash_summary",
+        "minhash_lsh_neardup",
         "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",

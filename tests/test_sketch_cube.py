@@ -148,3 +148,42 @@ def test_bad_grouping_set_raises(spark):
                     grouping_sets=[("nope",)])
     with pytest.raises(ValueError):
         sketch_cube(df, [], "v", lambda: HLL(12))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join (api.bloom_prune_join) — exactness + how validation
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prune_join_exact_and_rejects_outer(spark, sf001_dir):
+    from tgdigest_spark.api import bloom_prune_join
+
+    orders = spark.read.parquet(os.path.join(sf001_dir, "orders.parquet"))
+    cust = spark.read.parquet(
+        os.path.join(sf001_dir, "customer.parquet")
+    ).where(F.col("c_mktsegment") == "MACHINERY")
+    got = (
+        bloom_prune_join(orders, cust, "o_custkey", "c_custkey")
+        .select("o_orderkey", "c_custkey")
+        .sort("o_orderkey")
+        .collect()
+    )
+    exact = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("o_orderkey", "c_custkey")
+        .sort("o_orderkey")
+        .collect()
+    )
+    assert got == exact and len(exact) > 0
+    # left_semi keeps only fact columns, exact vs plain semi
+    from tgdigest_spark.api import bloom_prune_join as bpj
+
+    semi = bpj(orders, cust, "o_custkey", "c_custkey", how="left_semi")
+    plain = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_semi"
+    )
+    assert sorted(r["o_orderkey"] for r in semi.collect()) == sorted(
+        r["o_orderkey"] for r in plain.collect()
+    )
+    with pytest.raises(ValueError):
+        bpj(orders, cust, "o_custkey", "c_custkey", how="left")

@@ -638,6 +638,52 @@ def membership_prune(df: DataFrame, value: Column | str, bloom: Bloom) -> DataFr
     return df.where(probably_member(col.cast("string")))
 
 
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    capacity: int | None = None,
+    fpr: float = 0.01,
+) -> DataFrame:
+    """Sketch-accelerated join: EXACTLY ``fact.join(dim, fact[fact_key]
+    == dim[dim_key], how)``, with the fact side pre-filtered through a
+    Bloom filter built on the dim side's keys BEFORE the join shuffle.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling only plausibly-matching rows: a selective dim
+    (a customer segment, a benchmark id-list, yesterday's active
+    conversations) prunes the fact scan down to
+    ``selectivity + fpr·(1-selectivity)`` of its rows with a
+    megabyte-scale filter that ships once per executor — the same
+    runtime-filter idea Spark's own bloom-filter join (SPARK-32268)
+    applies, expressed over this library's mergeable Bloom so it also
+    works on Connect, on non-equi follow-up logic, and on filters
+    PERSISTED from a previous job.
+
+    Exactness: the Bloom has no false negatives, so no matching fact
+    row is dropped; false positives (≤ fpr of non-matching rows) pass
+    the pre-filter but are eliminated by the real join. Only join types
+    whose result cannot depend on pruned non-matching fact rows are
+    allowed: ``inner`` and ``left_semi`` (a left/outer join must keep
+    unmatched fact rows, which pruning would drop — rejected).
+
+    Reference anchor: the reference's per-chat caches join message
+    frames against an in-memory id set (/root/reference/src/cache.rs:
+    181); this is that pattern with the id set compressed to a Bloom
+    and pushed below the shuffle.
+    """
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            f"bloom_prune_join supports inner/left_semi joins, got {how!r}"
+            " — pruning the fact side would change outer-join results"
+        )
+    bloom = build_membership(dim, F.col(dim_key), capacity=capacity, fpr=fpr)
+    pruned = membership_prune(fact, F.col(fact_key), bloom)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
+
+
 # ---------------------------------------------------------------------------
 # KLL variants of the quantile queries
 # ---------------------------------------------------------------------------
