@@ -100,6 +100,8 @@ def test_gate_window_covers_priority_queries():
         # driver-green in r5
         "simhash_summary",
         "minhash_lsh_neardup",
+        # sliding_window_distinct → jaccard_prefix_pairs parked (r5 green)
+        "jaccard_prefix_pairs",
         "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",

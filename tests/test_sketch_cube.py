@@ -187,3 +187,58 @@ def test_bloom_prune_join_exact_and_rejects_outer(spark, sf001_dir):
     )
     with pytest.raises(ValueError):
         bpj(orders, cust, "o_custkey", "c_custkey", how="left")
+
+
+# ---------------------------------------------------------------------------
+# Pane-merged sliding windows (api.sliding_window_sketches)
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_windows_pane_merge_bit_exact(spark, sf001_dir):
+    from tgdigest_spark.api import sliding_distinct_counts
+
+    ev = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    got = {
+        r["window_start"]: r["distinct_est"]
+        for r in sliding_distinct_counts(ev, "ts", "user_id", 6, 2, p=13)
+        .collect()
+    }
+    # window set contract: exactly the windows containing >=1 pane
+    pidx = F.floor(F.unix_date(F.to_date("ts")) / 2)
+    panes = {r["p"] for r in ev.select(pidx.alias("p")).distinct().collect()}
+    expect_widx = {p - g for p in panes for g in range(3)}
+    got_widx = {(ws.toordinal() - 719163) // 2 for ws in got}  # 719163 = 1970-01-01
+    assert got_widx == expect_widx
+    # bit-exact vs a direct per-window build from exploded raw rows
+    from tgdigest_spark.api import grouped_distinct_count
+
+    facts_w = ev.select(
+        F.explode(F.sequence(pidx - 2, pidx)).alias("w"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    direct = {
+        r["w"]: r["distinct_est"]
+        for r in grouped_distinct_count(facts_w, ["w"], "u", p=13).collect()
+    }
+    for ws, est in got.items():
+        assert direct[(ws.toordinal() - 719163) // 2] == est
+    # layout independence: shuffled input, identical estimates
+    got2 = {
+        r["window_start"]: r["distinct_est"]
+        for r in sliding_distinct_counts(
+            ev.repartition(13, F.xxhash64("ts", "user_id")),
+            "ts", "user_id", 6, 2, p=13,
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_sliding_windows_bad_args(spark):
+    from tgdigest_spark.api import sliding_window_sketches
+
+    df = spark.createDataFrame([("2024-01-01", "a")], "ts string, v string")
+    for w, s in ((5, 2), (0, 1), (4, 0)):
+        with pytest.raises(ValueError):
+            sliding_window_sketches(
+                df, F.to_timestamp("ts"), "v", lambda: HLL(12), w, s
+            )

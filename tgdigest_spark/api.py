@@ -368,6 +368,98 @@ def cube_distinct_counts(
     return res
 
 
+def sliding_window_sketches(
+    df: DataFrame,
+    ts: Column | str,
+    value: Column | str,
+    factory,
+    window_days: int,
+    slide_days: int,
+    method: str = "combine",
+) -> DataFrame:
+    """PANE-MERGED sliding event-time windows: each fact row is
+    sketched into exactly ONE pane (the slide-granularity bucket), and
+    every sliding window of ``window_days`` is derived by merging its
+    ``window_days / slide_days`` pane BLOBS. Spark's native
+    ``window(ts, '7 days', '1 day')`` replicates every fact row
+    window/slide times before the shuffle; here the replication factor
+    applies to kilobyte pane blobs instead — at 10^12 turns that is the
+    difference between shuffling 7 PB and 7 MB for a 7d/1d distinct-
+    users dashboard. Same mergeability contract as the sketch cube:
+    for register sketches the pane-merged window is bit-identical to a
+    sketch built directly from the window's raw rows.
+
+    Pane grid is tz-free: ``to_date(ts)`` (NTZ-safe) → epoch-day
+    ``unix_date`` → integer division by ``slide_days``. A window is
+    emitted iff it contains at least one non-empty pane. Returns
+    DataFrame[window_start date, sketch binary] — window covers
+    ``[window_start, window_start + window_days)``.
+    """
+    from .agg import merge_blobs_by_key
+
+    if window_days <= 0 or slide_days <= 0 or window_days % slide_days:
+        raise ValueError(
+            "window_days must be a positive multiple of slide_days"
+        )
+    panes_per_window = window_days // slide_days
+    col = F.col(value) if isinstance(value, str) else value
+    tcol = F.col(ts) if isinstance(ts, str) else ts
+    pidx = F.floor(F.unix_date(F.to_date(tcol)) / slide_days).alias("_pidx")
+    leaves = sketch_by_key(
+        df.select(pidx, col.alias("_v")), ["_pidx"], "_v", factory,
+        method=method,
+    )
+    # explode pane blobs to the windows containing them: pane p belongs
+    # to windows p-k+1 .. p (k = panes_per_window) on the slide grid
+    exploded = leaves.select(
+        F.explode(
+            F.sequence(
+                F.col("_pidx") - (panes_per_window - 1), F.col("_pidx")
+            )
+        ).alias("_widx"),
+        "sketch",
+    )
+    merged = merge_blobs_by_key(exploded, ["_widx"], factory)
+    return merged.select(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.col("_widx") * slide_days).cast("int"),
+        ).alias("window_start"),
+        "sketch",
+    )
+
+
+def sliding_distinct_counts(
+    df: DataFrame,
+    ts: Column | str,
+    value: Column | str,
+    window_days: int,
+    slide_days: int,
+    p: int = 12,
+) -> DataFrame:
+    """HLL distinct counts per sliding window →
+    DataFrame[window_start date, distinct_est double]."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    col = F.col(value) if isinstance(value, str) else value
+    sk = sliding_window_sketches(
+        df, ts, col.cast("string"), lambda: HLL(p), window_days, slide_days
+    )
+    out_schema = StructType(
+        [sk.schema["window_start"], StructField("distinct_est", DoubleType())]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["sketch"])
+            out["distinct_est"] = [
+                HLL.deserialize(bytes(b)).estimate() for b in pdf["sketch"]
+            ]
+            yield out
+
+    return sk.mapInPandas(extract, out_schema)
+
+
 def grouped_cm_counts(
     df: DataFrame,
     keys: list[str],

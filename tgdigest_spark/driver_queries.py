@@ -636,6 +636,90 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_distinct",
+    """
+    WITH panes AS (
+        SELECT DISTINCT CAST(FLOOR(
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 2
+        ) AS BIGINT) AS pidx
+        FROM events
+    ), wins AS (
+        SELECT DISTINCT pidx - g AS widx
+        FROM panes, generate_series(0, 2) t(g)
+    ), w AS (
+        SELECT widx, DATE '1970-01-01' + CAST(widx * 2 AS INTEGER) AS ws
+        FROM wins
+    )
+    SELECT CAST(w.ws AS VARCHAR) AS window_start_s,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS est_within_bound,
+           TRUE AS merge_equals_direct
+    FROM w
+    JOIN (SELECT CAST(ts AS DATE) AS d, user_id FROM events) e
+      ON e.d >= w.ws AND e.d < w.ws + 6
+    GROUP BY w.ws
+    ORDER BY w.ws
+    """,
+)
+def sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PANE-MERGED sliding windows (api.sliding_window_sketches):
+    6-day windows sliding every 2 days over events — each fact row is
+    sketched into ONE 2-day pane, and every window is derived by
+    merging its 3 pane blobs. The naive Spark ``window(ts, '6 days',
+    '2 days')`` would replicate every fact row 3x before the shuffle;
+    the pane form replicates kilobyte blobs instead (at 10^12 turns:
+    blobs, not petabytes). Gated per window as the exact
+    range-predicate distinct count (SQL anchor), a 6-sigma accuracy
+    flag, and merge_equals_direct — the pane-merged estimate must
+    BIT-EXACTLY equal an independent HLL built from the window's raw
+    rows (register max is associative/lossless; drift = merge bug).
+    Tz-free pane grid: to_date on NTZ → unix_date → integer division.
+
+    Reference anchor: the reference recomputes each digest window from
+    a raw scan (/root/reference/src/digest.rs); panes make the sliding
+    form incremental."""
+    from .api import grouped_distinct_count, sliding_distinct_counts
+
+    p, slide, k = 14, 2, 3  # 6-day window = 3 panes of 2 days
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    est = sliding_distinct_counts(ev, "ts", "user_id", 6, slide, p=p)
+    # window index for joining: days(window_start)/slide
+    est = est.withColumn(
+        "_widx", (F.unix_date("window_start") / slide).cast("long")
+    )
+    # facts exploded into their windows — the naive path, used here
+    # only as the per-window exact anchor + independent direct build
+    pidx = F.floor(F.unix_date(F.to_date("ts")) / slide)
+    facts_w = ev.select(
+        F.explode(F.sequence(pidx - (k - 1), pidx)).alias("_widx"),
+        uid.alias("u"),
+    )
+    exact = facts_w.groupBy("_widx").agg(
+        F.countDistinct("u").alias("exact_distinct")
+    )
+    direct = grouped_distinct_count(facts_w, ["_widx"], "u", p=p).select(
+        "_widx", F.col("distinct_est").alias("direct_est")
+    )
+    return (
+        est.join(exact, "_widx")
+        .join(direct, "_widx")
+        .select(
+            F.col("window_start").cast("string").alias("window_start_s"),
+            "exact_distinct",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                <= F.lit(_HLL_TOL) * F.col("exact_distinct")
+            ).alias("est_within_bound"),
+            (F.col("direct_est") == F.col("distinct_est")).alias(
+                "merge_equals_direct"
+            ),
+        )
+        .orderBy("window_start_s")
+    )
+
+
+@register(
     "bloom_prune_join_orders",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_join_rows,
@@ -4276,6 +4360,7 @@ _GATE_ORDER = [
     "key_skew_profile",
     "sketch_cube_distinct",
     "bloom_prune_join_orders",
+    "sliding_window_distinct",
     # remaining r5-window rows keeping fresh driver evidence
     "sketch_kll_quantiles",
     "sketch_cdf_rank",
@@ -4295,9 +4380,9 @@ _GATE_ORDER = [
     "embedding_neardup_lsh",
     "text_stats",
     "ngram_jaccard_topk",
-    "jaccard_prefix_pairs",
     "incremental_dedup_batches",
     # --- driver window boundary (position 50) ---
+    "jaccard_prefix_pairs",
     # parked for round 6: every row below was DRIVER-green in round 5
     # (CORRECTNESS_r05.json) and its code is untouched this round; all
     # remain covered by pytest + the full-registry driver-sim artifact
