@@ -100,8 +100,10 @@ def test_gate_window_covers_priority_queries():
         # driver-green in r5
         "simhash_summary",
         "minhash_lsh_neardup",
-        # sliding_window_distinct → jaccard_prefix_pairs parked (r5 green)
+        # sliding_window_distinct → jaccard_prefix_pairs parked;
+        # sketch_table_rollup → ngram_jaccard_topk parked (both r5 green)
         "jaccard_prefix_pairs",
+        "ngram_jaccard_topk",
         "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",

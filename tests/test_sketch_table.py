@@ -1,0 +1,94 @@
+"""Persisted keyed sketch tables (sources/sketch_table.py): write leaf
+blobs once, read back later, roll up by merging — facts never re-read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tgdigest_spark.agg import merge_blobs_by_key, sketch_by_key
+from tgdigest_spark.api import grouped_distinct_count
+from tgdigest_spark.sketches import HLL
+from tgdigest_spark.sources.sketch_table import (
+    read_sketch_table,
+    write_sketch_table,
+)
+
+
+def _leaves(spark, sf001_dir):
+    ev = spark.read.parquet(
+        os.path.join(sf001_dir, "events.parquet")
+    ).withColumn("day", F.to_date("ts"))
+    return ev, sketch_by_key(
+        ev, ["event_type", "day"], F.col("user_id").cast("string"),
+        lambda: HLL(13),
+    )
+
+
+def test_round_trip_rollup_bit_exact(spark, sf001_dir, tmp_path):
+    ev, leaves = _leaves(spark, sf001_dir)
+    path = str(tmp_path / "tbl")
+    meta = write_sketch_table(leaves, path, "hll", {"p": 13})
+    assert meta["keys"] == ["event_type", "day"]
+    back, meta2 = read_sketch_table(spark, path, expect_kind="hll",
+                                    expect_params={"p": 13})
+    assert meta2 == meta
+    rolled = merge_blobs_by_key(back, ["event_type"], lambda: HLL(13))
+    got = {
+        r["event_type"]: HLL.deserialize(bytes(r["sketch"])).estimate()
+        for r in rolled.collect()
+    }
+    direct = grouped_distinct_count(
+        ev, ["event_type"], F.col("user_id").cast("string"), p=13
+    ).collect()
+    assert len(direct) == len(got)
+    for r in direct:
+        assert got[r["event_type"]] == r["distinct_est"]
+
+
+def test_partitioned_layout_prunes(spark, sf001_dir, tmp_path):
+    _, leaves = _leaves(spark, sf001_dir)
+    path = str(tmp_path / "part")
+    write_sketch_table(leaves, path, "hll", {"p": 13},
+                       partition_by=["event_type"])
+    back, _ = read_sketch_table(spark, path)
+    one = back.where(F.col("event_type") == "click")
+    one.collect()  # numFiles is only populated after an action
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # hive-partitioned on event_type: the filter must prune partitions,
+    # not appear as a post-scan filter over all files
+    assert "PartitionFilters: []" not in plan
+
+
+def test_mismatch_and_partial_write_fail_fast(spark, sf001_dir, tmp_path):
+    _, leaves = _leaves(spark, sf001_dir)
+    path = str(tmp_path / "tbl2")
+    write_sketch_table(leaves, path, "hll", {"p": 13})
+    with pytest.raises(ValueError, match="expected"):
+        read_sketch_table(spark, path, expect_kind="tdigest")
+    with pytest.raises(ValueError, match="params"):
+        read_sketch_table(spark, path, expect_params={"p": 12})
+    with pytest.raises(ValueError, match="append refused"):
+        write_sketch_table(leaves, path, "hll", {"p": 12}, mode="append")
+    # a crashed write leaves no manifest -> refused
+    os.remove(os.path.join(path, "_sketch_meta.json"))
+    with pytest.raises(FileNotFoundError):
+        read_sketch_table(spark, path)
+    with pytest.raises(ValueError, match="blob column"):
+        write_sketch_table(leaves.drop("sketch"), str(tmp_path / "x"),
+                           "hll", {"p": 13})
+
+
+def test_append_same_params_accumulates(spark, sf001_dir, tmp_path):
+    ev, leaves = _leaves(spark, sf001_dir)
+    path = str(tmp_path / "appnd")
+    a = leaves.where(F.col("event_type") < "m")
+    b = leaves.where(~(F.col("event_type") < "m"))
+    write_sketch_table(a, path, "hll", {"p": 13})
+    write_sketch_table(b, path, "hll", {"p": 13}, mode="append")
+    back, _ = read_sketch_table(spark, path)
+    assert back.count() == leaves.count()

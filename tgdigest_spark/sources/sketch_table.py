@@ -1,0 +1,133 @@
+"""Persisted KEYED sketch tables: parquet of [keys..., sketch binary]
+rows plus a manifest pinning the sketch kind and parameters.
+
+This is the storage half of the re-aggregation story
+(:func:`tgdigest_spark.agg.merge_blobs_by_key`,
+:func:`tgdigest_spark.api.sketch_cube`): a nightly job scans the fact
+table ONCE and writes leaf sketches at the finest useful grain
+(e.g. conv_id-bucket × day); every later rollup — month, segment,
+global, any ad-hoc slice — reads kilobyte blobs and merges, never
+touching facts again. Parquet keeps the layer cluster-native (predicate
+pushdown and partition pruning on the key columns select which blobs a
+rollup even reads), unlike the per-partition blob files of
+``plans/checkpoints.py``, which serve the single-global-sketch resume
+path.
+
+The manifest exists because blobs are only mergeable between sketches
+of IDENTICAL kind and shape (HLL p, CM depth×width, t-digest delta…):
+merging mismatched blobs is a silent-corruption class the MAGIC headers
+catch only per pair at executor time. ``read_sketch_table`` fails fast,
+driver-side, before any work is scheduled.
+
+Reference anchor: the reference persists per-chat caches keyed by
+message id ranges (/root/reference/src/cache.rs) and re-reads them per
+digest; a sketch table is that cache generalized to mergeable
+aggregates with explicit compatibility metadata.
+
+The manifest is written with driver-local file IO (same convention as
+the checkpoint store's manifest/lineage files): the table path must be
+on a driver-visible filesystem. On object storage, carry the same
+metadata as Iceberg table properties instead — the parquet layout is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_META_NAME = "_sketch_meta.json"
+FORMAT_VERSION = 1
+
+
+def write_sketch_table(
+    blobs: DataFrame,
+    path: str,
+    sketch_kind: str,
+    params: dict,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    blob_col: str = "sketch",
+) -> dict:
+    """Write a keyed blob frame as a sketch table; returns the manifest.
+
+    ``params`` must pin every parameter that affects mergeability
+    (e.g. ``{"p": 14}`` for HLL). ``partition_by`` hive-partitions the
+    parquet by key columns so later rollups that filter on them prune
+    whole directories. Appending (``mode='append'``) to an existing
+    table requires an identical kind+params manifest — refused
+    otherwise.
+    """
+    if blob_col not in blobs.columns:
+        raise ValueError(f"blob column {blob_col!r} not in {blobs.columns}")
+    keys = [c for c in blobs.columns if c != blob_col]
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "sketch_kind": str(sketch_kind),
+        "params": dict(params),
+        "keys": keys,
+        "blob_col": blob_col,
+    }
+    meta_path = os.path.join(path, _META_NAME)
+    if mode == "append" and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            existing = json.load(fh)
+        if (existing.get("sketch_kind"), existing.get("params")) != (
+            meta["sketch_kind"],
+            meta["params"],
+        ):
+            raise ValueError(
+                "append refused: existing table holds "
+                f"{existing.get('sketch_kind')}{existing.get('params')}, "
+                f"got {meta['sketch_kind']}{meta['params']}"
+            )
+    writer = blobs.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    # manifest AFTER the data write: a crash mid-write leaves a
+    # manifest-less directory that read_sketch_table refuses, instead
+    # of a valid-looking table with partial data
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return meta
+
+
+def read_sketch_table(
+    spark: SparkSession,
+    path: str,
+    expect_kind: str | None = None,
+    expect_params: dict | None = None,
+) -> tuple[DataFrame, dict]:
+    """Read a sketch table → (blobs DataFrame, manifest).
+
+    Fails fast driver-side when the manifest is missing (partial write)
+    or the caller's expected kind/params don't match — the conditions
+    under which a blob merge would corrupt silently.
+    """
+    meta_path = os.path.join(path, _META_NAME)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{path} has no {_META_NAME} — not a sketch table, or a "
+            "crashed write; rebuild it"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"sketch table format {meta.get('format_version')} != "
+            f"{FORMAT_VERSION}"
+        )
+    if expect_kind is not None and meta["sketch_kind"] != expect_kind:
+        raise ValueError(
+            f"sketch table holds {meta['sketch_kind']!r}, caller expected "
+            f"{expect_kind!r} — merging mismatched sketches corrupts"
+        )
+    if expect_params is not None and meta["params"] != expect_params:
+        raise ValueError(
+            f"sketch table params {meta['params']} != expected "
+            f"{expect_params}"
+        )
+    return spark.read.parquet(path), meta
