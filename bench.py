@@ -843,6 +843,125 @@ def run_overlapstress(
     return out
 
 
+def run_cubestress(n_rows: int = 20_000_000) -> dict:
+    """Scale-stress for the round-6 re-aggregation surfaces.
+
+    Leg 1 vs 2 — the sliding-window replication claim measured:
+    7-day/1-day distinct users over 60 days of 2·10^7 facts. The naive
+    form explodes every fact row into its 7 windows BEFORE the shuffle
+    (7x raw-row shuffle + 7x aggregation state); the pane form sketches
+    each row into ONE daily pane and derives windows by merging 7 pane
+    BLOBS. Same answer semantics (HLL vs exact recorded separately —
+    leg 2 is the exact groupBy the pane form replaces).
+
+    Leg 3 — merge_blobs_by_key at 6M leaves: roll (bucket × day) leaf
+    sketches (100k buckets × 60 days) up to bucket level. The map-side
+    combine bounds the blob shuffle at min(B, G·P) partials — measured
+    here, since at 10^12 turns the leaf layer IS the big table.
+    """
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.agg import merge_blobs_by_key, sketch_by_key
+    from tgdigest_spark.api import sliding_distinct_counts
+    from tgdigest_spark.session import get_spark
+    from tgdigest_spark.sketches import HLL
+
+    spark = get_spark(
+        "tgdigest-cubestress",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf=_BENCH_CONF,
+    )
+    n_days, win, slide = 60, 7, 1
+    facts = spark.range(n_rows).select(
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            F.pmod("id", F.lit(n_days)).cast("int"),
+        ).alias("d"),
+        (F.xxhash64("id") % 5_000_000).cast("string").alias("u"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100_000))).alias("bucket"),
+    )
+    facts = facts.withColumn("ts", F.col("d").cast("timestamp"))
+
+    def q_pane_sliding():
+        return (
+            sliding_distinct_counts(facts, "ts", "u", win, slide, p=12)
+            .agg(
+                F.count(F.lit(1)).alias("n_windows"),
+                F.sum("distinct_est").alias("s"),
+            )
+            .collect()[0]
+        )
+
+    def q_naive_exact_sliding():
+        pidx = F.unix_date(F.to_date("ts"))
+        exploded = facts.select(
+            F.explode(F.sequence(pidx - (win - 1), pidx)).alias("w"), "u"
+        )
+        return (
+            exploded.groupBy("w")
+            .agg(F.countDistinct("u").alias("n"))
+            .agg(F.count(F.lit(1)).alias("n_windows"), F.sum("n").alias("s"))
+            .collect()[0]
+        )
+
+    leaves = sketch_by_key(
+        facts, ["bucket", "d"], "u", lambda: HLL(7)
+    ).localCheckpoint(eager=True)  # isolate leg 3 to the ROLLUP cost
+    n_leaves = leaves.count()
+
+    def q_rollup_6m_leaves():
+        rolled = merge_blobs_by_key(leaves, ["bucket"], lambda: HLL(7))
+        return rolled.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.length("sketch")).alias("bytes"),
+        ).collect()[0]
+
+    legs: dict[str, dict] = {}
+    for name, fn in (
+        ("pane_sliding_7d1d", q_pane_sliding),
+        ("naive_exact_sliding_7d1d", q_naive_exact_sliding),
+        ("rollup_6m_leaves", q_rollup_6m_leaves),
+    ):
+        fn()  # identical warmup (spawns the full worker set)
+        pre_stages = _completed_stage_ids(spark)
+        s0 = _shuffle_totals(spark)
+        t0 = time.perf_counter()
+        row = fn()
+        wall = time.perf_counter() - t0
+        s1 = _shuffle_totals(spark)
+        new_stages = (
+            _completed_stage_ids(spark) - pre_stages if pre_stages else set()
+        )
+        legs[name] = {
+            "wall_s": round(wall, 3),
+            "shuffle_read_mb": round((s1[0] - s0[0]) / 1e6, 2)
+            if s0 and s1
+            else None,
+            "max_task_ms": _max_task_ms(spark, new_stages),
+            "result": {k: float(row[k]) for k in row.asDict()},
+        }
+        print(f"{name}: {legs[name]}", flush=True)
+    out = {
+        "metric": "cubestress",
+        "value": round(sum(l["wall_s"] for l in legs.values()), 3),
+        "unit": "sec",
+        "queries": {n: l["wall_s"] for n, l in legs.items()},
+        "legs": legs,
+        "sf": SF,
+        "extra": {
+            "n_rows": n_rows,
+            "n_days": n_days,
+            "window_days": win,
+            "slide_days": slide,
+            "n_leaves": int(n_leaves),
+            "cpus": CPUS,
+        },
+    }
+    spark.stop()
+    return out
+
+
 def run_rehearse100x(target_rows: int = 100_000_000) -> dict:
     """One-command 100x rehearsal: replicate the sf transcripts to
     ~10^8 rows ON DISK (written once, cached), run the transcript
@@ -1112,5 +1231,7 @@ if __name__ == "__main__":
         print(json.dumps(run_skewstress()))
     elif "--overlapstress" in sys.argv:
         print(json.dumps(run_overlapstress()))
+    elif "--cubestress" in sys.argv:
+        print(json.dumps(run_cubestress()))
     else:
         print(json.dumps(run_bench()))

@@ -242,3 +242,37 @@ def test_sliding_windows_bad_args(spark):
             sliding_window_sketches(
                 df, F.to_timestamp("ts"), "v", lambda: HLL(12), w, s
             )
+
+
+def test_sliding_windows_grouped_by_key(spark, sf001_dir):
+    from tgdigest_spark.api import sliding_window_sketches
+
+    ev = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    sk = sliding_window_sketches(
+        ev, "ts", F.col("user_id").cast("string"), lambda: HLL(13),
+        6, 2, keys=["event_type"],
+    )
+    got = {
+        (r["event_type"], r["window_start"]):
+            HLL.deserialize(bytes(r["sketch"])).estimate()
+        for r in sk.collect()
+    }
+    # spot-check three (type, window) cells against exact range counts
+    import itertools
+    for (t, ws) in itertools.islice(sorted(got), 0, 9, 4):
+        import datetime
+        w1 = ws + datetime.timedelta(days=6)
+        ex = (
+            ev.where(
+                (F.col("event_type") == t)
+                & (F.to_date("ts") >= F.lit(ws))
+                & (F.to_date("ts") < F.lit(w1))
+            )
+            .select(F.countDistinct(F.col("user_id").cast("string")).alias("d"))
+            .collect()[0]["d"]
+        )
+        assert abs(got[(t, ws)] - ex) <= 0.05 * max(ex, 1)
+    with pytest.raises(ValueError, match="reserved"):
+        sliding_window_sketches(
+            ev, "ts", "user_id", lambda: HLL(12), 6, 2, keys=["_widx"]
+        )

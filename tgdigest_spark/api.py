@@ -376,6 +376,7 @@ def sliding_window_sketches(
     window_days: int,
     slide_days: int,
     method: str = "combine",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """PANE-MERGED sliding event-time windows: each fact row is
     sketched into exactly ONE pane (the slide-granularity bucket), and
@@ -391,8 +392,11 @@ def sliding_window_sketches(
 
     Pane grid is tz-free: ``to_date(ts)`` (NTZ-safe) → epoch-day
     ``unix_date`` → integer division by ``slide_days``. A window is
-    emitted iff it contains at least one non-empty pane. Returns
-    DataFrame[window_start date, sketch binary] — window covers
+    emitted iff it contains at least one non-empty pane (per group,
+    when ``keys`` are given — pass ``keys=['tool']`` for a per-tool
+    dashboard; panes are then (tool, pane) grains and windows roll up
+    within each tool). Returns DataFrame[keys..., window_start date,
+    sketch binary] — window covers
     ``[window_start, window_start + window_days)``.
     """
     from .agg import merge_blobs_by_key
@@ -401,17 +405,24 @@ def sliding_window_sketches(
         raise ValueError(
             "window_days must be a positive multiple of slide_days"
         )
+    keys = list(keys or [])
+    if "_pidx" in keys or "_widx" in keys:
+        raise ValueError("keys may not use the reserved _pidx/_widx names")
     panes_per_window = window_days // slide_days
     col = F.col(value) if isinstance(value, str) else value
     tcol = F.col(ts) if isinstance(ts, str) else ts
     pidx = F.floor(F.unix_date(F.to_date(tcol)) / slide_days).alias("_pidx")
     leaves = sketch_by_key(
-        df.select(pidx, col.alias("_v")), ["_pidx"], "_v", factory,
+        df.select(*keys, pidx, col.alias("_v")),
+        keys + ["_pidx"],
+        "_v",
+        factory,
         method=method,
     )
     # explode pane blobs to the windows containing them: pane p belongs
     # to windows p-k+1 .. p (k = panes_per_window) on the slide grid
     exploded = leaves.select(
+        *keys,
         F.explode(
             F.sequence(
                 F.col("_pidx") - (panes_per_window - 1), F.col("_pidx")
@@ -419,8 +430,9 @@ def sliding_window_sketches(
         ).alias("_widx"),
         "sketch",
     )
-    merged = merge_blobs_by_key(exploded, ["_widx"], factory)
+    merged = merge_blobs_by_key(exploded, keys + ["_widx"], factory)
     return merged.select(
+        *keys,
         F.date_add(
             F.lit("1970-01-01").cast("date"),
             (F.col("_widx") * slide_days).cast("int"),
