@@ -276,3 +276,74 @@ def test_sliding_windows_grouped_by_key(spark, sf001_dir):
         sliding_window_sketches(
             ev, "ts", "user_id", lambda: HLL(12), 6, 2, keys=["_widx"]
         )
+
+
+# ---------------------------------------------------------------------------
+# HLL bulk tiny-group hooks — bit-exact vs the per-group object path
+# ---------------------------------------------------------------------------
+
+
+def test_hll_bulk_hooks_bit_exact_vs_object_path():
+    import numpy as np
+    import pandas as pd
+
+    from tgdigest_spark.sketches.hashing import base_hash_full
+
+    rng = np.random.default_rng(11)
+    vals = pd.Series([f"u{v}" for v in rng.integers(0, 3000, 30000)])
+    codes = rng.integers(0, 500, 30000)
+    want = {}
+    for g in range(500):
+        h = HLL(12)
+        h.update(vals[codes == g])
+        want[g] = h
+    h_all, mask = base_hash_full(vals)
+    assert mask.all()
+    order = np.argsort(codes, kind="stable")
+    c_s, h_s = codes[order], h_all[order]
+    starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+    ends = np.r_[starts[1:], c_s.size]
+    blobs = HLL(12).serialize_hashed_groups_like(h_s, starts, ends)
+    for i, g in enumerate(c_s[starts]):
+        got = HLL.deserialize(blobs[i])
+        w = want[g]
+        got._densify()
+        w._densify()
+        assert (got.registers == w.registers).all()
+    # merge hook vs sequential folds, incl. an empty run and a dense blob
+    dense = HLL(12, sparse=False).update(vals[:5000])
+    bl = np.array(blobs[:20] + [dense.serialize()], dtype=object)
+    st = np.array([0, 8, 8])
+    en = np.array([8, 8, 21])
+    merged = HLL(12).merge_blob_groups_like(bl, st, en)
+    for (s, e), mb in zip(zip(st, en), merged):
+        acc = HLL(12)
+        for b in bl[s:e]:
+            acc.merge(HLL.deserialize(bytes(b)))
+        got = HLL.deserialize(mb)
+        got._densify()
+        acc._densify()
+        assert (got.registers == acc.registers).all()
+
+
+def test_hll_bulk_path_used_by_sketch_by_key_multikey(spark, sf001_dir):
+    """Multi-key grouped HLL goes through the hashed-bulk partition path
+    (any key count) — results must match per-group exact counts at the
+    sparse-regime cardinalities where HLL is exact."""
+    ev = _events(spark, sf001_dir)
+    leaves = sketch_by_key(
+        ev, ["event_type", "day"], F.col("user_id").cast("string"),
+        lambda: HLL(14),
+    )
+    got = {
+        (r["event_type"], r["day"]):
+            HLL.deserialize(bytes(r["sketch"])).estimate()
+        for r in leaves.collect()
+    }
+    exact = ev.groupBy("event_type", "day").agg(
+        F.countDistinct(F.col("user_id").cast("string")).alias("n")
+    ).collect()
+    assert len(exact) == len(got)
+    for r in exact:
+        est = got[(r["event_type"], r["day"])]
+        assert abs(est - r["n"]) <= 0.05 * max(r["n"], 1)

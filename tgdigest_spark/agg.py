@@ -204,6 +204,58 @@ def sketch_by_key(
         proto = factory()
         bulk = getattr(proto, "from_sorted_like", None)
         ser_bulk = getattr(proto, "serialize_sorted_groups_like", None)
+        hashed_bulk = getattr(proto, "serialize_hashed_groups_like", None)
+
+        def _bulk_hashed_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+            """Millions-of-tiny-groups fast path for HASH-domain
+            sketches (HLL): works for any key count and any value
+            dtype, because the values are hashed ONCE per partition
+            (base_hash_full) instead of once per group — the per-call
+            hash_pandas_object overhead was the whole cost of the
+            object path at tiny group sizes (measured: 16 workers
+            pinned for minutes on 6M (bucket, day) groups that the
+            bulk path builds in seconds)."""
+            import numpy as np
+
+            from .sketches.hashing import base_hash_full
+
+            if len(keys) == 1:
+                codes, uniq = pd.factorize(
+                    pdf[keys[0]], use_na_sentinel=False
+                )
+            else:
+                mi = pd.MultiIndex.from_frame(pdf[list(keys)])
+                codes, uniq = pd.factorize(mi, use_na_sentinel=False)
+            h_all, mask = base_hash_full(pdf["v"])
+            codes_v = codes[mask]
+            h_v = h_all[mask]
+            order = np.argsort(codes_v, kind="stable")
+            codes_s, h_s = codes_v[order], h_v[order]
+            if codes_s.size:
+                starts = np.flatnonzero(
+                    np.r_[True, codes_s[1:] != codes_s[:-1]]
+                )
+                ends = np.r_[starts[1:], codes_s.size]
+                seg_codes = codes_s[starts]
+            else:
+                starts = ends = seg_codes = np.empty(0, dtype=np.int64)
+            blobs = hashed_bulk(h_s, starts, ends)
+            sel = list(seg_codes)
+            # groups whose values were all-null still get an (empty)
+            # sketch — one shared blob, they are all identical
+            missing = np.setdiff1d(np.arange(len(uniq)), seg_codes)
+            if missing.size:
+                sel += list(missing)
+                blobs = list(blobs) + [factory().serialize()] * missing.size
+            out_keys = list(uniq.take(np.asarray(sel, dtype=np.int64)))
+            if len(keys) == 1:
+                data = {keys[0]: out_keys}
+            else:
+                data = {
+                    k: [t[i] for t in out_keys] for i, k in enumerate(keys)
+                }
+            data[out_col] = list(blobs)
+            return pd.DataFrame(data)
 
         def _bulk_partition(pdf: pd.DataFrame) -> pd.DataFrame:
             """Millions-of-tiny-groups fast path (single key column):
@@ -264,6 +316,14 @@ def sketch_by_key(
                     else pd.concat(pdfs, ignore_index=True)
                 )
                 yield _bulk_partition(pdf)
+                return
+            if hashed_bulk is not None:
+                pdf = (
+                    pdfs[0]
+                    if len(pdfs) == 1
+                    else pd.concat(pdfs, ignore_index=True)
+                )
+                yield _bulk_hashed_partition(pdf)
                 return
             acc: dict[tuple, Sketch] = {}
             for pdf in pdfs:

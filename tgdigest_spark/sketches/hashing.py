@@ -27,6 +27,18 @@ def base_hash(values) -> np.ndarray:
     return h[mask]
 
 
+def base_hash_full(values) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`base_hash` but row-aligned: returns (hashes for ALL
+    rows, not-null mask) so callers that carry parallel arrays (group
+    codes) can drop nulls themselves without re-hashing per group —
+    the per-call overhead of hash_pandas_object is exactly what the
+    bulk tiny-group paths exist to amortize."""
+    s = values if isinstance(values, pd.Series) else pd.Series(values)
+    mask = s.notna().to_numpy()
+    h = pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY).to_numpy()
+    return h, mask
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """One splitmix64 finalization round (vectorized, uint64)."""
     with np.errstate(over="ignore"):

@@ -86,10 +86,8 @@ class HLL(Sketch):
         if self.sp_idx.size > self.m // 8:
             self._densify()
 
-    def update(self, values) -> "HLL":
-        h = base_hash(values)
-        if h.size == 0:
-            return self
+    def _idx_rank(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Hashes → (register index, rank) pairs (vectorized)."""
         idx = (h & np.uint64(self.m - 1)).astype(np.int64)
         rest = h >> np.uint64(self.p)
         # rank = leading position of first 1-bit in the (64-p)-bit rest,
@@ -111,11 +109,110 @@ class HLL(Sketch):
         )
         rank[nz] = (width - bitlen + 1).astype(np.uint8)
         rank[~nz] = width + 1
+        return idx, rank
+
+    def update(self, values) -> "HLL":
+        h = base_hash(values)
+        if h.size == 0:
+            return self
+        idx, rank = self._idx_rank(h)
         if self.is_sparse:
             self._sparse_absorb(idx, rank)
         else:
             np.maximum.at(self.registers, idx, rank)
         return self
+
+    # -- bulk tiny-group hooks (agg.py map-side combine / reducers) -----
+    def _serialize_pair_groups(
+        self, idx: np.ndarray, rank: np.ndarray, codes: np.ndarray
+    ) -> list:
+        """(idx, rank, group code) triples — codes non-decreasing is NOT
+        required — → one serialized HLL per distinct code, in order of
+        first appearance within sorted code order. Register content is
+        IDENTICAL to per-group ``update``/``merge`` folds: the max-rank
+        dedupe below is the same reduction ``_sparse_absorb`` performs,
+        done once across all groups instead of once per group."""
+        if codes.size == 0:
+            return []
+        order = np.lexsort((-rank.astype(np.int16), idx, codes))
+        c_s, i_s, r_s = codes[order], idx[order], rank[order]
+        keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (i_s[1:] != i_s[:-1])]
+        c_k, i_k, r_k = c_s[keep], i_s[keep], r_s[keep]
+        starts = np.flatnonzero(np.r_[True, c_k[1:] != c_k[:-1]])
+        ends = np.r_[starts[1:], c_k.size]
+        head = struct.Struct("<4sHBBQ")
+        dense_cut = self.m // 8
+        out = []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n > dense_cut:  # same densify threshold as _sparse_absorb
+                regs = np.zeros(self.m, dtype=np.uint8)
+                regs[i_k[s:e]] = r_k[s:e]
+                out.append(
+                    head.pack(self.MAGIC, self.VERSION, self.p, 0, 0)
+                    + regs.tobytes()
+                )
+            else:
+                out.append(
+                    head.pack(self.MAGIC, self.VERSION, self.p, 1, n)
+                    + i_k[s:e].astype(np.int64).tobytes()
+                    + r_k[s:e].tobytes()
+                )
+        return out
+
+    def serialize_hashed_groups_like(
+        self, hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray
+    ) -> list:
+        """Map-side bulk build: value hashes sorted by group (slice
+        boundaries in starts/ends) → one blob per group. Values were
+        hashed ONCE for the whole partition (base_hash_full) — the
+        per-group hash_pandas_object overhead the object path pays is
+        the 10-30x trap this hook removes for millions of tiny groups."""
+        if len(starts) == 0:
+            return []
+        idx, rank = self._idx_rank(hashes.astype(np.uint64))
+        lens = np.asarray(ends) - np.asarray(starts)
+        codes = np.repeat(np.arange(len(starts)), lens)
+        return self._serialize_pair_groups(idx, rank, codes)
+
+    def merge_blob_groups_like(self, blobs, starts, ends) -> list:
+        """Reducer bulk hook: merge blob runs (starts/ends slice the
+        blob array per group) without per-group Python folds. Parses
+        each blob once (header loop), then one global dedupe-max."""
+        idx_parts, rank_parts, code_parts = [], [], []
+        for g, (s, e) in enumerate(zip(starts, ends)):
+            for b in blobs[s:e]:
+                other = HLL.deserialize(bytes(b))
+                if other.p != self.p:
+                    raise ValueError("p mismatch")
+                if other.is_sparse:
+                    if other.sp_idx.size == 0:
+                        continue
+                    idx_parts.append(other.sp_idx)
+                    rank_parts.append(other.sp_rank)
+                else:
+                    nz = np.flatnonzero(other.registers)
+                    if nz.size == 0:
+                        continue
+                    idx_parts.append(nz.astype(np.int64))
+                    rank_parts.append(other.registers[nz])
+                code_parts.append(np.full(idx_parts[-1].size, g))
+        n_groups = len(starts)
+        if not idx_parts:
+            return [HLL(self.p).serialize()] * n_groups
+        idx = np.concatenate(idx_parts)
+        rank = np.concatenate(rank_parts)
+        codes = np.concatenate(code_parts)
+        blobs_out = self._serialize_pair_groups(idx, rank, codes)
+        # groups whose every blob was empty still need an (empty) blob
+        present = np.unique(codes)
+        if present.size != n_groups:
+            empty = HLL(self.p).serialize()
+            full = [empty] * n_groups
+            for j, g in enumerate(present):
+                full[int(g)] = blobs_out[j]
+            return full
+        return blobs_out
 
     def merge(self, other: "HLL") -> "HLL":
         if other.p != self.p:
