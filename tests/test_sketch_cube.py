@@ -347,3 +347,26 @@ def test_hll_bulk_path_used_by_sketch_by_key_multikey(spark, sf001_dir):
     for r in exact:
         est = got[(r["event_type"], r["day"])]
         assert abs(est - r["n"]) <= 0.05 * max(r["n"], 1)
+
+
+def test_sliding_quantiles_rank_bound(spark, sf001_dir):
+    from tgdigest_spark.api import sliding_quantiles
+
+    ev = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    rows = sliding_quantiles(ev, "ts", "value", [0.5, 0.95], 6, 2,
+                             delta=200).collect()
+    assert rows and {"window_start", "p50", "p95"} <= set(rows[0].asDict())
+    # rank-interval check on three windows: estimate's rank within
+    # q*n +- tol*n over the window's raw rows
+    import datetime
+    for r in rows[:3]:
+        w0, w1 = r["window_start"], r["window_start"] + datetime.timedelta(days=6)
+        win = ev.where(
+            (F.to_date("ts") >= F.lit(w0)) & (F.to_date("ts") < F.lit(w1))
+        ).where(F.col("value").isNotNull())
+        n = win.count()
+        for q, est in ((0.5, r["p50"]), (0.95, r["p95"])):
+            lo = win.where(F.col("value") < est).count()
+            hi = win.where(F.col("value") <= est).count()
+            tol = 0.05 * n
+            assert lo <= q * n + tol and hi >= q * n - tol, (w0, q, est)

@@ -472,6 +472,30 @@ def sliding_distinct_counts(
     return sk.mapInPandas(extract, out_schema)
 
 
+def sliding_quantiles(
+    df: DataFrame,
+    ts: Column | str,
+    value: Column | str,
+    qs: list[float],
+    window_days: int,
+    slide_days: int,
+    delta: int = 200,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """t-digest quantiles per sliding window (optionally per group) —
+    the p95-latency-per-7-day-window dashboard over transcripts →
+    DataFrame[keys..., window_start, p50, p95, ...]. Same pane-merge
+    topology as :func:`sliding_distinct_counts`; unlike HLL, t-digest
+    pane merges are merge-tree-dependent WITHIN the published
+    q(1-q)/delta rank bound rather than bit-exact (DESIGN.md), so the
+    contract here is bound-level, pytest-pinned via rank intervals."""
+    sk = sliding_window_sketches(
+        df, ts, value, lambda: TDigest(delta), window_days, slide_days,
+        keys=keys,
+    )
+    return with_quantiles(sk, lambda: TDigest(delta), list(qs))
+
+
 def grouped_cm_counts(
     df: DataFrame,
     keys: list[str],
