@@ -878,7 +878,8 @@ def run_cubestress(n_rows: int = 20_000_000) -> dict:
             F.lit("2024-01-01").cast("date"),
             F.pmod("id", F.lit(n_days)).cast("int"),
         ).alias("d"),
-        (F.xxhash64("id") % 5_000_000).cast("string").alias("u"),
+        # pmod, not %: signed % doubles the universe to (-5M, 5M)
+        F.pmod(F.xxhash64("id"), F.lit(5_000_000)).cast("string").alias("u"),
         (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100_000))).alias("bucket"),
     )
     facts = facts.withColumn("ts", F.col("d").cast("timestamp"))

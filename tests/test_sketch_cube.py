@@ -370,3 +370,35 @@ def test_sliding_quantiles_rank_bound(spark, sf001_dir):
             hi = win.where(F.col("value") <= est).count()
             tol = 0.05 * n
             assert lo <= q * n + tol and hi >= q * n - tol, (w0, q, est)
+
+
+def test_hll_build_hook_empty_segments_stay_aligned():
+    import numpy as np
+
+    h = np.arange(9, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    starts = np.array([0, 5, 5])
+    ends = np.array([5, 5, 9])
+    blobs = HLL(12).serialize_hashed_groups_like(h, starts, ends)
+    assert len(blobs) == 3
+    assert HLL.deserialize(blobs[1]).estimate() == 0.0  # the empty group
+    # group 2's data must not shift into position 1
+    direct = HLL(12)
+    idx, rank = direct._idx_rank(h[5:9])
+    direct._sparse_absorb(idx, rank)
+    got = HLL.deserialize(blobs[2])
+    got._densify()
+    direct._densify()
+    assert (got.registers == direct.registers).all()
+
+
+def test_cube_reserved_dim_names_and_no_leak_on_bad_sets(spark):
+    df = spark.createDataFrame([("a", 1)], "sketch string, v int")
+    with pytest.raises(ValueError, match="reserved"):
+        sketch_cube(df, ["sketch"], "v", lambda: HLL(12))
+    # bad grouping sets raise BEFORE the leaf frame is persisted
+    df2 = spark.createDataFrame([("a", 1)], "g string, v int")
+    with pytest.raises(ValueError):
+        sketch_cube(df2, ["g"], "v", lambda: HLL(12),
+                    grouping_sets=[("nope",)])
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0, "leaked cached frame"

@@ -92,3 +92,27 @@ def test_append_same_params_accumulates(spark, sf001_dir, tmp_path):
     write_sketch_table(b, path, "hll", {"p": 13}, mode="append")
     back, _ = read_sketch_table(spark, path)
     assert back.count() == leaves.count()
+
+
+def test_append_key_or_layout_mismatch_refused_table_stays_readable(
+    spark, sf001_dir, tmp_path
+):
+    ev, leaves = _leaves(spark, sf001_dir)
+    path = str(tmp_path / "km")
+    write_sketch_table(leaves, path, "hll", {"p": 13})
+    # key-set mismatch (day dropped): spark.read would null-fill the
+    # missing dim and rollups would merge into a spurious null group
+    coarser = leaves.groupBy("event_type").agg(
+        F.first("sketch").alias("sketch")
+    )
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        write_sketch_table(coarser, path, "hll", {"p": 13}, mode="append")
+    # partition-layout mismatch
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        write_sketch_table(leaves, path, "hll", {"p": 13}, mode="append",
+                           partition_by=["event_type"])
+    # a REFUSED append must leave the table readable (validation
+    # happens before the manifest is removed)
+    back, meta = read_sketch_table(spark, path)
+    assert back.count() == leaves.count()
+    assert meta["partition_by"] == []

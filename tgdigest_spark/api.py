@@ -271,17 +271,24 @@ def sketch_cube(
 
     if not dims:
         raise ValueError("dims must be non-empty")
-    leaves = sketch_by_key(df, list(dims), value, factory, method=method)
-    leaves = leaves.persist()
+    reserved = {"sketch", "grouping_id", "_all"}
+    bad = [d for d in dims if d in reserved]
+    if bad:
+        raise ValueError(f"dims may not use the reserved names {bad}")
     if grouping_sets is None:
         grouping_sets = [tuple(dims[:i]) for i in range(len(dims), -1, -1)]
-    seen = set()
-    frames = []
+    # validate BEFORE building/persisting the leaves: raising after
+    # persist() would leak the cached frame with no release handle
+    grouping_sets = [tuple(gs) for gs in grouping_sets]
     for gs in grouping_sets:
-        gs = tuple(gs)
         unknown = [d for d in gs if d not in dims]
         if unknown:
             raise ValueError(f"grouping set {gs} not a subset of dims: {unknown}")
+    leaves = sketch_by_key(df, list(dims), value, factory, method=method)
+    leaves = leaves.persist()
+    seen = set()
+    frames = []
+    for gs in grouping_sets:
         if gs in seen:
             continue
         seen.add(gs)
@@ -335,6 +342,27 @@ def sketch_cube_scope(
         release()
 
 
+def _hll_estimates(
+    blob_df: DataFrame, out_name: str = "distinct_est"
+) -> DataFrame:
+    """Shared HLL blob frame → estimate column extraction (one place so
+    the cube / sliding-window / grouped surfaces can't drift)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    fields = [f for f in blob_df.schema.fields if f.name != "sketch"]
+    out_schema = StructType(fields + [StructField(out_name, DoubleType())])
+
+    def extract(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["sketch"])
+            out[out_name] = [
+                HLL.deserialize(bytes(b)).estimate() for b in pdf["sketch"]
+            ]
+            yield out
+
+    return blob_df.mapInPandas(extract, out_schema)
+
+
 def cube_distinct_counts(
     df: DataFrame,
     dims: list[str],
@@ -346,24 +374,11 @@ def cube_distinct_counts(
     distinct_est double]. Value is cast to string (the key-sketch
     normalization — see :func:`_grouped_key_sketch`). Lazy; carries the
     same ``release_cache`` handle as :func:`sketch_cube`."""
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
     col = F.col(value) if isinstance(value, str) else value
     cube = sketch_cube(
         df, dims, col.cast("string"), lambda: HLL(p), grouping_sets
     )
-    fields = [f for f in cube.schema.fields if f.name != "sketch"]
-    out_schema = StructType(fields + [StructField("distinct_est", DoubleType())])
-
-    def extract(batches):
-        for pdf in batches:
-            out = pdf.drop(columns=["sketch"])
-            out["distinct_est"] = [
-                HLL.deserialize(bytes(b)).estimate() for b in pdf["sketch"]
-            ]
-            yield out
-
-    res = cube.mapInPandas(extract, out_schema)
+    res = _hll_estimates(cube)
     res.release_cache = cube.release_cache
     return res
 
@@ -406,8 +421,10 @@ def sliding_window_sketches(
             "window_days must be a positive multiple of slide_days"
         )
     keys = list(keys or [])
-    if "_pidx" in keys or "_widx" in keys:
-        raise ValueError("keys may not use the reserved _pidx/_widx names")
+    reserved = {"_pidx", "_widx", "_v", "sketch", "window_start"}
+    bad = [k for k in keys if k in reserved]
+    if bad:
+        raise ValueError(f"keys may not use the reserved names {bad}")
     panes_per_window = window_days // slide_days
     col = F.col(value) if isinstance(value, str) else value
     tcol = F.col(ts) if isinstance(ts, str) else ts
@@ -451,25 +468,11 @@ def sliding_distinct_counts(
 ) -> DataFrame:
     """HLL distinct counts per sliding window →
     DataFrame[window_start date, distinct_est double]."""
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
     col = F.col(value) if isinstance(value, str) else value
     sk = sliding_window_sketches(
         df, ts, col.cast("string"), lambda: HLL(p), window_days, slide_days
     )
-    out_schema = StructType(
-        [sk.schema["window_start"], StructField("distinct_est", DoubleType())]
-    )
-
-    def extract(batches):
-        for pdf in batches:
-            out = pdf.drop(columns=["sketch"])
-            out["distinct_est"] = [
-                HLL.deserialize(bytes(b)).estimate() for b in pdf["sketch"]
-            ]
-            yield out
-
-    return sk.mapInPandas(extract, out_schema)
+    return _hll_estimates(sk)
 
 
 def sliding_quantiles(
@@ -774,6 +777,7 @@ def bloom_prune_join(
     how: str = "inner",
     capacity: int | None = None,
     fpr: float = 0.01,
+    bloom: Bloom | None = None,
 ) -> DataFrame:
     """Sketch-accelerated join: EXACTLY ``fact.join(dim, fact[fact_key]
     == dim[dim_key], how)``, with the fact side pre-filtered through a
@@ -801,13 +805,20 @@ def bloom_prune_join(
     frames against an in-memory id set (/root/reference/src/cache.rs:
     181); this is that pattern with the id set compressed to a Bloom
     and pushed below the shuffle.
+
+    Pass ``bloom`` to reuse a prebuilt/persisted filter (it MUST cover
+    the dim side's current keys — a stale filter with missing keys
+    loses join rows); otherwise one is built from ``dim`` here.
     """
     if how not in ("inner", "left_semi", "leftsemi", "semi"):
         raise ValueError(
             f"bloom_prune_join supports inner/left_semi joins, got {how!r}"
             " — pruning the fact side would change outer-join results"
         )
-    bloom = build_membership(dim, F.col(dim_key), capacity=capacity, fpr=fpr)
+    if bloom is None:
+        bloom = build_membership(
+            dim, F.col(dim_key), capacity=capacity, fpr=fpr
+        )
     pruned = membership_prune(fact, F.col(fact_key), bloom)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
 

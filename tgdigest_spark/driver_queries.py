@@ -841,8 +841,11 @@ def bloom_prune_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
+    # build the dim-side filter ONCE and share it between the join and
+    # the standalone prune-evidence measurement below
+    bloom = build_membership(cust, F.col("c_custkey"), fpr=fpr)
     joined = bloom_prune_join(orders, cust, "o_custkey", "c_custkey",
-                              fpr=fpr)
+                              fpr=fpr, bloom=bloom)
     agg = joined.agg(
         F.count(F.lit(1)).alias("n_join_rows"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
@@ -851,7 +854,6 @@ def bloom_prune_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_buyers"),
     ).collect()[0]
     # prune-stage evidence: re-run the filter standalone to measure it
-    bloom = build_membership(cust, F.col("c_custkey"), fpr=fpr)
     n_fact = orders.count()
     n_kept = membership_prune(orders, F.col("o_custkey"), bloom).count()
     n_match = orders.join(

@@ -168,12 +168,24 @@ class HLL(Sketch):
         hashed ONCE for the whole partition (base_hash_full) — the
         per-group hash_pandas_object overhead the object path pays is
         the 10-30x trap this hook removes for millions of tiny groups."""
-        if len(starts) == 0:
+        n_groups = len(starts)
+        if n_groups == 0:
             return []
         idx, rank = self._idx_rank(hashes.astype(np.uint64))
         lens = np.asarray(ends) - np.asarray(starts)
-        codes = np.repeat(np.arange(len(starts)), lens)
-        return self._serialize_pair_groups(idx, rank, codes)
+        codes = np.repeat(np.arange(n_groups), lens)
+        blobs = self._serialize_pair_groups(idx, rank, codes)
+        if len(blobs) == n_groups:
+            return blobs
+        # empty (starts==ends) segments produce no codes — reinsert
+        # empty blobs at their positions so output stays one-per-group
+        # aligned (the documented contract; merge_blob_groups_like
+        # handles its empty runs the same way)
+        empty = HLL(self.p).serialize()
+        full = [empty] * n_groups
+        for j, g in enumerate(np.unique(codes)):
+            full[int(g)] = blobs[j]
+        return full
 
     def merge_blob_groups_like(self, blobs, starts, ends) -> list:
         """Reducer bulk hook: merge blob runs (starts/ends slice the

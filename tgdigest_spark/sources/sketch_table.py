@@ -69,20 +69,30 @@ def write_sketch_table(
         "params": dict(params),
         "keys": keys,
         "blob_col": blob_col,
+        "partition_by": list(partition_by or []),
     }
     meta_path = os.path.join(path, _META_NAME)
     if mode == "append" and os.path.exists(meta_path):
         with open(meta_path) as fh:
             existing = json.load(fh)
-        if (existing.get("sketch_kind"), existing.get("params")) != (
-            meta["sketch_kind"],
-            meta["params"],
-        ):
-            raise ValueError(
-                "append refused: existing table holds "
-                f"{existing.get('sketch_kind')}{existing.get('params')}, "
-                f"got {meta['sketch_kind']}{meta['params']}"
-            )
+        # EVERY manifest field participates in mergeability/layout: a
+        # key-set mismatch makes spark.read null-fill the missing dim
+        # so rollups merge appended blobs into a spurious null group;
+        # a partition_by mismatch mixes hive and flat layouts
+        mismatched = {
+            k: (existing.get(k), meta[k])
+            for k in ("sketch_kind", "params", "keys", "blob_col",
+                      "partition_by")
+            if existing.get(k) != meta[k]
+        }
+        if mismatched:
+            raise ValueError(f"append refused: manifest mismatch {mismatched}")
+        # remove the manifest BEFORE appending: a crash mid-append then
+        # leaves a manifest-less (refused) table instead of a readable
+        # silently-partial one — same fail-fast contract as first write.
+        # Cost: a crashed append requires a rebuild; this layer is a
+        # derived cache of the fact table, so rebuild is always legal.
+        os.remove(meta_path)
     writer = blobs.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
