@@ -402,3 +402,46 @@ def test_cube_reserved_dim_names_and_no_leak_on_bad_sets(spark):
                     grouping_sets=[("nope",)])
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0, "leaked cached frame"
+
+
+def test_kmv_bulk_hooks_bit_exact_vs_object_path():
+    import numpy as np
+    import pandas as pd
+
+    from tgdigest_spark.sketches import KMV
+    from tgdigest_spark.sketches.hashing import base_hash_full
+
+    rng = np.random.default_rng(3)
+    vals = pd.Series([f"x{v}" for v in rng.integers(0, 2000, 40000)])
+    codes = rng.integers(0, 300, 40000)
+    want = {}
+    for g in range(300):
+        k = KMV(16)
+        k.update(vals[codes == g])
+        want[g] = k
+    h_all, mask = base_hash_full(vals)
+    assert mask.all()
+    order = np.argsort(codes, kind="stable")
+    c_s, h_s = codes[order], h_all[order]
+    starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+    ends = np.r_[starts[1:], c_s.size]
+    blobs = KMV(16).serialize_hashed_groups_like(h_s, starts, ends)
+    for i, g in enumerate(c_s[starts]):
+        assert (KMV.deserialize(blobs[i]).hashes == want[g].hashes).all()
+    # empty-segment alignment
+    b2 = KMV(16).serialize_hashed_groups_like(
+        h_s[:10], np.array([0, 5, 5]), np.array([5, 5, 10])
+    )
+    assert len(b2) == 3 and KMV.deserialize(b2[1]).hashes.size == 0
+    # merge hook vs sequential folds, incl. an empty run
+    bl = np.array(blobs[:25], dtype=object)
+    st, en = np.array([0, 9, 9]), np.array([9, 9, 25])
+    for (s, e), mb in zip(
+        zip(st, en), KMV(16).merge_blob_groups_like(bl, st, en)
+    ):
+        acc = KMV(16)
+        for b in bl[s:e]:
+            acc.merge(KMV.deserialize(bytes(b)))
+        assert (KMV.deserialize(mb).hashes == acc.hashes).all()
+    with pytest.raises(ValueError):
+        KMV(32).merge_blob_groups_like(bl, np.array([0]), np.array([1]))

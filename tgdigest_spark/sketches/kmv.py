@@ -105,6 +105,79 @@ class KMV(Sketch):
                                   offset=off).copy()
         return sk
 
+    # -- bulk tiny-group hooks (agg.py map-side combine / reducers) -----
+    def _serialize_hash_groups(
+        self, hashes: np.ndarray, codes: np.ndarray, n_groups: int
+    ) -> list:
+        """(hash, group code) pairs → one serialized bottom-k KMV per
+        group index in [0, n_groups): ONE global lexsort + dedupe +
+        positional bottom-k cut instead of per-group union1d calls —
+        content identical to per-group update/merge folds (the sketch
+        is a pure function of the distinct hash set)."""
+        head = struct.Struct("<4sHIQ")
+        empty = head.pack(self.MAGIC, self.VERSION, self.k, 0)
+        if codes.size == 0:
+            return [empty] * n_groups
+        order = np.lexsort((hashes, codes))
+        c_s, h_s = codes[order], hashes[order]
+        keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (h_s[1:] != h_s[:-1])]
+        c_k, h_k = c_s[keep], h_s[keep]
+        g_starts = np.flatnonzero(np.r_[True, c_k[1:] != c_k[:-1]])
+        # position within group, vectorized: arange - start-of-own-group
+        run_starts = np.repeat(g_starts, np.diff(np.r_[g_starts, c_k.size]))
+        in_k = (np.arange(c_k.size) - run_starts) < self.k
+        c_f, h_f = c_k[in_k], h_k[in_k]
+        f_starts = np.flatnonzero(np.r_[True, c_f[1:] != c_f[:-1]])
+        f_ends = np.r_[f_starts[1:], c_f.size]
+        out = [empty] * n_groups
+        for s, e in zip(f_starts, f_ends):
+            n = int(e - s)
+            out[int(c_f[s])] = (
+                head.pack(self.MAGIC, self.VERSION, self.k, n)
+                + h_f[s:e].tobytes()
+            )
+        return out
+
+    def serialize_hashed_groups_like(
+        self, hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray
+    ) -> list:
+        """Map-side bulk build from per-partition value hashes sorted by
+        group (slice boundaries in starts/ends); one blob per group,
+        empty segments included (see HLL's sibling hook)."""
+        n_groups = len(starts)
+        if n_groups == 0:
+            return []
+        lens = np.asarray(ends) - np.asarray(starts)
+        codes = np.repeat(np.arange(n_groups), lens)
+        return self._serialize_hash_groups(
+            hashes.astype(np.uint64), codes, n_groups
+        )
+
+    def merge_blob_groups_like(self, blobs, starts, ends) -> list:
+        """Reducer bulk hook: merge blob runs per group with one global
+        dedupe + bottom-k pass (blob parse is the only per-blob loop)."""
+        h_parts, code_parts = [], []
+        for g, (s, e) in enumerate(zip(starts, ends)):
+            for b in blobs[s:e]:
+                other = KMV.deserialize(bytes(b))
+                if other.k != self.k:
+                    raise ValueError("k mismatch")
+                if other.hashes.size:
+                    h_parts.append(other.hashes)
+                    code_parts.append(np.full(other.hashes.size, g))
+        n_groups = len(starts)
+        if not h_parts:
+            return self._serialize_hash_groups(
+                np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.int64),
+                n_groups,
+            )
+        return self._serialize_hash_groups(
+            np.concatenate(h_parts),
+            np.concatenate(code_parts),
+            n_groups,
+        )
+
 
 # ---------------------------------------------------------------------------
 # theta-framework set algebra over KMV sketches (Beyer et al. 2007 §4)
