@@ -116,3 +116,39 @@ def test_append_key_or_layout_mismatch_refused_table_stays_readable(
     back, meta = read_sketch_table(spark, path)
     assert back.count() == leaves.count()
     assert meta["partition_by"] == []
+
+
+def test_build_sketch_leaves_job_resumes(spark, sf001_dir, tmp_path, capsys):
+    """jobs/build_sketch_leaves.py: first run builds every day, rerun is
+    a no-op, and a table grown day-by-day rolls up bit-exactly to the
+    same answer as a direct build."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.build_sketch_leaves import main
+
+    inp = os.path.join(sf001_dir, "events.parquet")
+    table = str(tmp_path / "leaves")
+    args = ["--input", inp, "--table", table, "--keys", "event_type",
+            "--ts-col", "ts", "--value", "user_id", "--p", "13"]
+    assert main(args, spark=spark) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["days_built"] > 0 and out1["resumed"] == 0
+    # rerun: nothing to build, everything resumed
+    assert main(args, spark=spark) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == {**out2, "days_built": 0, "resumed": out1["days_built"]}
+    # rollup from the job-built table == direct build from facts
+    back, _ = read_sketch_table(spark, table, expect_kind="hll",
+                                expect_params={"p": 13})
+    rolled = merge_blobs_by_key(back, ["event_type"], lambda: HLL(13))
+    got = {
+        r["event_type"]: HLL.deserialize(bytes(r["sketch"])).estimate()
+        for r in rolled.collect()
+    }
+    ev = spark.read.parquet(inp)
+    direct = grouped_distinct_count(
+        ev, ["event_type"], F.col("user_id").cast("string"), p=13
+    ).collect()
+    for r in direct:
+        assert got[r["event_type"]] == r["distinct_est"]
