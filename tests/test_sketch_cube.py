@@ -395,13 +395,16 @@ def test_cube_reserved_dim_names_and_no_leak_on_bad_sets(spark):
     df = spark.createDataFrame([("a", 1)], "sketch string, v int")
     with pytest.raises(ValueError, match="reserved"):
         sketch_cube(df, ["sketch"], "v", lambda: HLL(12))
-    # bad grouping sets raise BEFORE the leaf frame is persisted
+    # bad grouping sets raise BEFORE the leaf frame is persisted —
+    # compare the persisted-RDD count as a DELTA (other tests in the
+    # shared session legitimately hold caches)
     df2 = spark.createDataFrame([("a", 1)], "g string, v int")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     with pytest.raises(ValueError):
         sketch_cube(df2, ["g"], "v", lambda: HLL(12),
                     grouping_sets=[("nope",)])
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0, "leaked cached frame"
+    assert jsc.getPersistentRDDs().size() == before, "leaked cached frame"
 
 
 def test_kmv_bulk_hooks_bit_exact_vs_object_path():
