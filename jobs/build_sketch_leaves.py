@@ -53,6 +53,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from tgdigest_spark.pyfiles import ensure_shipped
         from tgdigest_spark.sketches import HLL
         from tgdigest_spark.sources.sketch_table import (
+            _META_NAME,
             read_sketch_table,
             write_sketch_table,
         )
@@ -64,9 +65,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "day", F.to_date(F.col(args.ts_col)).cast("string")
         )
         existing: set[str] = set()
-        meta_ok = os.path.exists(
-            os.path.join(args.table, "_sketch_meta.json")
-        )
+        meta_ok = os.path.exists(os.path.join(args.table, _META_NAME))
         if meta_ok:
             back, _meta = read_sketch_table(
                 spark, args.table, expect_kind="hll", expect_params={"p": p}
@@ -76,27 +75,32 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             existing = {
                 r["day"] for r in back.select("day").distinct().collect()
             }
-        todo = facts.where(~F.col("day").isin(*existing)) if existing else facts
-        days = sorted(
-            r["day"]
-            for r in todo.select("day").distinct().collect()
-            if r["day"] is not None
-        )
-        if days:
-            leaves = sketch_by_key(
-                todo.where(F.col("day").isNotNull()),
-                keys + ["day"],
-                F.col(args.value).cast("string"),
-                lambda: HLL(p),
+        todo = facts.where(F.col("day").isNotNull())
+        if existing:
+            todo = todo.where(~F.col("day").isin(*existing))
+        # ONE pass over the fact rows: build the (tiny) leaf frame,
+        # persist it, and derive the built-day list from the LEAVES —
+        # a pre-scan distinct over facts would double the nightly I/O
+        # and open a TOCTOU window against files landing in --input
+        leaves = sketch_by_key(
+            todo, keys + ["day"], F.col(args.value).cast("string"),
+            lambda: HLL(p),
+        ).persist()
+        try:
+            days = sorted(
+                r["day"] for r in leaves.select("day").distinct().collect()
             )
-            write_sketch_table(
-                leaves,
-                args.table,
-                "hll",
-                {"p": p},
-                mode="append" if meta_ok else "overwrite",
-                partition_by=["day"],
-            )
+            if days:
+                write_sketch_table(
+                    leaves,
+                    args.table,
+                    "hll",
+                    {"p": p},
+                    mode="append" if meta_ok else "overwrite",
+                    partition_by=["day"],
+                )
+        finally:
+            leaves.unpersist()
         print(
             json.dumps(
                 {

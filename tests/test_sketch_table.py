@@ -124,7 +124,9 @@ def test_build_sketch_leaves_job_resumes(spark, sf001_dir, tmp_path, capsys):
     same answer as a direct build."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from jobs.build_sketch_leaves import main
 
     inp = os.path.join(sf001_dir, "events.parquet")
@@ -152,3 +154,23 @@ def test_build_sketch_leaves_job_resumes(spark, sf001_dir, tmp_path, capsys):
     ).collect()
     for r in direct:
         assert got[r["event_type"]] == r["distinct_est"]
+
+
+def test_append_refuses_dtype_mismatch_and_crashed_leftovers(
+    spark, sf001_dir, tmp_path
+):
+    ev, leaves = _leaves(spark, sf001_dir)
+    path = str(tmp_path / "dt")
+    write_sketch_table(leaves, path, "hll", {"p": 13})  # day is DATE
+    stringy = leaves.withColumn("day", F.col("day").cast("string"))
+    with pytest.raises(ValueError, match="key_types"):
+        write_sketch_table(stringy, path, "hll", {"p": 13}, mode="append")
+    # crashed prior write: data present, manifest gone → append refused
+    # (retrying on top of partial leftovers would revalidate them)
+    os.remove(os.path.join(path, "_sketch_meta.json"))
+    with pytest.raises(ValueError, match="crashed prior write"):
+        write_sketch_table(leaves, path, "hll", {"p": 13}, mode="append")
+    # explicit rebuild is the sanctioned path
+    write_sketch_table(leaves, path, "hll", {"p": 13})
+    back, _ = read_sketch_table(spark, path)
+    assert back.count() == leaves.count()

@@ -175,17 +175,11 @@ class HLL(Sketch):
         lens = np.asarray(ends) - np.asarray(starts)
         codes = np.repeat(np.arange(n_groups), lens)
         blobs = self._serialize_pair_groups(idx, rank, codes)
-        if len(blobs) == n_groups:
-            return blobs
         # empty (starts==ends) segments produce no codes — reinsert
         # empty blobs at their positions so output stays one-per-group
-        # aligned (the documented contract; merge_blob_groups_like
-        # handles its empty runs the same way)
-        empty = HLL(self.p).serialize()
-        full = [empty] * n_groups
-        for j, g in enumerate(np.unique(codes)):
-            full[int(g)] = blobs[j]
-        return full
+        # aligned (the documented contract). `lens` already encodes the
+        # non-empty group indices; no need to re-sort the codes array.
+        return self._realign(blobs, np.flatnonzero(lens > 0), n_groups)
 
     def merge_blob_groups_like(self, blobs, starts, ends) -> list:
         """Reducer bulk hook: merge blob runs (starts/ends slice the
@@ -217,14 +211,19 @@ class HLL(Sketch):
         codes = np.concatenate(code_parts)
         blobs_out = self._serialize_pair_groups(idx, rank, codes)
         # groups whose every blob was empty still need an (empty) blob
-        present = np.unique(codes)
-        if present.size != n_groups:
-            empty = HLL(self.p).serialize()
-            full = [empty] * n_groups
-            for j, g in enumerate(present):
-                full[int(g)] = blobs_out[j]
-            return full
-        return blobs_out
+        return self._realign(blobs_out, np.unique(codes), n_groups)
+
+    def _realign(self, blobs: list, present: np.ndarray, n_groups: int) -> list:
+        """Shared one-blob-per-group realignment: scatter blobs (in
+        sorted-`present` order) back to their group positions, filling
+        absent groups with an empty sketch."""
+        if len(blobs) == n_groups:
+            return blobs
+        empty = HLL(self.p).serialize()
+        full = [empty] * n_groups
+        for j, g in enumerate(present):
+            full[int(g)] = blobs[j]
+        return full
 
     def merge(self, other: "HLL") -> "HLL":
         if other.p != self.p:

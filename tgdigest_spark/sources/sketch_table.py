@@ -68,31 +68,52 @@ def write_sketch_table(
         "sketch_kind": str(sketch_kind),
         "params": dict(params),
         "keys": keys,
+        # key dtypes participate in mergeability too: a same-named key
+        # appended with a different type (date vs string 'day') leaves
+        # a parquet directory spark.read can't schema-merge
+        "key_types": {
+            k: blobs.schema[k].dataType.simpleString() for k in keys
+        },
         "blob_col": blob_col,
         "partition_by": list(partition_by or []),
     }
     meta_path = os.path.join(path, _META_NAME)
-    if mode == "append" and os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            existing = json.load(fh)
-        # EVERY manifest field participates in mergeability/layout: a
-        # key-set mismatch makes spark.read null-fill the missing dim
-        # so rollups merge appended blobs into a spurious null group;
-        # a partition_by mismatch mixes hive and flat layouts
-        mismatched = {
-            k: (existing.get(k), meta[k])
-            for k in ("sketch_kind", "params", "keys", "blob_col",
-                      "partition_by")
-            if existing.get(k) != meta[k]
-        }
-        if mismatched:
-            raise ValueError(f"append refused: manifest mismatch {mismatched}")
-        # remove the manifest BEFORE appending: a crash mid-append then
-        # leaves a manifest-less (refused) table instead of a readable
-        # silently-partial one — same fail-fast contract as first write.
-        # Cost: a crashed append requires a rebuild; this layer is a
-        # derived cache of the fact table, so rebuild is always legal.
-        os.remove(meta_path)
+    if mode == "append":
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                existing = json.load(fh)
+            # EVERY manifest field participates in mergeability/layout:
+            # a key-set mismatch makes spark.read null-fill the missing
+            # dim so rollups merge appended blobs into a spurious null
+            # group; a partition_by mismatch mixes hive and flat layouts
+            mismatched = {
+                k: (existing.get(k), meta[k])
+                for k in ("sketch_kind", "params", "keys", "key_types",
+                          "blob_col", "partition_by")
+                if k in existing and existing[k] != meta[k]
+            }
+            if mismatched:
+                raise ValueError(
+                    f"append refused: manifest mismatch {mismatched}"
+                )
+            # remove the manifest BEFORE appending: a crash mid-append
+            # then leaves a manifest-less (refused) table instead of a
+            # readable silently-partial one — same fail-fast contract
+            # as first write. Cost: a crashed append requires a
+            # rebuild; this layer is a derived cache of the fact table,
+            # so rebuild is always legal.
+            os.remove(meta_path)
+        elif os.path.isdir(path) and any(
+            not e.startswith((".", "_")) for e in os.listdir(path)
+        ):
+            # data but no manifest = a crashed prior write. The natural
+            # operator retry must NOT stack new blobs on the partial
+            # leftovers and then re-validate the mix with a fresh
+            # manifest — refuse; rebuild with mode='overwrite'.
+            raise ValueError(
+                f"append refused: {path} holds data but no {_META_NAME} "
+                "(crashed prior write?) — rebuild with mode='overwrite'"
+            )
     writer = blobs.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
