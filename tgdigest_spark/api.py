@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .agg import sketch_by_key, sketch_column, with_quantiles
 from .sketches.bloom import Bloom
 from .sketches.countmin import CountMin
+from .sketches.ddsketch import DDSketch
 from .sketches.hll import HLL
 from .sketches.kll import KLL
 from .sketches.tdigest import TDigest
@@ -854,6 +855,43 @@ def quantiles_kll(
     sk = sketch_column(df, value, lambda: KLL(k))
     est = sk.quantile(list(qs))
     return dict(zip(qs, [float(e) for e in est]))
+
+
+def quantiles_dd(
+    df: DataFrame,
+    value: Column | str,
+    qs: list[float],
+    alpha: float = 0.01,
+    where: Column | None = None,
+) -> dict[float, float]:
+    """RELATIVE-error quantiles via DDSketch (Masson et al., VLDB 2019):
+    each estimate is within ``alpha * |x_q|`` of the item at the queried
+    rank — the natural contract for long-tailed latency/length columns
+    at p99+, where t-digest/KLL bound only the RANK. DDSketch merges
+    are bucket-wise int64 adds, so the distributed build is bit-
+    identical to a single-process fold under any partition layout."""
+    if where is not None:
+        df = df.where(where)
+    sk = sketch_column(df, value, lambda: DDSketch(alpha))
+    est = sk.quantile(list(qs))
+    return dict(zip(qs, [float(e) for e in np.atleast_1d(est)]))
+
+
+def grouped_quantiles_dd(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    qs: list[float],
+    alpha: float = 0.01,
+    method: str = "combine",
+) -> DataFrame:
+    """Per-group relative-error quantiles (DDSketch flavor of
+    grouped_quantiles). Because the merge is bit-exact, every topology
+    (combine / salted / clustered) yields byte-identical blobs — the
+    strongest form of the north-rule associativity contract; mass
+    extraction is vectorized via DDSketch.quantile_blobs."""
+    blobs = sketch_by_key(df, keys, value, lambda: DDSketch(alpha), method=method)
+    return with_quantiles(blobs, lambda: DDSketch(alpha), qs)
 
 
 def cdf(

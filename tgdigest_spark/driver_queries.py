@@ -470,6 +470,154 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _global_quantile_row(spark, ev, est)
 
 
+# DDSketch gate: alpha plus the ~1-ulp log-boundary slack, doubled for
+# gate generosity (the tight alpha*1.01 bound lives in test_ddsketch.py)
+_DD_ALPHA = 0.01
+_DD_TOL = 0.02
+
+
+@register(
+    "sketch_dd_quantiles",
+    """
+    SELECT quantile_cont(value, 0.50) AS exact_p50,
+           quantile_cont(value, 0.95) AS exact_p95,
+           quantile_cont(value, 0.99) AS exact_p99,
+           TRUE AS p50_rel_ok, TRUE AS p95_rel_ok, TRUE AS p99_rel_ok,
+           TRUE AS merge_equals_direct
+    FROM events
+    """,
+)
+def sketch_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global p50/p95/p99 of events.value via DDSketch — the RELATIVE-
+    error quantile sketch (Masson et al. 2019; sketches/ddsketch.py).
+
+    Flags are value-domain, not rank-domain: the estimate's
+    multiplicative window must bracket the target rank —
+    #(v < est/(1+tol)) < ceil(q*n) <= #(v <= est*(1+tol)) — sound
+    because events.value is strictly positive. merge_equals_direct pins
+    the sketch's headline property as a driver row: rebuilding over a
+    DIFFERENT partition layout yields a byte-identical blob (DDSketch
+    merges are bucket-wise int64 adds — bit-exact associative, the
+    north-rule associativity contract with zero tolerance)."""
+    import math
+
+    from .agg import sketch_column
+    from .api import quantiles_dd
+    from .sketches.ddsketch import DDSketch
+
+    ev = load(spark, sf_dir, "events")
+    qs = [0.5, 0.95, 0.99]
+    est = quantiles_dd(ev, "value", qs, alpha=_DD_ALPHA)
+    ests = [est[q] for q in qs]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, e in enumerate(ests):
+        aggs.append(
+            F.sum(
+                (F.col("value") < F.lit(e / (1.0 + _DD_TOL))).cast("long")
+            ).alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum(
+                (F.col("value") <= F.lit(e * (1.0 + _DD_TOL))).cast("long")
+            ).alias(f"_le{i}")
+        )
+    r = ev.agg(*aggs).collect()[0]
+    n = r["_n"]
+    flags = [
+        bool(r[f"_lt{i}"] < max(math.ceil(q * n), 1) <= r[f"_le{i}"])
+        for i, q in enumerate(qs)
+    ]
+    blob_a = sketch_column(
+        ev.repartition(16), "value", lambda: DDSketch(_DD_ALPHA)
+    ).serialize()
+    blob_b = sketch_column(
+        ev.repartition(5), "value", lambda: DDSketch(_DD_ALPHA)
+    ).serialize()
+    ex = _exact_q(ev, qs)
+    return spark.createDataFrame(
+        [tuple(ex) + tuple(flags) + (blob_a == blob_b,)],
+        "exact_p50 double, exact_p95 double, exact_p99 double, "
+        "p50_rel_ok boolean, p95_rel_ok boolean, p99_rel_ok boolean, "
+        "merge_equals_direct boolean",
+    )
+
+
+@register(
+    "sketch_grouped_dd",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.50) AS exact_p50,
+           quantile_cont(value, 0.95) AS exact_p95,
+           TRUE AS p50_rel_ok, TRUE AS p95_rel_ok,
+           TRUE AS topologies_bitexact
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sketch_grouped_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type DDSketch quantiles — grouped twin of
+    sketch_dd_quantiles. Relative-error flags are computed distributed
+    (broadcast the 5 estimate rows back onto the facts, one grouped
+    agg; no fact collect); topologies_bitexact compares the per-group
+    blobs from the combine topology against the salted two-stage
+    topology over a different input layout — byte equality per group,
+    the grouped form of the bit-exact merge contract."""
+    from .agg import sketch_by_key
+    from .api import grouped_quantiles_dd
+    from .sketches.ddsketch import DDSketch
+
+    ev = load(spark, sf_dir, "events")
+    est = grouped_quantiles_dd(
+        ev, ["event_type"], "value", [0.5, 0.95], alpha=_DD_ALPHA
+    )
+    j = ev.select("event_type", "value").join(F.broadcast(est), "event_type")
+    r = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            (F.col("value") < F.col("p50") / (1.0 + _DD_TOL)).cast("long")
+        ).alias("_lt50"),
+        F.sum(
+            (F.col("value") <= F.col("p50") * (1.0 + _DD_TOL)).cast("long")
+        ).alias("_le50"),
+        F.sum(
+            (F.col("value") < F.col("p95") / (1.0 + _DD_TOL)).cast("long")
+        ).alias("_lt95"),
+        F.sum(
+            (F.col("value") <= F.col("p95") * (1.0 + _DD_TOL)).cast("long")
+        ).alias("_le95"),
+    )
+    exact = _exact_group_anchors(ev, "event_type", [0.5, 0.95])
+
+    def ok(q, lt, le):
+        rank = F.greatest(F.ceil(F.lit(q) * F.col("_n")), F.lit(1))
+        return (F.col(lt) < rank) & (rank <= F.col(le))
+
+    factory = lambda: DDSketch(_DD_ALPHA)  # noqa: E731
+    blobs_a = sketch_by_key(
+        ev, ["event_type"], "value", factory, method="combine"
+    ).withColumnRenamed("sketch", "_ba")
+    blobs_b = sketch_by_key(
+        ev.repartition(7), ["event_type"], "value", factory, method="salted"
+    ).withColumnRenamed("sketch", "_bb")
+    eqf = blobs_a.join(blobs_b, "event_type").select(
+        "event_type", (F.col("_ba") == F.col("_bb")).alias("_beq")
+    )
+    return (
+        exact.join(r, "event_type")
+        .join(eqf, "event_type")
+        .select(
+            "event_type",
+            "exact_p50",
+            "exact_p95",
+            ok(0.5, "_lt50", "_le50").alias("p50_rel_ok"),
+            ok(0.95, "_lt95", "_le95").alias("p95_rel_ok"),
+            F.col("_beq").alias("topologies_bitexact"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # probe points ~p25/p50/p90 of events.value (distribution is sf-invariant)
 _CDF_PROBES = [15.0, 35.0, 115.0]
 
@@ -4450,6 +4598,11 @@ _GATE_ORDER = [
     "bloom_prune_join_orders",
     "sliding_window_distinct",
     "sketch_table_rollup",
+    # new in round 6 (session 3): DDSketch relative-error quantiles —
+    # global + grouped rows (embedding_neardup_lsh and text_stats, both
+    # r5-driver-green and untouched this round, park in exchange)
+    "sketch_dd_quantiles",
+    "sketch_grouped_dd",
     # remaining r5-window rows keeping fresh driver evidence
     "sketch_kll_quantiles",
     "sketch_cdf_rank",
@@ -4466,10 +4619,10 @@ _GATE_ORDER = [
     "rebalance_sources_docs",
     "training_shuffle_digest",
     "weighted_sample_docs",
-    "embedding_neardup_lsh",
-    "text_stats",
     "incremental_dedup_batches",
     # --- driver window boundary (position 50) ---
+    "embedding_neardup_lsh",
+    "text_stats",
     "ngram_jaccard_topk",
     "jaccard_prefix_pairs",
     # parked for round 6: every row below was DRIVER-green in round 5

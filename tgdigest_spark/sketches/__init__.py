@@ -4,6 +4,7 @@ from .base import Sketch
 from .bloom import Bloom
 from .countmin import CountMin
 from .countsketch import CountSketch
+from .ddsketch import DDSketch
 from .freq import FrequentItems
 from .hll import HLL
 from .kll import KLL
@@ -18,6 +19,7 @@ __all__ = [
     "HLL",
     "CountMin",
     "CountSketch",
+    "DDSketch",
     "Bloom",
     "KMV",
     "FrequentItems",

@@ -73,12 +73,12 @@ class MultiSketch(Sketch):
         lens = np.frombuffer(data, dtype=np.int64, count=n_children,
                              offset=off)
         off += 8 * n_children
-        from . import Bloom, CountMin, CountSketch, FrequentItems, HLL, \
-            KLL, KMV, TDigest
+        from . import Bloom, CountMin, CountSketch, DDSketch, \
+            FrequentItems, HLL, KLL, KMV, TDigest
 
         registry = {t.MAGIC: t for t in
-                    (Bloom, CountMin, CountSketch, FrequentItems, HLL,
-                     KLL, KMV, TDigest)}
+                    (Bloom, CountMin, CountSketch, DDSketch,
+                     FrequentItems, HLL, KLL, KMV, TDigest)}
         children = []
         for ln in lens:
             blob = data[off: off + int(ln)]
