@@ -268,6 +268,146 @@ def test_spark_build_bitexact_and_grouped_topologies(spark, transcripts):
     assert a == b == c
 
 
+def test_dd_cube_rollup_bitexact_blobs(spark, sf001_dir):
+    """Rolled-up DDSketch cube cells are BYTE-identical to sketches
+    built directly from the raw rows of that group — the strongest form
+    of the merge-of-leaves == direct-build cube contract (HLL pins
+    register equality; t-digest only a rank bound)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.agg import sketch_by_key
+    from tgdigest_spark.api import sketch_cube_scope
+
+    ev = (
+        spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+        .withColumn("day", F.to_date("ts"))
+    )
+    gs = [("event_type", "day"), ("event_type",), ()]
+    with sketch_cube_scope(
+        ev, ["event_type", "day"], "value", lambda: DDSketch(ALPHA),
+        grouping_sets=gs,
+    ) as cube:
+        rows = cube.collect()
+    rolled = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in rows
+        if r["grouping_id"] == 1
+    }
+    direct = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in sketch_by_key(
+            ev, ["event_type"], "value", lambda: DDSketch(ALPHA)
+        ).collect()
+    }
+    assert rolled == direct
+    (global_blob,) = [
+        bytes(r["sketch"]) for r in rows if r["grouping_id"] == 3
+    ]
+    from tgdigest_spark.agg import sketch_column
+
+    assert global_blob == sketch_column(
+        ev, "value", lambda: DDSketch(ALPHA)
+    ).serialize()
+
+
+def test_sliding_quantiles_dd_bitexact_and_bound(spark, sf001_dir):
+    """Pane-merged sliding DD windows: blobs byte-equal to direct
+    per-window builds from exploded raw rows, and the per-window p95
+    satisfies the relative-error bound vs the exact rank item."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.agg import sketch_by_key
+    from tgdigest_spark.api import sliding_quantiles_dd, sliding_window_sketches
+
+    ev = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    got = {
+        r["window_start"]: bytes(r["sketch"])
+        for r in sliding_window_sketches(
+            ev, "ts", "value", lambda: DDSketch(ALPHA), 6, 2
+        ).collect()
+    }
+    pidx = F.floor(F.unix_date(F.to_date("ts")) / 2)
+    facts_w = ev.select(
+        F.explode(F.sequence(pidx - 2, pidx)).alias("w"),
+        F.col("value").alias("v"),
+    )
+    direct = {
+        r["w"]: bytes(r["sketch"])
+        for r in sketch_by_key(
+            facts_w, ["w"], "v", lambda: DDSketch(ALPHA)
+        ).collect()
+    }
+    assert len(got) == len(direct)
+    for ws, blob in got.items():
+        assert direct[(ws.toordinal() - 719163) // 2] == blob
+    # estimate extraction + bound per window
+    est = {
+        r["window_start"]: r["p95"]
+        for r in sliding_quantiles_dd(ev, "ts", "value", [0.95], 6, 2)
+        .collect()
+    }
+    vals = facts_w.toPandas()
+    for ws, e in est.items():
+        gv = np.sort(
+            vals[vals["w"] == (ws.toordinal() - 719163) // 2]["v"].to_numpy(
+                np.float64
+            )
+        )
+        assert _rel_err(float(e), _rank_item(gv, 0.95)) <= BOUND
+
+
+def test_stateful_stream_dd_exact_batch_parity(spark, transcripts_path, tmp_path):
+    """Streaming per-key DD state converges to EXACTLY the batch
+    sketch's estimates (bit-exact merges make streaming == batch a
+    byte-level identity, not a bound)."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.streaming.stateful import stateful_sketch_stream
+
+    src = spark.read.parquet(transcripts_path)
+    stream_dir = str(tmp_path / "dd_src")
+    sample = src.where(F.col("role").isin("user", "assistant")).limit(2000)
+    sample.repartition(3).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select(
+            F.col("role").alias("key_in"),
+            F.length("text").cast("double").alias("v"),
+        )
+    )
+    out = stateful_sketch_stream(stream, "key_in", "v", lambda: DDSketch(ALPHA))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dd_stateful_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    final = {
+        r["key"]: (r["n"], r["p50"], r["p95"])
+        for r in spark.sql(
+            "SELECT key, n, p50, p95 FROM dd_stateful_out s WHERE n = "
+            "(SELECT max(n) FROM dd_stateful_out t WHERE t.key = s.key)"
+        ).collect()
+    }
+    batch = spark.read.parquet(stream_dir)
+    pdf = batch.select("role", F.length("text").cast("double").alias("v")).toPandas()
+    for role, (n, p50, p95) in final.items():
+        sk = DDSketch(ALPHA).update(pdf[pdf["role"] == role]["v"])
+        assert n == sk.n
+        ref = sk.quantile([0.5, 0.95])
+        assert (p50, p95) == (float(ref[0]), float(ref[1]))
+
+
 def test_api_quantiles_dd_bound(spark, transcripts):
     from pyspark.sql import functions as F
 

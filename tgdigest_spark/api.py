@@ -500,6 +500,29 @@ def sliding_quantiles(
     return with_quantiles(sk, lambda: TDigest(delta), list(qs))
 
 
+def sliding_quantiles_dd(
+    df: DataFrame,
+    ts: Column | str,
+    value: Column | str,
+    qs: list[float],
+    window_days: int,
+    slide_days: int,
+    alpha: float = 0.01,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """DDSketch flavor of :func:`sliding_quantiles`: per-window
+    RELATIVE-error quantiles whose pane merges are BIT-EXACT — a
+    window's merged blob is byte-identical to a sketch built directly
+    from that window's raw rows (t-digest pane merges agree only within
+    the rank bound), so pane-merged windows lose nothing vs the naive
+    per-window replication they replace."""
+    sk = sliding_window_sketches(
+        df, ts, value, lambda: DDSketch(alpha), window_days, slide_days,
+        keys=keys,
+    )
+    return with_quantiles(sk, lambda: DDSketch(alpha), list(qs))
+
+
 def grouped_cm_counts(
     df: DataFrame,
     keys: list[str],
