@@ -275,6 +275,126 @@ def run_bench() -> dict:
 
 
 # ---------------------------------------------------------------------------
+# quantile-error mode — the BASELINE metric ("p99 quantile error") head on
+# ---------------------------------------------------------------------------
+
+def run_qerror() -> dict:
+    """Measured p50..p999 error of all three quantile sketches against
+    exact full-sort quantiles on the two north-star columns (turn text
+    length, inter-turn latency seconds). Sketch builds run distributed
+    (sketch_column); the EXACT side collects the raw column once —
+    that's the measurement harness, not the engine (n at sf0.1 is
+    ~370k doubles ≈ 3 MB; error measurement needs true ranks).
+
+    Reported per (column, sketch, q):
+      est            — the sketch's estimate
+      rank_err       — tie-robust distance of est's rank interval from
+                       q*n, normalized by n (0.0 when the interval
+                       covers q*n); the t-digest/KLL contract
+      rel_err        — |est - x_q| / |x_q| with x_q the item at rank
+                       ceil(q*n); the DDSketch contract
+      within_bound   — the sketch's own contract holds, at the SAME
+                       calibration the unit tests pin:
+                       t-digest delta=200: rank_err <=
+                       max(8*q(1-q)/delta, 1e-3) (test_tdigest.bound)
+                       KLL k=200: rank_err <= 0.013 (Karnin et al.)
+                       DDSketch alpha=.01: rel_err <= alpha*1.01
+    """
+    import numpy as np
+
+    from tgdigest_spark.agg import sketch_column
+    from tgdigest_spark.session import get_spark
+    from tgdigest_spark.sketches import KLL, DDSketch, TDigest
+
+    from pyspark.sql import functions as F
+
+    qs = [0.5, 0.9, 0.95, 0.99, 0.999]
+    spark = get_spark(
+        "tgdigest-qerror", cores=CPUS, shuffle_partitions=max(CPUS, 8),
+        extra_conf=_BENCH_CONF,
+    )
+    tpath = _transcripts_path()
+    transcripts = spark.read.parquet(tpath)
+
+    from tgdigest_spark.api import interturn_latency_seconds
+
+    columns = {
+        "text_length": transcripts.select(
+            F.length("text").cast("double").alias("v")
+        ),
+        "interturn_latency_s": interturn_latency_seconds(transcripts)
+        .select(F.col("latency_s").alias("v"))
+        .where(F.col("v").isNotNull()),
+    }
+    sketches = {
+        "tdigest_d200": (lambda: TDigest(200), "rank"),
+        "kll_k200": (lambda: KLL(200), "rank"),
+        "ddsketch_a01": (lambda: DDSketch(0.01), "rel"),
+    }
+    out: dict = {}
+    for cname, cdf in columns.items():
+        vals = np.sort(
+            cdf.toPandas()["v"].to_numpy(dtype=np.float64)
+        )
+        n = vals.size
+        col_res: dict = {"n": int(n)}
+        for sname, (factory, contract) in sketches.items():
+            t0 = time.time()
+            sk = sketch_column(cdf, "v", factory)
+            build_s = round(time.time() - t0, 3)
+            ests = np.atleast_1d(sk.quantile(qs))
+            rows = {}
+            worst_rank = worst_rel = 0.0
+            for q, est in zip(qs, ests):
+                est = float(est)
+                lt = int(np.searchsorted(vals, est, side="left"))
+                le = int(np.searchsorted(vals, est, side="right"))
+                target = q * n
+                rank_err = (
+                    0.0
+                    if lt <= target <= le
+                    else min(abs(target - lt), abs(target - le)) / n
+                )
+                x_q = float(vals[max(int(np.ceil(q * n)), 1) - 1])
+                rel_err = abs(est - x_q) / abs(x_q) if x_q else abs(est - x_q)
+                if contract == "rank":
+                    if sname.startswith("tdigest"):
+                        bound = max(8.0 * q * (1 - q) / 200.0, 1e-3)
+                    else:
+                        bound = 0.013
+                    ok = rank_err <= bound
+                else:
+                    ok = rel_err <= 0.01 * 1.01
+                worst_rank = max(worst_rank, rank_err)
+                worst_rel = max(worst_rel, rel_err)
+                rows[f"p{q * 100:g}".replace(".", "")] = {
+                    "est": round(est, 4),
+                    "rank_err": round(rank_err, 6),
+                    "rel_err": round(rel_err, 6),
+                    "within_bound": bool(ok),
+                }
+            col_res[sname] = {
+                "build_s": build_s,
+                "blob_bytes": len(sk.serialize()),
+                "worst_rank_err": round(worst_rank, 6),
+                "worst_rel_err": round(worst_rel, 6),
+                "quantiles": rows,
+            }
+        out[cname] = col_res
+    spark.stop()
+    return {
+        "metric": "quantile_error_vs_exact",
+        "value": max(
+            c["ddsketch_a01"]["quantiles"]["p99"]["rel_err"]
+            for c in out.values()
+        ),
+        "unit": "p99_rel_err_ddsketch",
+        "sf": SF,
+        "columns": out,
+    }
+
+
+# ---------------------------------------------------------------------------
 # 100x rehearsal mode
 # ---------------------------------------------------------------------------
 
@@ -1234,5 +1354,7 @@ if __name__ == "__main__":
         print(json.dumps(run_overlapstress()))
     elif "--cubestress" in sys.argv:
         print(json.dumps(run_cubestress()))
+    elif "--qerror" in sys.argv:
+        print(json.dumps(run_qerror()))
     else:
         print(json.dumps(run_bench()))
