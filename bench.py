@@ -338,6 +338,38 @@ def run_qerror() -> dict:
         )
         n = vals.size
         col_res: dict = {"n": int(n)}
+        # context row: Spark's own approx_percentile (Greenwald-Khanna,
+        # accuracy=10000 → rank err <= 1e-4 claimed) — the built-in this
+        # library's sketches replace; same error accounting, no bound
+        # flag of ours to assert
+        t0 = time.time()
+        ap = cdf.agg(
+            F.expr(
+                f"approx_percentile(v, array({','.join(str(q) for q in qs)}),"
+                " 10000)"
+            ).alias("e")
+        ).collect()[0]["e"]
+        ap_s = round(time.time() - t0, 3)
+        ap_rows = {}
+        for q, est in zip(qs, [float(x) for x in ap]):
+            lt = int(np.searchsorted(vals, est, side="left"))
+            le = int(np.searchsorted(vals, est, side="right"))
+            target = q * n
+            rank_err = (
+                0.0 if lt <= target <= le
+                else min(abs(target - lt), abs(target - le)) / n
+            )
+            x_q = float(vals[max(int(np.ceil(q * n)), 1) - 1])
+            ap_rows[f"p{q * 100:g}".replace(".", "")] = {
+                "est": round(est, 4),
+                "rank_err": round(rank_err, 6),
+                "rel_err": round(
+                    abs(est - x_q) / abs(x_q) if x_q else abs(est - x_q), 6
+                ),
+            }
+        col_res["spark_approx_percentile_10k"] = {
+            "build_s": ap_s, "quantiles": ap_rows,
+        }
         for sname, (factory, contract) in sketches.items():
             t0 = time.time()
             sk = sketch_column(cdf, "v", factory)
