@@ -81,8 +81,10 @@ def test_gate_window_covers_priority_queries():
         # new in round 6
         "mediaprobe_stats",
         # new in round 6, session 3: DDSketch relative-error quantiles
+        # + priority sampling
         "sketch_dd_quantiles",
         "sketch_grouped_dd",
+        "sketch_priority_sample",
         # code changed in round 6 (derived KMV k, freq validation)
         "sketch_kmv_setops",
         "kmv_overlap_event_types",
@@ -107,10 +109,11 @@ def test_gate_window_covers_priority_queries():
         # sketch_table_rollup → ngram_jaccard_topk parked (both r5 green)
         "jaccard_prefix_pairs",
         "ngram_jaccard_topk",
-        # parked for the two DDSketch rows (both r5-driver-green,
-        # untouched in r6)
+        # parked for the two DDSketch rows and the priority-sample row
+        # (all three r5-driver-green, untouched in r6)
         "embedding_neardup_lsh",
         "text_stats",
+        "budget_cutoff_docs",
         "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",

@@ -1630,3 +1630,87 @@ def grouped_selfjoin_size(
         [StructField("f2_est", LongType())],
         lambda sk: (sk.f2_estimate(),),
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling — the mergeable weighted-sample sketch
+# ---------------------------------------------------------------------------
+
+def priority_sample_sketch(
+    df: DataFrame,
+    id_col: Column | str,
+    weight: Column | str,
+    k: int = 4096,
+    where: Column | None = None,
+    fanout: int = 512,
+) -> "PrioritySample":
+    """Build one priority sample (Duffield-Lund-Thorup 2007) over the
+    whole DataFrame: k retained rows + tau, answering UNBIASED
+    subset-sum estimates for any later slice predicate without
+    re-scanning — "how many tokens does source X contribute" from a
+    bounded sample. Same map-side-partial → blob-tree-merge topology as
+    :func:`agg.sketch_column` (no raw-row shuffle); the hash-derived
+    priorities make the merged sample BIT-identical to a single-pass
+    build under any layout. ``id_col`` must uniquely key the sampled
+    unit (duplicate ids are correlated draws, not independent items)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from .agg import _tree_merge
+    from .sketches.prioritysample import PrioritySample
+
+    if where is not None:
+        df = df.where(where)
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    proj = df.select(
+        idc.cast("string").alias("i"), wc.cast("double").alias("w")
+    )
+    schema = StructType([StructField("sketch", BinaryType(), False)])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = PrioritySample(k)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                sk.update(pdf["i"], pdf["w"])
+                seen = True
+        if seen:
+            yield pd.DataFrame({"sketch": [sk.serialize()]})
+
+    partials = proj.mapInPandas(build, schema=schema)
+    return _tree_merge(partials, lambda: PrioritySample(k), fanout)
+
+
+def priority_sample_rows(
+    df: DataFrame,
+    id_col: Column | str,
+    weight: Column | str,
+    k: int = 4096,
+    where: Column | None = None,
+) -> DataFrame:
+    """The retained sample as a DataFrame[id string, weight double,
+    adjusted_weight double] — join it back to the fact table (broadcast;
+    k rows) to carry attributes for slice estimates. SUM(adjusted_weight)
+    over any id-derived predicate is unbiased for that slice's true
+    SUM(weight); exact while n <= k (tau = 0)."""
+    sk = priority_sample_sketch(df, id_col, weight, k, where)
+    pdf = sk.sample()
+    spark = df.sparkSession
+    if len(pdf) == 0:
+        from pyspark.sql.types import (
+            DoubleType, StringType, StructField, StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id", StringType()),
+                    StructField("weight", DoubleType()),
+                    StructField("adjusted_weight", DoubleType()),
+                ]
+            ),
+        )
+    return spark.createDataFrame(pdf)

@@ -618,6 +618,99 @@ def sketch_grouped_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_priority_sample",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_subset,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(SUM(CASE WHEN event_id % 10 = 3
+                         THEN CAST(value AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               AS subset_value,
+           TRUE AS exact_regime_held, TRUE AS exact_total_ok,
+           TRUE AS exact_subset_ok, TRUE AS est_total_within_tol,
+           TRUE AS merge_equals_direct
+    FROM events
+    """,
+)
+def sketch_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup 2007;
+    sketches/prioritysample.py): bounded-k mergeable weighted sample
+    answering unbiased subset-sum estimates. Two sketches over
+    events (id = event_id, weight = value):
+
+    * k >= n (exact regime, the KMV-style anchor): tau = 0, the whole
+      multiset is retained — total AND the id-derived subset sum
+      (event_id % 10 == 3) must equal the DECIMAL-exact oracle sums to
+      float-reordering precision (fsum, rel 1e-9).
+    * k = max(64, n//4) (estimating regime): the unbiased total
+      estimate must land within a 6/sqrt(k) relative tolerance (the
+      6-sigma-style generosity of the other sketch gates; estimates
+      are hash-deterministic so the flag is reproducible).
+
+    merge_equals_direct pins the KMV-shaped bit-exact merge: blobs
+    from two different partition layouts are byte-identical."""
+    import math
+
+    from .api import priority_sample_sketch
+
+    ev = load(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_id") % 10 == 3).cast("long")).alias("n_sub"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("tot"),
+        F.sum(
+            F.when(
+                F.col("event_id") % 10 == 3,
+                F.col("value").cast("decimal(18,4)"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("sub"),
+    ).collect()[0]
+    n, n_sub, tot, sub = agg["n"], agg["n_sub"], agg["tot"], agg["sub"]
+
+    k_exact = 1 << max(int(n).bit_length() + 1, 4)
+    sk_exact = priority_sample_sketch(ev, "event_id", "value", k=k_exact)
+    is_sub = lambda s: int(s) % 10 == 3  # noqa: E731
+    ex_tot = math.fsum(sk_exact.adjusted_weights())
+    mask = [is_sub(i) for i in sk_exact.ids]
+    ex_sub = math.fsum(sk_exact.adjusted_weights()[mask])
+    exact_regime_held = bool(sk_exact.exact_regime)
+    exact_total_ok = bool(abs(ex_tot - tot) <= 1e-9 * abs(tot))
+    exact_subset_ok = bool(abs(ex_sub - sub) <= 1e-9 * abs(sub))
+
+    k_est = max(64, int(n) // 4)
+    sk_est = priority_sample_sketch(
+        ev.repartition(16), "event_id", "value", k=k_est
+    )
+    tol = 6.0 / math.sqrt(k_est)
+    est_total_within_tol = bool(
+        abs(sk_est.total_estimate() - tot) <= tol * abs(tot)
+    )
+    blob_b = priority_sample_sketch(
+        ev.repartition(5, "event_type"), "event_id", "value", k=k_est
+    ).serialize()
+    merge_equals_direct = sk_est.serialize() == blob_b
+    return spark.createDataFrame(
+        [
+            (
+                int(n), int(n_sub), float(tot), float(sub),
+                exact_regime_held, exact_total_ok, exact_subset_ok,
+                est_total_within_tol, merge_equals_direct,
+            )
+        ],
+        "n_rows long, n_subset long, total_value double, "
+        "subset_value double, exact_regime_held boolean, "
+        "exact_total_ok boolean, exact_subset_ok boolean, "
+        "est_total_within_tol boolean, merge_equals_direct boolean",
+    )
+
+
 # probe points ~p25/p50/p90 of events.value (distribution is sf-invariant)
 _CDF_PROBES = [15.0, 35.0, 115.0]
 
@@ -4603,6 +4696,9 @@ _GATE_ORDER = [
     # r5-driver-green and untouched this round, park in exchange)
     "sketch_dd_quantiles",
     "sketch_grouped_dd",
+    # new in round 6 (session 3): priority sampling (budget_cutoff_docs,
+    # r5-driver-green and untouched this round, parks in exchange)
+    "sketch_priority_sample",
     # remaining r5-window rows keeping fresh driver evidence
     "sketch_kll_quantiles",
     "sketch_cdf_rank",
@@ -4614,13 +4710,13 @@ _GATE_ORDER = [
     "sketch_grouped_kll",
     "sketch_grouped_hll",
     "sketch_grouped_cm",
-    "budget_cutoff_docs",
     "chunk_docs_digest",
     "rebalance_sources_docs",
     "training_shuffle_digest",
     "weighted_sample_docs",
     "incremental_dedup_batches",
     # --- driver window boundary (position 50) ---
+    "budget_cutoff_docs",
     "embedding_neardup_lsh",
     "text_stats",
     "ngram_jaccard_topk",

@@ -10,6 +10,7 @@ from .hll import HLL
 from .kll import KLL
 from .multi import MultiSketch
 from .kmv import KMV
+from .prioritysample import PrioritySample
 from .tdigest import TDigest
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "DDSketch",
     "Bloom",
     "KMV",
+    "PrioritySample",
     "FrequentItems",
     "MultiSketch",
 ]

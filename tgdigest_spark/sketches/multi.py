@@ -74,11 +74,12 @@ class MultiSketch(Sketch):
                              offset=off)
         off += 8 * n_children
         from . import Bloom, CountMin, CountSketch, DDSketch, \
-            FrequentItems, HLL, KLL, KMV, TDigest
+            FrequentItems, HLL, KLL, KMV, PrioritySample, TDigest
 
         registry = {t.MAGIC: t for t in
                     (Bloom, CountMin, CountSketch, DDSketch,
-                     FrequentItems, HLL, KLL, KMV, TDigest)}
+                     FrequentItems, HLL, KLL, KMV, PrioritySample,
+                     TDigest)}
         children = []
         for ln in lens:
             blob = data[off: off + int(ln)]
