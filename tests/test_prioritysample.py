@@ -140,6 +140,53 @@ def test_validation_and_null_policy():
         sk.subset_sum(np.array([True, False]))
 
 
+def test_grouped_priority_sample_bitexact_and_rows(spark, transcripts):
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.api import (
+        grouped_priority_sample,
+        grouped_priority_sample_rows,
+    )
+    from tgdigest_spark.sketches.prioritysample import PrioritySample
+
+    k = 128
+    key = F.concat_ws("#", "conv_id", "turn_idx")
+    wcol = F.length("text").cast("double")
+    got = {
+        r["role"]: bytes(r["sketch"])
+        for r in grouped_priority_sample(
+            transcripts.repartition(16), ["role"], key, wcol, k=k
+        ).collect()
+    }
+    # per-group local fold, byte-equal
+    pdf = transcripts.select(
+        "role", key.alias("i"), wcol.alias("w")
+    ).toPandas()
+    for role, grp in pdf.groupby("role"):
+        assert got[role] == PrioritySample(k).update(grp["i"], grp["w"]).serialize()
+    # layout independence
+    got2 = {
+        r["role"]: bytes(r["sketch"])
+        for r in grouped_priority_sample(
+            transcripts.repartition(5, "conv_id"), ["role"], key, wcol, k=k
+        ).collect()
+    }
+    assert got == got2
+    rows = grouped_priority_sample_rows(
+        transcripts, ["role"], key, wcol, k=k
+    ).toPandas()
+    expect_rows = int(
+        pdf.groupby("role").size().clip(upper=k).sum()
+    )  # strata smaller than k are fully retained
+    assert len(rows) == expect_rows
+    assert (rows["adjusted_weight"] >= rows["weight"]).all()
+    # per-stratum total estimates within 25% (k=128 -> ~9% 1 sigma)
+    for role, grp in pdf.groupby("role"):
+        est = rows[rows["role"] == role]["adjusted_weight"].sum()
+        exact = grp["w"].sum()
+        assert abs(est - exact) / exact < 0.25, role
+
+
 def test_spark_build_bitexact_and_rows(spark, transcripts):
     from pyspark.sql import functions as F
 

@@ -85,6 +85,7 @@ def test_gate_window_covers_priority_queries():
         "sketch_dd_quantiles",
         "sketch_grouped_dd",
         "sketch_priority_sample",
+        "grouped_priority_sample_types",
         # code changed in round 6 (derived KMV k, freq validation)
         "sketch_kmv_setops",
         "kmv_overlap_event_types",
@@ -114,6 +115,7 @@ def test_gate_window_covers_priority_queries():
         "embedding_neardup_lsh",
         "text_stats",
         "budget_cutoff_docs",
+        "chunk_docs_digest",
         "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",

@@ -1714,3 +1714,122 @@ def priority_sample_rows(
             ),
         )
     return spark.createDataFrame(pdf)
+
+
+def grouped_priority_sample(
+    df: DataFrame,
+    keys: list[str],
+    id_col: Column | str,
+    weight: Column | str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group priority samples → DataFrame[keys..., sketch binary]:
+    a bounded stratified sample (k rows per stratum) whose per-group
+    subset sums stay unbiased — the sampling analog of the grouped
+    sketches. Combine topology: one partial sample per (partition,
+    group) map-side, ONE blob shuffle, per-key merge (bit-exact, so
+    the result is layout-independent byte-for-byte). Strata are
+    expected to be coarse (sources, types, days) — the per-group
+    pandas groupby here is NOT the tiny-group bulk path; for millions
+    of groups use the numeric sketches."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from .agg import _merge_blobs
+    from .sketches.prioritysample import PrioritySample
+
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    proj = df.select(
+        *keys, idc.cast("string").alias("_i"), wc.cast("double").alias("_w")
+    )
+    out_schema = StructType(
+        [proj.schema[kcol] for kcol in keys]
+        + [StructField("sketch", BinaryType(), False)]
+    )
+    factory = lambda: PrioritySample(k)  # noqa: E731
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows_k: list[tuple] = []
+        blobs: list[bytes] = []
+        for key, grp in pdf.groupby(list(keys), sort=False, dropna=False):
+            kt = key if isinstance(key, tuple) else (key,)
+            rows_k.append(kt)
+            blobs.append(factory().update(grp["_i"], grp["_w"]).serialize())
+        data = {kcol: [t[i] for t in rows_k] for i, kcol in enumerate(keys)}
+        data["sketch"] = blobs
+        yield pd.DataFrame(data)
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        allp = pd.concat(pdfs, ignore_index=True)
+        rows_k: list[tuple] = []
+        blobs: list[bytes] = []
+        for key, grp in allp.groupby(list(keys), sort=False, dropna=False):
+            kt = key if isinstance(key, tuple) else (key,)
+            rows_k.append(kt)
+            bl = list(grp["sketch"])
+            blobs.append(
+                bytes(bl[0])
+                if len(bl) == 1
+                else _merge_blobs(factory, [bytes(b) for b in bl]).serialize()
+            )
+        data = {kcol: [t[i] for t in rows_k] for i, kcol in enumerate(keys)}
+        data["sketch"] = blobs
+        yield pd.DataFrame(data)
+
+    partials = proj.mapInPandas(combine, out_schema)
+    return partials.repartition(*[F.col(kc) for kc in keys]).mapInPandas(
+        merge, out_schema
+    )
+
+
+def grouped_priority_sample_rows(
+    df: DataFrame,
+    keys: list[str],
+    id_col: Column | str,
+    weight: Column | str,
+    k: int = 256,
+) -> DataFrame:
+    """Exploded form of :func:`grouped_priority_sample`:
+    DataFrame[keys..., id, weight, adjusted_weight] — per-stratum
+    bounded samples ready to join back to facts; within each stratum,
+    SUM(adjusted_weight) over any id-derived slice is unbiased for the
+    slice's true SUM(weight), exact while the stratum held <= k rows."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    from .sketches.prioritysample import PrioritySample
+
+    blobs = grouped_priority_sample(df, keys, id_col, weight, k)
+    out_schema = StructType(
+        [f for f in blobs.schema.fields if f.name != "sketch"]
+        + [
+            StructField("id", StringType()),
+            StructField("weight", DoubleType()),
+            StructField("adjusted_weight", DoubleType()),
+        ]
+    )
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                s = PrioritySample.deserialize(bytes(row["sketch"])).sample()
+                for kcol in out_schema.names[: len(keys)]:
+                    s[kcol] = row[kcol]
+                frames.append(s[[*out_schema.names]])
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return blobs.mapInPandas(explode, out_schema)

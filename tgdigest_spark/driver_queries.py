@@ -711,6 +711,79 @@ def sketch_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouped_priority_sample_types",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           TRUE AS exact_regime_held, TRUE AS exact_total_ok,
+           TRUE AS layout_bitexact
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def grouped_priority_sample_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type priority samples (grouped_priority_sample) in the
+    exact regime: k is derived above the largest stratum, so every
+    stratum retains its full multiset — per-group fsum(adjusted) must
+    equal the DECIMAL-exact oracle sum to float-reordering precision,
+    and blobs must be byte-identical across input layouts (the grouped
+    form of the bit-exact merge). Collects one blob per event_type
+    (|G| = 5, bounded by the dim cardinality — gate convention)."""
+    import math
+
+    from .api import grouped_priority_sample
+    from .sketches.prioritysample import PrioritySample
+
+    ev = load(spark, sf_dir, "events")
+    anchors = {
+        r["event_type"]: (r["n"], r["tot"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("tot"),
+        )
+        .collect()
+    }
+    k = 1 << (max(n for n, _ in anchors.values())).bit_length()
+    blobs_a = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in grouped_priority_sample(
+            ev, ["event_type"], "event_id", "value", k=k
+        ).collect()
+    }
+    blobs_b = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in grouped_priority_sample(
+            ev.repartition(7, "user_id"), ["event_type"], "event_id",
+            "value", k=k,
+        ).collect()
+    }
+    out = []
+    for et in sorted(anchors):
+        n, tot = anchors[et]
+        sk = PrioritySample.deserialize(blobs_a[et])
+        est = math.fsum(sk.adjusted_weights())
+        out.append(
+            (
+                et, int(n), float(tot),
+                bool(sk.exact_regime),
+                bool(abs(est - tot) <= 1e-9 * abs(tot)),
+                bool(blobs_a[et] == blobs_b[et]),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_rows long, total_value double, "
+        "exact_regime_held boolean, exact_total_ok boolean, "
+        "layout_bitexact boolean",
+    )
+
+
 # probe points ~p25/p50/p90 of events.value (distribution is sf-invariant)
 _CDF_PROBES = [15.0, 35.0, 115.0]
 
@@ -4696,9 +4769,11 @@ _GATE_ORDER = [
     # r5-driver-green and untouched this round, park in exchange)
     "sketch_dd_quantiles",
     "sketch_grouped_dd",
-    # new in round 6 (session 3): priority sampling (budget_cutoff_docs,
-    # r5-driver-green and untouched this round, parks in exchange)
+    # new in round 6 (session 3): priority sampling — global + grouped
+    # (budget_cutoff_docs and chunk_docs_digest, both r5-driver-green
+    # and untouched this round, park in exchange)
     "sketch_priority_sample",
+    "grouped_priority_sample_types",
     # remaining r5-window rows keeping fresh driver evidence
     "sketch_kll_quantiles",
     "sketch_cdf_rank",
@@ -4710,12 +4785,12 @@ _GATE_ORDER = [
     "sketch_grouped_kll",
     "sketch_grouped_hll",
     "sketch_grouped_cm",
-    "chunk_docs_digest",
     "rebalance_sources_docs",
     "training_shuffle_digest",
     "weighted_sample_docs",
     "incremental_dedup_batches",
     # --- driver window boundary (position 50) ---
+    "chunk_docs_digest",
     "budget_cutoff_docs",
     "embedding_neardup_lsh",
     "text_stats",
