@@ -132,6 +132,47 @@ def test_min_max_exact_and_clamped():
     assert np.all(est >= data.min()) and np.all(est <= data.max())
 
 
+def test_infinities_rank_correctly_all_paths():
+    """Review regression: +/-inf must land in the reserved overflow
+    buckets (representative = +/-inf), not wrap through an int64 cast
+    into the smallest bucket — rank parity with TDigest/KLL, pinned
+    across update / from_sorted_like / bulk / mass-extraction paths."""
+    import warnings
+
+    rng = np.random.default_rng(0)
+    data = np.concatenate(
+        [rng.lognormal(1, 2, 5000), [np.inf] * 30, [-np.inf] * 10,
+         [0.0] * 5, -rng.lognormal(0, 1, 500)]
+    )
+    rng.shuffle(data)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old path warned on the cast
+        sk = DDSketch(ALPHA).update(data)
+        srt = np.sort(data)
+        n = data.size
+        for q in (0.001, 0.5, 0.99, 0.999, 1.0):
+            true = _rank_item(srt, q)
+            est = float(sk.quantile(q))
+            if np.isinf(true):
+                assert est == true, (q, est, true)
+            else:
+                assert _rel_err(est, true) <= BOUND, (q, est, true)
+        direct = sk.serialize()
+        proto = DDSketch(ALPHA)
+        assert proto.from_sorted_like(srt).serialize() == direct
+        assert proto.serialize_sorted_groups_like(srt, [0], [n])[0] == direct
+        blobs = [DDSketch(ALPHA).update(p).serialize()
+                 for p in np.array_split(data, 7)]
+        assert proto.merge_blob_groups_like(
+            np.array(blobs, dtype=object), [0], [7]
+        )[0] == direct
+        qs = [0.001, 0.5, 0.999, 1.0]
+        assert np.array_equal(
+            DDSketch.quantile_blobs([direct], qs)[0],
+            np.asarray(DDSketch.deserialize(direct).quantile(qs)),
+        )
+
+
 def test_nulls_dropped_like_library_convention():
     import pandas as pd
 

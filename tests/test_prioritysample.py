@@ -120,6 +120,21 @@ def test_serialization_roundtrip_unicode_and_empty():
     assert set(back.ids) == set(ids)
 
 
+def test_id_dtype_independence_bitexact():
+    """Review regression: priorities must be drawn from the STRING form
+    of the id (the serialized domain) — an int-typed id column and its
+    cast-to-string form are the same item, byte-for-byte."""
+    import pandas as pd
+
+    w = np.array([1.0, 2.0, 3.0, 4.0])
+    a = PrioritySample(8).update(pd.Series([1, 2, 3, 4]), w).serialize()
+    b = PrioritySample(8).update(pd.Series(["1", "2", "3", "4"]), w).serialize()
+    assert a == b
+    # and merging the two forms does NOT double-count
+    m = PrioritySample.deserialize(a).merge(PrioritySample.deserialize(b))
+    assert sorted(m.ids) == ["1", "1", "2", "2", "3", "3", "4", "4"]
+
+
 def test_validation_and_null_policy():
     import pandas as pd
 

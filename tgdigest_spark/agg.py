@@ -63,6 +63,22 @@ def _merge_blobs(factory: SketchFactory, blobs) -> Sketch:
     return first
 
 
+def _value_projection(df, value, keys: list[str]):
+    """Shared (keys..., value-columns) projection: ``value`` may be one
+    Column/name or a list of them for sketches whose ``update`` takes
+    several aligned batches (e.g. PrioritySample's (ids, weights)).
+    Returns (value column names, projected DataFrame)."""
+    if isinstance(value, (list, tuple)):
+        cols = [F.col(c) if isinstance(c, str) else c for c in value]
+        vnames = [f"v{i}" for i in range(len(cols))]
+    else:
+        cols = [F.col(value) if isinstance(value, str) else value]
+        vnames = ["v"]
+    return vnames, df.select(
+        *keys, *[c.alias(n) for c, n in zip(cols, vnames)]
+    )
+
+
 # ---------------------------------------------------------------------------
 # global sketch
 # ---------------------------------------------------------------------------
@@ -83,15 +99,14 @@ def sketch_column(
     small job pay a repartition+merge round it doesn't need; 512 blobs
     of a few KB are nothing to a driver, while a 100k-partition scan
     still triggers the bounded Spark-side reduction."""
-    col = F.col(value) if isinstance(value, str) else value
-    vals = df.select(col.alias("v"))
+    vnames, vals = _value_projection(df, value, [])
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sk = factory()
         seen = False
         for pdf in batches:
             if len(pdf):
-                sk.update(pdf["v"])
+                sk.update(*[pdf[n] for n in vnames])
                 seen = True
         if seen:
             yield pd.DataFrame({"sketch": [sk.serialize()]})
@@ -182,14 +197,14 @@ def sketch_by_key(
     the three shuffle topologies (``combine`` / ``salted`` /
     ``clustered``).
     """
-    col = F.col(value) if isinstance(value, str) else value
-    proj = df.select(*keys, col.alias("v"))
+    vnames, proj = _value_projection(df, value, keys)
+    multi = len(vnames) > 1
     out_schema = StructType(
         [proj.schema[k] for k in keys] + [StructField(out_col, BinaryType(), False)]
     )
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = factory().update(pdf["v"])
+        sk = factory().update(*[pdf[n] for n in vnames])
         row = {k: [pdf[k].iloc[0]] for k in keys}
         row[out_col] = [sk.serialize()]
         return pd.DataFrame(row)
@@ -306,7 +321,7 @@ def sketch_by_key(
             pdfs = [p for p in batches if len(p)]
             if not pdfs:
                 return
-            if bulk is not None and len(keys) == 1:
+            if bulk is not None and len(keys) == 1 and not multi:
                 # concatenating the narrow (key, v) projection holds the
                 # partition in memory once — bounded by the scan split
                 # size, the applyInPandas envelope this stage replaces
@@ -317,7 +332,7 @@ def sketch_by_key(
                 )
                 yield _bulk_partition(pdf)
                 return
-            if hashed_bulk is not None:
+            if hashed_bulk is not None and not multi:
                 pdf = (
                     pdfs[0]
                     if len(pdfs) == 1
@@ -331,9 +346,9 @@ def sketch_by_key(
                     k = key if isinstance(key, tuple) else (key,)
                     sk = acc.get(k)
                     if sk is None:
-                        acc[k] = factory().update(grp["v"])
+                        acc[k] = factory().update(*[grp[n] for n in vnames])
                     else:
-                        sk.update(grp["v"])
+                        sk.update(*[grp[n] for n in vnames])
             if acc:
                 ks = list(acc.keys())
                 data = {k: [t[i] for t in ks] for i, k in enumerate(keys)}
@@ -421,7 +436,11 @@ def sketch_by_key(
         )
 
     if method == "salted":
-        salt = salt_col if salt_col is not None else F.xxhash64(*keys, F.col("v"))
+        salt = (
+            salt_col
+            if salt_col is not None
+            else F.xxhash64(*keys, *[F.col(n) for n in vnames])
+        )
         salted = proj.withColumn("_salt", F.pmod(salt, F.lit(salt_partitions)))
         partials = salted.groupBy(*keys, "_salt").applyInPandas(
             lambda pdf: build_group(pdf.drop(columns=["_salt"])),

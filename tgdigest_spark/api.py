@@ -1653,34 +1653,18 @@ def priority_sample_sketch(
     priorities make the merged sample BIT-identical to a single-pass
     build under any layout. ``id_col`` must uniquely key the sampled
     unit (duplicate ids are correlated draws, not independent items)."""
-    from collections.abc import Iterator
-
-    from pyspark.sql.types import BinaryType, StructField, StructType
-
-    from .agg import _tree_merge
     from .sketches.prioritysample import PrioritySample
 
     if where is not None:
         df = df.where(where)
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     wc = F.col(weight) if isinstance(weight, str) else weight
-    proj = df.select(
-        idc.cast("string").alias("i"), wc.cast("double").alias("w")
+    return sketch_column(
+        df,
+        [idc.cast("string"), wc.cast("double")],
+        lambda: PrioritySample(k),
+        fanout=fanout,
     )
-    schema = StructType([StructField("sketch", BinaryType(), False)])
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sk = PrioritySample(k)
-        seen = False
-        for pdf in batches:
-            if len(pdf):
-                sk.update(pdf["i"], pdf["w"])
-                seen = True
-        if seen:
-            yield pd.DataFrame({"sketch": [sk.serialize()]})
-
-    partials = proj.mapInPandas(build, schema=schema)
-    return _tree_merge(partials, lambda: PrioritySample(k), fanout)
 
 
 def priority_sample_rows(
@@ -1722,72 +1706,28 @@ def grouped_priority_sample(
     id_col: Column | str,
     weight: Column | str,
     k: int = 256,
+    method: str = "combine",
 ) -> DataFrame:
     """Per-group priority samples → DataFrame[keys..., sketch binary]:
     a bounded stratified sample (k rows per stratum) whose per-group
     subset sums stay unbiased — the sampling analog of the grouped
-    sketches. Combine topology: one partial sample per (partition,
-    group) map-side, ONE blob shuffle, per-key merge (bit-exact, so
-    the result is layout-independent byte-for-byte). Strata are
-    expected to be coarse (sources, types, days) — the per-group
-    pandas groupby here is NOT the tiny-group bulk path; for millions
-    of groups use the numeric sketches."""
-    from collections.abc import Iterator
-
-    from pyspark.sql.types import BinaryType, StructField, StructType
-
-    from .agg import _merge_blobs
+    sketches. Rides :func:`agg.sketch_by_key`'s shared multi-column
+    topology (map-side partial per (partition, group), ONE blob
+    shuffle, bit-exact per-key merge → layout-independent
+    byte-for-byte; ``salted`` / ``clustered`` available too). Strata
+    are expected to be coarse (sources, types, days) — two-column
+    updates take the generic per-group path, not the tiny-group bulk
+    path; for millions of groups use the numeric sketches."""
     from .sketches.prioritysample import PrioritySample
 
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     wc = F.col(weight) if isinstance(weight, str) else weight
-    proj = df.select(
-        *keys, idc.cast("string").alias("_i"), wc.cast("double").alias("_w")
-    )
-    out_schema = StructType(
-        [proj.schema[kcol] for kcol in keys]
-        + [StructField("sketch", BinaryType(), False)]
-    )
-    factory = lambda: PrioritySample(k)  # noqa: E731
-
-    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        rows_k: list[tuple] = []
-        blobs: list[bytes] = []
-        for key, grp in pdf.groupby(list(keys), sort=False, dropna=False):
-            kt = key if isinstance(key, tuple) else (key,)
-            rows_k.append(kt)
-            blobs.append(factory().update(grp["_i"], grp["_w"]).serialize())
-        data = {kcol: [t[i] for t in rows_k] for i, kcol in enumerate(keys)}
-        data["sketch"] = blobs
-        yield pd.DataFrame(data)
-
-    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        allp = pd.concat(pdfs, ignore_index=True)
-        rows_k: list[tuple] = []
-        blobs: list[bytes] = []
-        for key, grp in allp.groupby(list(keys), sort=False, dropna=False):
-            kt = key if isinstance(key, tuple) else (key,)
-            rows_k.append(kt)
-            bl = list(grp["sketch"])
-            blobs.append(
-                bytes(bl[0])
-                if len(bl) == 1
-                else _merge_blobs(factory, [bytes(b) for b in bl]).serialize()
-            )
-        data = {kcol: [t[i] for t in rows_k] for i, kcol in enumerate(keys)}
-        data["sketch"] = blobs
-        yield pd.DataFrame(data)
-
-    partials = proj.mapInPandas(combine, out_schema)
-    return partials.repartition(*[F.col(kc) for kc in keys]).mapInPandas(
-        merge, out_schema
+    return sketch_by_key(
+        df,
+        keys,
+        [idc.cast("string"), wc.cast("double")],
+        lambda: PrioritySample(k),
+        method=method,
     )
 
 

@@ -502,13 +502,15 @@ def sketch_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from .agg import sketch_column
-    from .api import quantiles_dd
     from .sketches.ddsketch import DDSketch
 
     ev = load(spark, sf_dir, "events")
     qs = [0.5, 0.95, 0.99]
-    est = quantiles_dd(ev, "value", qs, alpha=_DD_ALPHA)
-    ests = [est[q] for q in qs]
+    # estimates come from blob_a's sketch — the row itself pins that
+    # any layout yields this exact blob, so a separate quantiles_dd
+    # build would be a third identical full-table scan
+    sk_a = sketch_column(ev.repartition(16), "value", lambda: DDSketch(_DD_ALPHA))
+    ests = [float(e) for e in sk_a.quantile(qs)]
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, e in enumerate(ests):
         aggs.append(
@@ -527,9 +529,7 @@ def sketch_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool(r[f"_lt{i}"] < max(math.ceil(q * n), 1) <= r[f"_le{i}"])
         for i, q in enumerate(qs)
     ]
-    blob_a = sketch_column(
-        ev.repartition(16), "value", lambda: DDSketch(_DD_ALPHA)
-    ).serialize()
+    blob_a = sk_a.serialize()
     blob_b = sketch_column(
         ev.repartition(5), "value", lambda: DDSketch(_DD_ALPHA)
     ).serialize()
@@ -621,32 +621,48 @@ def sketch_grouped_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sketch_priority_sample",
     """
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN event_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+    WITH params AS (
+        SELECT GREATEST(10, COUNT(*) // 4096 + 1) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+    )
+    SELECT p.n_rows,
+           p.total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_slice,
+           CAST(SUM(CASE WHEN e.event_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_subset,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
-           CAST(SUM(CASE WHEN event_id % 10 = 3
-                         THEN CAST(value AS DECIMAL(18,4))
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS slice_total,
+           CAST(SUM(CASE WHEN e.event_id % 10 = 3
+                         THEN CAST(e.value AS DECIMAL(18,4))
                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
                AS subset_value,
            TRUE AS exact_regime_held, TRUE AS exact_total_ok,
            TRUE AS exact_subset_ok, TRUE AS est_total_within_tol,
            TRUE AS merge_equals_direct
-    FROM events
+    FROM events e, params p
+    WHERE e.event_id % p.d = 3
+    GROUP BY p.n_rows, p.total_value
     """,
 )
 def sketch_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (Duffield-Lund-Thorup 2007;
     sketches/prioritysample.py): bounded-k mergeable weighted sample
     answering unbiased subset-sum estimates. Two sketches over
-    events (id = event_id, weight = value):
+    events (id = event_id, weight = value), both with FIXED k so the
+    gate row's memory is scale-invariant (the review caught the
+    original k >= 2n form materializing the whole table through the
+    blob merge — a k that scales with n defeats the bounded-sample
+    design):
 
-    * k >= n (exact regime, the KMV-style anchor): tau = 0, the whole
-      multiset is retained — total AND the id-derived subset sum
-      (event_id % 10 == 3) must equal the DECIMAL-exact oracle sums to
-      float-reordering precision (fsum, rel 1e-9).
-    * k = max(64, n//4) (estimating regime): the unbiased total
-      estimate must land within a 6/sqrt(k) relative tolerance (the
+    * exact-regime sketch (k = 8192) over the id-derived slice
+      event_id % d == 3 with d = max(10, n//4096 + 1), so the slice
+      always fits under k: tau = 0, the slice multiset is fully
+      retained — slice total AND the id-derived sub-slice sum
+      (event_id % 10 == 3) must equal the DECIMAL-exact oracle sums
+      to float-reordering precision (fsum, rel 1e-9).
+    * estimating sketch (k = 4096) over the FULL table: the unbiased
+      total estimate must land within 6/sqrt(k) ~ 9.4% relative (the
       6-sigma-style generosity of the other sketch gates; estimates
       are hash-deterministic so the flag is reproducible).
 
@@ -657,12 +673,20 @@ def sketch_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .api import priority_sample_sketch
 
     ev = load(spark, sf_dir, "events")
-    agg = ev.agg(
+    n, tot = ev.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("event_id") % 10 == 3).cast("long")).alias("n_sub"),
         F.sum(F.col("value").cast("decimal(18,4)"))
         .cast("double")
         .alias("tot"),
+    ).collect()[0]
+    d = max(10, int(n) // 4096 + 1)
+    sl = ev.where(F.col("event_id") % d == 3)
+    agg = sl.agg(
+        F.count(F.lit(1)).alias("n_sl"),
+        F.sum((F.col("event_id") % 10 == 3).cast("long")).alias("n_sub"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sl_tot"),
         F.sum(
             F.when(
                 F.col("event_id") % 10 == 3,
@@ -672,19 +696,20 @@ def sketch_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sub"),
     ).collect()[0]
-    n, n_sub, tot, sub = agg["n"], agg["n_sub"], agg["tot"], agg["sub"]
+    n_sl, n_sub, sl_tot, sub = (
+        agg["n_sl"], agg["n_sub"], agg["sl_tot"], agg["sub"],
+    )
 
-    k_exact = 1 << max(int(n).bit_length() + 1, 4)
-    sk_exact = priority_sample_sketch(ev, "event_id", "value", k=k_exact)
+    sk_exact = priority_sample_sketch(sl, "event_id", "value", k=8192)
     is_sub = lambda s: int(s) % 10 == 3  # noqa: E731
     ex_tot = math.fsum(sk_exact.adjusted_weights())
     mask = [is_sub(i) for i in sk_exact.ids]
     ex_sub = math.fsum(sk_exact.adjusted_weights()[mask])
     exact_regime_held = bool(sk_exact.exact_regime)
-    exact_total_ok = bool(abs(ex_tot - tot) <= 1e-9 * abs(tot))
+    exact_total_ok = bool(abs(ex_tot - sl_tot) <= 1e-9 * abs(sl_tot))
     exact_subset_ok = bool(abs(ex_sub - sub) <= 1e-9 * abs(sub))
 
-    k_est = max(64, int(n) // 4)
+    k_est = 4096
     sk_est = priority_sample_sketch(
         ev.repartition(16), "event_id", "value", k=k_est
     )
@@ -699,35 +724,44 @@ def sketch_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [
             (
-                int(n), int(n_sub), float(tot), float(sub),
+                int(n), float(tot), int(n_sl), int(n_sub),
+                float(sl_tot), float(sub),
                 exact_regime_held, exact_total_ok, exact_subset_ok,
                 est_total_within_tol, merge_equals_direct,
             )
         ],
-        "n_rows long, n_subset long, total_value double, "
-        "subset_value double, exact_regime_held boolean, "
-        "exact_total_ok boolean, exact_subset_ok boolean, "
-        "est_total_within_tol boolean, merge_equals_direct boolean",
+        "n_rows long, total_value double, n_slice long, n_subset long, "
+        "slice_total double, subset_value double, "
+        "exact_regime_held boolean, exact_total_ok boolean, "
+        "exact_subset_ok boolean, est_total_within_tol boolean, "
+        "merge_equals_direct boolean",
     )
 
 
 @register(
     "grouped_priority_sample_types",
     """
-    SELECT event_type,
+    WITH params AS (
+        SELECT GREATEST(10, COUNT(*) // 10240 + 1) AS d FROM events
+    )
+    SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
            TRUE AS exact_regime_held, TRUE AS exact_total_ok,
            TRUE AS layout_bitexact
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
+    FROM events e, params p
+    WHERE e.event_id % p.d = 3
+    GROUP BY e.event_type
+    ORDER BY e.event_type
     """,
 )
 def grouped_priority_sample_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type priority samples (grouped_priority_sample) in the
-    exact regime: k is derived above the largest stratum, so every
-    stratum retains its full multiset — per-group fsum(adjusted) must
+    exact regime over the id-derived slice event_id % d == 3 with
+    d = max(10, n//10240 + 1) — the slice keeps every stratum under the
+    FIXED k = 4096 at any scale factor (same scale-safety fix as
+    sketch_priority_sample: k must not grow with n). Every stratum
+    retains its full slice multiset: per-group fsum(adjusted) must
     equal the DECIMAL-exact oracle sum to float-reordering precision,
     and blobs must be byte-identical across input layouts (the grouped
     form of the bit-exact merge). Collects one blob per event_type
@@ -738,9 +772,12 @@ def grouped_priority_sample_types(spark: SparkSession, sf_dir: str) -> DataFrame
     from .sketches.prioritysample import PrioritySample
 
     ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    d = max(10, int(n) // 10240 + 1)
+    sl = ev.where(F.col("event_id") % d == 3)
     anchors = {
         r["event_type"]: (r["n"], r["tot"])
-        for r in ev.groupBy("event_type")
+        for r in sl.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)"))
@@ -749,28 +786,28 @@ def grouped_priority_sample_types(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .collect()
     }
-    k = 1 << (max(n for n, _ in anchors.values())).bit_length()
+    k = 4096
     blobs_a = {
         r["event_type"]: bytes(r["sketch"])
         for r in grouped_priority_sample(
-            ev, ["event_type"], "event_id", "value", k=k
+            sl, ["event_type"], "event_id", "value", k=k
         ).collect()
     }
     blobs_b = {
         r["event_type"]: bytes(r["sketch"])
         for r in grouped_priority_sample(
-            ev.repartition(7, "user_id"), ["event_type"], "event_id",
+            sl.repartition(7, "user_id"), ["event_type"], "event_id",
             "value", k=k,
         ).collect()
     }
     out = []
     for et in sorted(anchors):
-        n, tot = anchors[et]
+        n_g, tot = anchors[et]
         sk = PrioritySample.deserialize(blobs_a[et])
         est = math.fsum(sk.adjusted_weights())
         out.append(
             (
-                et, int(n), float(tot),
+                et, int(n_g), float(tot),
                 bool(sk.exact_regime),
                 bool(abs(est - tot) <= 1e-9 * abs(tot)),
                 bool(blobs_a[et] == blobs_b[et]),

@@ -65,6 +65,15 @@ _EMPTY_I64 = np.empty(0, dtype=np.int64)
 _HEAD_FMT = "<4sHdqqddII"
 _HEAD_SIZE = struct.calcsize(_HEAD_FMT)
 
+# reserved overflow bucket for +/-inf magnitudes: above every finite
+# bucket index (max finite key ~= 710/log(gamma) << 2^60 for any alpha
+# in (0,1)), and 4*_INF_KEY still fits int64 for the slot encodings.
+# Rationale: TDigest/KLL in this library rank inf correctly (they store
+# values); casting ceil(log(inf)) to int64 would wrap to INT64_MIN and
+# silently rank +inf BELOW every finite value. The bucket's
+# representative value is +/-inf itself, so rank placement is exact.
+_INF_KEY = np.int64(1) << np.int64(60)
+
 
 def _rle_sorted_runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Run-length encode an array whose equal keys are contiguous
@@ -117,12 +126,20 @@ class DDSketch(Sketch):
 
     # -- bucket math -----------------------------------------------------
     def _index(self, pos_vals: np.ndarray) -> np.ndarray:
-        """ceil(log(x)/log(gamma)) for strictly-positive float64."""
-        return np.ceil(np.log(pos_vals) / self._lg).astype(np.int64)
+        """ceil(log(x)/log(gamma)) for strictly-positive float64;
+        +inf maps to the reserved overflow bucket."""
+        fin = np.isfinite(pos_vals)
+        if np.all(fin):
+            return np.ceil(np.log(pos_vals) / self._lg).astype(np.int64)
+        k = np.full(pos_vals.size, _INF_KEY, dtype=np.int64)
+        k[fin] = np.ceil(np.log(pos_vals[fin]) / self._lg)
+        return k
 
     def _rep(self, keys: np.ndarray) -> np.ndarray:
-        """Bucket representative 2*gamma^k/(gamma+1), overflow-safe."""
-        return np.exp(keys.astype(np.float64) * self._lg + self._lrep)
+        """Bucket representative 2*gamma^k/(gamma+1), overflow-safe;
+        the overflow bucket's representative is inf by construction."""
+        with np.errstate(over="ignore"):
+            return np.exp(keys.astype(np.float64) * self._lg + self._lrep)
 
     # -- protocol --------------------------------------------------------
     def update(self, values) -> "DDSketch":
@@ -290,9 +307,12 @@ class DDSketch(Sketch):
         v = np.ascontiguousarray(values, dtype=np.float64)
         absv = np.abs(v)
         keys = np.zeros(v.size, dtype=np.int64)
-        nz = absv > 0.0
+        fin = np.isfinite(absv)
+        nz = (absv > 0.0) & fin
         if np.any(nz):
             keys[nz] = np.ceil(np.log(absv[nz]) / self._lg)
+        if not np.all(fin):  # +/-inf -> overflow bucket (NaN-free input)
+            keys[~fin] = _INF_KEY
         sign = np.sign(v).astype(np.int64)
         # distinct slot per (key, sign); zero rows collapse to slot 1
         comb = keys * 4 + (sign + 1)

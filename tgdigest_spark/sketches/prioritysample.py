@@ -98,8 +98,15 @@ class PrioritySample(Sketch):
         )
         if len(s_ids) != w.size:
             raise ValueError("ids and weights must align")
-        h_all, mask = base_hash_full(s_ids)
-        mask = mask & ~np.isnan(w)
+        # hash the STRING form of the id — the same domain the sketch
+        # serializes — so the priority draw is dtype-independent (an
+        # int-typed id column and its cast-to-string form are the SAME
+        # item; hashing the raw dtype would give them independent
+        # uniforms and double-count subset sums on merge)
+        id_mask = s_ids.notna().to_numpy()
+        s_str = s_ids.astype(str)  # nulls stringify but id_mask drops them
+        h_all, _ = base_hash_full(s_str)
+        mask = id_mask & ~np.isnan(w)
         if np.any(w[mask] < 0.0):
             raise ValueError("weights must be >= 0")
         mask = mask & (w > 0.0)
