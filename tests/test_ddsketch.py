@@ -449,6 +449,48 @@ def test_stateful_stream_dd_exact_batch_parity(spark, transcripts_path, tmp_path
         assert (p50, p95) == (float(ref[0]), float(ref[1]))
 
 
+def test_dd_sketch_table_roundtrip_rollup_bitexact(spark, sf001_dir, tmp_path):
+    """Persisted DD leaf table (sources/sketch_table.py) → day leaves
+    written, read back manifest-gated, rolled up by event_type — the
+    rollup blob is byte-equal to a direct build from the raw rows (the
+    persisted-re-aggregation contract, DD flavor)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.agg import merge_blobs_by_key, sketch_by_key
+    from tgdigest_spark.sources.sketch_table import (
+        read_sketch_table,
+        write_sketch_table,
+    )
+
+    ev = spark.read.parquet(
+        os.path.join(sf001_dir, "events.parquet")
+    ).withColumn("day", F.to_date("ts"))
+    leaves = sketch_by_key(
+        ev, ["event_type", "day"], "value", lambda: DDSketch(ALPHA)
+    )
+    path = str(tmp_path / "ddtbl")
+    write_sketch_table(leaves, path, "ddsketch", {"alpha": ALPHA})
+    back, meta = read_sketch_table(
+        spark, path, expect_kind="ddsketch", expect_params={"alpha": ALPHA}
+    )
+    assert meta["sketch_kind"] == "ddsketch"
+    rolled = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in merge_blobs_by_key(
+            back, ["event_type"], lambda: DDSketch(ALPHA)
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in sketch_by_key(
+            ev, ["event_type"], "value", lambda: DDSketch(ALPHA)
+        ).collect()
+    }
+    assert rolled == direct
+
+
 def test_api_quantiles_dd_bound(spark, transcripts):
     from pyspark.sql import functions as F
 
