@@ -173,6 +173,60 @@ def test_infinities_rank_correctly_all_paths():
         )
 
 
+def test_weighted_update_bitexact_vs_exploded():
+    """update(v, counts) must be byte-identical to
+    update(np.repeat(v, counts)) — the pre-aggregated (value, count)
+    table pattern."""
+    rng = np.random.default_rng(14)
+    v = np.concatenate(
+        [rng.normal(0, 50, 2000), [0.0, np.inf, -np.inf]]
+    )
+    w = rng.integers(0, 7, v.size)
+    a = DDSketch(ALPHA).update(v, w).serialize()
+    b = DDSketch(ALPHA).update(np.repeat(v[w > 0], w[w > 0])).serialize()
+    assert a == b
+    # mixed weighted + unweighted updates compose
+    sk = DDSketch(ALPHA).update(v[:100]).update(v[100:], w[100:])
+    ref = DDSketch(ALPHA).update(
+        np.concatenate([v[:100], np.repeat(v[100:], w[100:])])
+    )
+    assert sk.serialize() == ref.serialize()
+    with pytest.raises(ValueError):
+        DDSketch(ALPHA).update([1.0], [-1])
+    with pytest.raises(ValueError):
+        DDSketch(ALPHA).update([1.0], [0.5])
+    with pytest.raises(ValueError):
+        DDSketch(ALPHA).update([1.0, 2.0], [1])
+    # null value or null weight drops the pair
+    import pandas as pd
+
+    sk = DDSketch(ALPHA).update(
+        pd.Series([1.0, None, 3.0]), pd.Series([2, 5, None])
+    )
+    assert sk.n == 2
+
+
+def test_weighted_quantiles_dd_spark(spark, transcripts):
+    """quantiles_dd over a pre-aggregated (value, count) rollup equals
+    (bit-exact blob ⇒ identical estimates) the unweighted build over
+    the raw rows."""
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.agg import sketch_column
+    from tgdigest_spark.api import quantiles_dd
+
+    raw = transcripts.select(F.length("text").cast("double").alias("v"))
+    pre = raw.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    est_w = quantiles_dd(pre, "v", [0.5, 0.95, 0.99], weight="c")
+    est_raw = quantiles_dd(raw, "v", [0.5, 0.95, 0.99])
+    assert est_w == est_raw
+    blob_w = sketch_column(
+        pre, ["v", F.col("c").cast("long")], lambda: DDSketch(ALPHA)
+    ).serialize()
+    blob_raw = sketch_column(raw, "v", lambda: DDSketch(ALPHA)).serialize()
+    assert blob_w == blob_raw
+
+
 def test_nulls_dropped_like_library_convention():
     import pandas as pd
 

@@ -886,16 +886,27 @@ def quantiles_dd(
     qs: list[float],
     alpha: float = 0.01,
     where: Column | None = None,
+    weight: Column | str | None = None,
 ) -> dict[float, float]:
     """RELATIVE-error quantiles via DDSketch (Masson et al., VLDB 2019):
     each estimate is within ``alpha * |x_q|`` of the item at the queried
     rank — the natural contract for long-tailed latency/length columns
     at p99+, where t-digest/KLL bound only the RANK. DDSketch merges
     are bucket-wise int64 adds, so the distributed build is bit-
-    identical to a single-process fold under any partition layout."""
+    identical to a single-process fold under any partition layout.
+
+    ``weight`` (integral repetition counts) computes quantiles over the
+    LOGICAL rows of a pre-aggregated (value, count) table — bit-equal
+    to exploding the counts, without moving the exploded rows."""
     if where is not None:
         df = df.where(where)
-    sk = sketch_column(df, value, lambda: DDSketch(alpha))
+    if weight is not None:
+        wc = F.col(weight) if isinstance(weight, str) else weight
+        sk = sketch_column(
+            df, [value, wc.cast("long")], lambda: DDSketch(alpha)
+        )
+    else:
+        sk = sketch_column(df, value, lambda: DDSketch(alpha))
     est = sk.quantile(list(qs))
     return dict(zip(qs, [float(e) for e in np.atleast_1d(est)]))
 

@@ -142,26 +142,79 @@ class DDSketch(Sketch):
             return np.exp(keys.astype(np.float64) * self._lg + self._lrep)
 
     # -- protocol --------------------------------------------------------
-    def update(self, values) -> "DDSketch":
-        arr = clean_numeric(values)
-        if arr.size == 0:
-            return self
+    def update(self, values, weights=None) -> "DDSketch":
+        """Absorb a batch. With ``weights`` (integral repetition counts,
+        aligned with ``values``), the result is BIT-identical to
+        ``update(np.repeat(values, weights))`` — the pre-aggregated
+        (value, count) table pattern: quantiles over 10^12 logical rows
+        from a rollup without exploding it. Zero-weight pairs are
+        dropped; negative or fractional weights raise (a fractional
+        repetition count has no bucket-counter meaning)."""
+        if weights is None:
+            arr = clean_numeric(values)
+            if arr.size == 0:
+                return self
+            w = None
+            n_add = int(arr.size)
+        else:
+            import pandas as pd
+
+            v = (
+                values.to_numpy(dtype=np.float64, na_value=np.nan)
+                if isinstance(values, pd.Series)
+                else np.asarray(values, dtype=np.float64)
+            )
+            wf = (
+                weights.to_numpy(dtype=np.float64, na_value=np.nan)
+                if isinstance(weights, pd.Series)
+                else np.asarray(weights, dtype=np.float64)
+            )
+            if v.size != wf.size:
+                raise ValueError("values and weights must align")
+            if np.any(wf[~np.isnan(wf)] < 0.0):
+                raise ValueError("weights must be >= 0")
+            if np.any(wf[~np.isnan(wf)] != np.floor(wf[~np.isnan(wf)])):
+                raise ValueError("weights must be integral counts")
+            mask = ~np.isnan(v) & ~np.isnan(wf) & (wf > 0.0)
+            if not np.any(mask):
+                return self
+            arr = v[mask]
+            w = wf[mask].astype(np.int64)
+            n_add = int(w.sum())
         self.min = min(self.min, float(arr.min()))
         self.max = max(self.max, float(arr.max()))
-        self.n += int(arr.size)
-        pos = arr[arr > 0.0]
-        neg = -arr[arr < 0.0]
-        self.zero += int(arr.size - pos.size - neg.size)
-        if pos.size:
-            uk, uc = np.unique(self._index(pos), return_counts=True)
-            self.pos_k, self.pos_c = _add_store(
-                self.pos_k, self.pos_c, uk, uc.astype(np.int64)
-            )
-        if neg.size:
-            uk, uc = np.unique(self._index(neg), return_counts=True)
-            self.neg_k, self.neg_c = _add_store(
-                self.neg_k, self.neg_c, uk, uc.astype(np.int64)
-            )
+        self.n += n_add
+        posm = arr > 0.0
+        negm = arr < 0.0
+        pos = arr[posm]
+        neg = -arr[negm]
+        if w is None:
+            self.zero += int(arr.size - pos.size - neg.size)
+            wp = wn = None
+        else:
+            self.zero += int(w[~posm & ~negm].sum())
+            wp, wn = w[posm], w[negm]
+        for vals, wts, store in (
+            (pos, wp, "pos"),
+            (neg, wn, "neg"),
+        ):
+            if not vals.size:
+                continue
+            if wts is None:
+                uk, uc = np.unique(self._index(vals), return_counts=True)
+                uc = uc.astype(np.int64)
+            else:
+                uk, inv = np.unique(self._index(vals), return_inverse=True)
+                uc = np.zeros(uk.size, dtype=np.int64)
+                np.add.at(uc, inv, wts)
+            if store == "pos":
+                self.pos_k, self.pos_c = _add_store(
+                    self.pos_k, self.pos_c, uk, uc
+                )
+            else:
+                self.neg_k, self.neg_c = _add_store(
+                    self.neg_k, self.neg_c, uk, uc
+                )
         return self
 
     def merge(self, other: "DDSketch") -> "DDSketch":
