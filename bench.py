@@ -1375,6 +1375,55 @@ def run_scaling(n_small: int = 4, n_big: int = 16, rounds: int = 2) -> dict:
     return {"n_small": n_small, "n_big": n_big, "rounds": rounds, "jobs": jobs}
 
 
+def run_hllbias() -> dict:
+    """Estimator-bias sweep: Ertl improved raw estimator (the round-6
+    default) vs the original FFM07 raw + linear-counting estimator, on
+    the SAME register states, across cardinalities bracketing the FFM
+    crossover (2.5m). No Spark involved — this measures the estimator,
+    which is a pure function of the register histogram; the distributed
+    build path is byte-identical either way. Per (p, n): mean relative
+    bias and relative RMSE over `trials` disjoint value universes
+    (base_hash is deterministic, so trial variation comes from the
+    universe, exactly as it would in production)."""
+    import numpy as np
+    import pandas as pd
+
+    from tgdigest_spark.sketches import HLL
+
+    trials = 30
+    out: dict = {"trials": trials, "grid": {}}
+    for p in (12, 14):
+        m = 1 << p
+        ns = sorted(
+            {
+                int(round(m * f))
+                for f in (0.05, 0.3, 1.0, 1.8, 2.2, 2.5, 2.8, 3.5, 6.0, 20.0)
+            }
+        )
+        rows = {}
+        for n in ns:
+            errs = {"ertl": [], "ffm": []}
+            for t in range(trials):
+                h = HLL(p)
+                vals = pd.Series(
+                    [f"u{t}x{i}" for i in range(n)], dtype=object
+                )
+                h.update(vals)
+                for meth in errs:
+                    errs[meth].append((h.estimate(meth) - n) / n)
+            rows[n] = {
+                meth: {
+                    "bias_pct": round(100 * float(np.mean(e)), 3),
+                    "rmse_pct": round(
+                        100 * float(np.sqrt(np.mean(np.square(e)))), 3
+                    ),
+                }
+                for meth, e in errs.items()
+            }
+        out["grid"][f"p{p}"] = rows
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -1388,5 +1437,7 @@ if __name__ == "__main__":
         print(json.dumps(run_cubestress()))
     elif "--qerror" in sys.argv:
         print(json.dumps(run_qerror()))
+    elif "--hllbias" in sys.argv:
+        print(json.dumps(run_hllbias()))
     else:
         print(json.dumps(run_bench()))

@@ -118,6 +118,50 @@ def test_hll_serialization():
     assert rt.estimate() == hll.estimate()
 
 
+def test_hll_ertl_beats_ffm_at_crossover():
+    """The FFM07 raw/linear-counting switch sits at 2.5m; right there
+    the raw estimator's bias peaks (Ertl 2017 fig. 2 — a few percent
+    at p=12..14). The Ertl improved estimator (the round-6 default)
+    has no switch and must stay inside the normal 1.04/sqrt(m) band
+    at the crossover while FFM visibly exceeds it on average."""
+    p = 12
+    m = 1 << p
+    n = int(2.5 * m)
+    ertl_err, ffm_err = [], []
+    for t in range(10):
+        h = HLL(p)
+        h.update(np.array([f"t{t}_{i}" for i in range(n)]))
+        ertl_err.append((h.estimate("ertl") - n) / n)
+        ffm_err.append((h.estimate("ffm") - n) / n)
+    se = 1.04 / np.sqrt(m)  # 1.63% at p=12
+    assert abs(np.mean(ertl_err)) <= se, np.mean(ertl_err)
+    # FFM's known crossover bias: mean error above one sigma
+    assert np.mean(ffm_err) > se, np.mean(ffm_err)
+
+
+def test_hll_ertl_estimator_properties():
+    # empty
+    assert HLL(12).estimate() == 0.0
+    # tiny-n near exactness (sparse regime): sigma series == linear
+    # counting territory, error well under 1 item in expectation
+    h = HLL(14).update(np.array([f"v{i}" for i in range(8)]))
+    assert abs(h.estimate() - 8) < 0.5
+    # estimate is a pure function of registers: dense/sparse round-trip
+    # and merge order leave it bit-identical
+    a = HLL(12).update(np.array([f"a{i}" for i in range(5000)]))
+    b = HLL(12).update(np.array([f"b{i}" for i in range(50)]))
+    ab = HLL.deserialize(a.serialize()).merge(b)
+    ba = HLL.deserialize(b.serialize()).merge(a)
+    assert ab.estimate() == ba.estimate()
+    # unknown method rejected
+    with pytest.raises(ValueError):
+        h.estimate("bogus")
+    # saturated sketch (every register at q+1) → inf, not ZeroDivision
+    sat = HLL(4, sparse=False)
+    sat.registers[:] = 64 - 4 + 1
+    assert sat.estimate() == float("inf")
+
+
 # ---------------------------------------------------------------------------
 # count-min
 # ---------------------------------------------------------------------------
