@@ -86,6 +86,8 @@ def test_gate_window_covers_priority_queries():
         "sketch_grouped_dd",
         "sketch_priority_sample",
         "grouped_priority_sample_types",
+        # new in round 6, session 4: exact sliding-window heavy hitters
+        "sliding_heavy_hitters",
         # code changed in round 6 (derived KMV k, freq validation)
         "sketch_kmv_setops",
         "kmv_overlap_event_types",
@@ -116,6 +118,9 @@ def test_gate_window_covers_priority_queries():
         "text_stats",
         "budget_cutoff_docs",
         "chunk_docs_digest",
+        # parked for the sliding_heavy_hitters row (r5-driver-green,
+        # untouched in r6)
+        "incremental_dedup_batches",
         "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",

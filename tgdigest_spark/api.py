@@ -175,41 +175,20 @@ def _grouped_key_sketch(
 
     col = F.col(value) if isinstance(value, str) else value
     blobs = sketch_by_key(df, keys, col.cast("string"), factory)
+    if multi_row:
+        return _blob_multirow(blobs, deserialize, out_fields, per_sketch)
     fields = [f for f in blobs.schema.fields if f.name != "sketch"]
     out_schema = StructType(fields + list(out_fields))
 
-    if not multi_row:
-
-        def extract(batches):
-            for pdf in batches:
-                out = pdf.drop(columns=["sketch"])
-                vals = [
-                    per_sketch(deserialize(bytes(b))) for b in pdf["sketch"]
-                ]
-                for i, f in enumerate(out_fields):
-                    out[f.name] = [v[i] for v in vals]
-                yield out
-
-    else:
-
-        def extract(batches):
-            for pdf in batches:
-                outs = []
-                for i in range(len(pdf)):
-                    cols = per_sketch(
-                        deserialize(bytes(pdf["sketch"].iloc[i]))
-                    )
-                    n = len(next(iter(cols.values())))
-                    if n == 0:
-                        continue
-                    row = {
-                        kf.name: np.repeat(pdf[kf.name].iloc[i], n)
-                        for kf in fields
-                    }
-                    row.update(cols)
-                    outs.append(pd.DataFrame(row))
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
+    def extract(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["sketch"])
+            vals = [
+                per_sketch(deserialize(bytes(b))) for b in pdf["sketch"]
+            ]
+            for i, f in enumerate(out_fields):
+                out[f.name] = [v[i] for v in vals]
+            yield out
 
     return blobs.mapInPandas(extract, schema=out_schema)
 
@@ -521,6 +500,241 @@ def sliding_quantiles_dd(
         keys=keys,
     )
     return with_quantiles(sk, lambda: DDSketch(alpha), list(qs))
+
+
+def _blob_multirow(
+    blob_df: DataFrame, deserialize, out_fields: list, per_sketch
+) -> DataFrame:
+    """Blob frame → exploded rows: every non-``sketch`` column is
+    carried through, and ``per_sketch(sk)`` returns a dict of
+    equal-length column arrays emitted as that many rows per blob
+    (zero-length skips the blob). Shared by the grouped key-sketch
+    extractors and the sliding-window read-outs."""
+    from pyspark.sql.types import StructType
+
+    fields = [f for f in blob_df.schema.fields if f.name != "sketch"]
+    out_schema = StructType(fields + list(out_fields))
+
+    def extract(batches):
+        for pdf in batches:
+            outs = []
+            for i in range(len(pdf)):
+                cols = per_sketch(deserialize(bytes(pdf["sketch"].iloc[i])))
+                n = len(next(iter(cols.values())))
+                if n == 0:
+                    continue
+                row = {
+                    kf.name: np.repeat(pdf[kf.name].iloc[i], n)
+                    for kf in fields
+                }
+                row.update(cols)
+                outs.append(pd.DataFrame(row))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return blob_df.mapInPandas(extract, schema=out_schema)
+
+
+def sliding_frequent_items(
+    df: DataFrame,
+    ts: Column | str,
+    item: Column | str,
+    window_days: int,
+    slide_days: int,
+    k: int = 64,
+    top: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Misra-Gries frequent items per PANE-MERGED sliding window →
+    DataFrame[keys..., window_start date, item, est_count long,
+    max_undercount long, window_n long].
+
+    Each fact row is counted into exactly ONE slide-granularity pane;
+    every ``window_days`` window is the merge of its pane MG blobs
+    (kilobytes), so a 7d/1d heavy-hitter dashboard over 10^12 turns
+    replicates blobs, not fact rows. Within each window the
+    deterministic sandwich holds: est_count <= true window count <=
+    est_count + max_undercount (Agarwal et al., mergeable summaries —
+    preserved under arbitrary merge trees), and ``window_n`` is the
+    EXACT total row count of the window (MG tracks n additively, and
+    pane counts sum losslessly). ``top`` caps emitted items per window
+    (est desc, item asc tiebreak from FrequentItems.items())."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    from .sketches.freq import FrequentItems
+
+    col = F.col(item) if isinstance(item, str) else item
+    blobs = sliding_window_sketches(
+        df, ts, col.cast("string"), lambda: FrequentItems(k),
+        window_days, slide_days, keys=keys,
+    )
+
+    def per_sketch(sk):
+        pairs = sk.items()
+        if top is not None:
+            pairs = pairs[:top]
+        return {
+            "item": np.array([p[0] for p in pairs], dtype=object),
+            "est_count": np.array([p[1] for p in pairs], dtype=np.int64),
+            "max_undercount": np.full(len(pairs), sk.err, dtype=np.int64),
+            "window_n": np.full(len(pairs), sk.n, dtype=np.int64),
+        }
+
+    return _blob_multirow(
+        blobs,
+        FrequentItems.deserialize,
+        [
+            StructField("item", StringType(), False),
+            StructField("est_count", LongType(), False),
+            StructField("max_undercount", LongType(), False),
+            StructField("window_n", LongType(), False),
+        ],
+        per_sketch,
+    )
+
+
+def sliding_guaranteed_heavy_hitters(
+    df: DataFrame,
+    ts: Column | str,
+    item: Column | str,
+    window_days: int,
+    slide_days: int,
+    phi: float = 0.01,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy-hitters per sliding window (items whose count
+    within the window is > phi * window size), without ever running
+    the naive per-window GROUP BY over replicated fact rows for the
+    full item domain. Returns DataFrame[window_start date, item,
+    exact_count long, window_n long], deterministic and layout-
+    independent (gate-able by value hash).
+
+    Two passes, the sliding form of :func:`guaranteed_heavy_hitters`:
+
+    1. Pane-merged MG sketch per window (one scan; blobs shuffle, rows
+       don't). With k >= 2/phi counters the merged sketch's one-sided
+       bound err <= n_w/(k+1) < phi*n_w guarantees every true
+       phi-heavy item of every window survives as a candidate
+       (est + err >= cutoff), with the cutoff floor(phi*n_w)+1
+       computed in EXACT rational arithmetic per window.
+    2. Exact verify: fact rows are first semi-joined to the (tiny,
+       broadcast) distinct candidate item set — bounding the
+       window-explosion to candidate items only — then exploded to
+       their windows, inner-joined to (window, item) candidates, and
+       exact-counted. The threshold keeps no false positives; step 1
+       keeps no false negatives.
+    """
+    import math
+    from fractions import Fraction
+
+    from .sketches.freq import FrequentItems
+
+    if not (0 < phi < 1):
+        raise ValueError("phi must be in (0, 1)")
+    if window_days <= 0 or slide_days <= 0 or window_days % slide_days:
+        raise ValueError(
+            "window_days must be a positive multiple of slide_days"
+        )
+    phi_frac = Fraction(phi).limit_denominator(10**9)
+    if k is None:
+        k = max(8, math.ceil(2 / phi_frac))
+    elif (k + 1) * phi_frac <= 1:
+        raise ValueError(f"k={k} too small for phi={phi}")
+    col = (F.col(item) if isinstance(item, str) else item).cast("string")
+    tcol = F.col(ts) if isinstance(ts, str) else ts
+    panes_per_window = window_days // slide_days
+
+    blobs = sliding_window_sketches(
+        df, tcol, col, lambda: FrequentItems(k), window_days, slide_days
+    )
+
+    def per_sketch(sk):
+        cutoff = math.floor(phi_frac * sk.n) + 1
+        cands = [it for it, est in sk.items() if est + sk.err >= cutoff]
+        return {
+            "item": np.array(cands, dtype=object),
+            "cutoff": np.full(len(cands), cutoff, dtype=np.int64),
+            "window_n": np.full(len(cands), sk.n, dtype=np.int64),
+        }
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    cands = _blob_multirow(
+        blobs,
+        FrequentItems.deserialize,
+        [
+            StructField("item", StringType(), False),
+            StructField("cutoff", LongType(), False),
+            StructField("window_n", LongType(), False),
+        ],
+        per_sketch,
+    ).withColumn(
+        "_widx", (F.unix_date("window_start") / slide_days).cast("long")
+    )
+    # candidate set is bounded by (#windows x k) narrow rows — persist
+    # so the two consumers below don't rebuild the sketch stage
+    cands = cands.persist()
+    item_set = cands.select("item").distinct()
+    pidx = F.floor(F.unix_date(F.to_date(tcol)) / slide_days)
+    facts = (
+        df.select(col.alias("item"), pidx.alias("_pidx"))
+        .join(F.broadcast(item_set), "item", "left_semi")
+        .select(
+            "item",
+            F.explode(
+                F.sequence(
+                    F.col("_pidx") - (panes_per_window - 1), F.col("_pidx")
+                )
+            ).alias("_widx"),
+        )
+    )
+    counted = facts.groupBy("_widx", "item").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    out = (
+        counted.join(
+            F.broadcast(cands.select("_widx", "item", "cutoff", "window_n")),
+            ["_widx", "item"],
+        )
+        .where(F.col("exact_count") >= F.col("cutoff"))
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("_widx") * slide_days).cast("int"),
+            ).alias("window_start"),
+            "item",
+            "exact_count",
+            "window_n",
+        )
+        .orderBy("window_start", "item")
+    )
+    out.release_cache = lambda: cands.unpersist()
+    return out
+
+
+@contextmanager
+def sliding_guaranteed_heavy_hitters_scope(
+    df: DataFrame,
+    ts: Column | str,
+    item: Column | str,
+    window_days: int,
+    slide_days: int,
+    phi: float = 0.01,
+    k: int | None = None,
+):
+    """Context-manager form of :func:`sliding_guaranteed_heavy_hitters`
+    with guaranteed cleanup of the persisted candidate frame (same
+    rationale as :func:`grouped_kmv_overlap_scope` — the bare
+    ``release_cache`` attribute vanishes on the first transformation).
+    Collect inside the block; the cache is released on exit."""
+    res = sliding_guaranteed_heavy_hitters(
+        df, ts, item, window_days, slide_days, phi, k
+    )
+    release = res.release_cache
+    try:
+        yield res
+    finally:
+        release()
 
 
 def grouped_cm_counts(

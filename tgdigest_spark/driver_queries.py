@@ -1157,6 +1157,70 @@ def sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_heavy_hitters",
+    """
+    WITH f AS (
+        SELECT CAST(FLOOR(
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 2
+        ) AS BIGINT) AS pidx,
+        event_type AS item
+        FROM events
+    ), fw AS (
+        SELECT pidx - g AS widx, item
+        FROM f, generate_series(0, 2) t(g)
+    ), c AS (
+        SELECT widx, item, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM fw GROUP BY widx, item
+    ), n AS (
+        SELECT widx, SUM(exact_count) AS window_n FROM c GROUP BY widx
+    )
+    SELECT CAST(DATE '1970-01-01' + CAST(c.widx * 2 AS INTEGER) AS VARCHAR)
+               AS window_start_s,
+           c.item, c.exact_count, CAST(n.window_n AS BIGINT) AS window_n
+    FROM c JOIN n USING (widx)
+    WHERE 5 * c.exact_count > n.window_n
+    ORDER BY window_start_s, item
+    """,
+)
+def sliding_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy-hitters per PANE-MERGED sliding window
+    (api.sliding_guaranteed_heavy_hitters): 6-day windows sliding every
+    2 days over events, phi = 1/5 of the window's row count — chosen so
+    per-window membership genuinely varies (43 of 90 possible
+    (window, type) rows qualify at sf0.01). Two passes, neither of
+    which GROUP-BYs the full replicated fact explosion: (1) one scan
+    builds a Misra-Gries blob per 2-day pane and each window merges its
+    3 pane blobs (est <= true <= est + err survives any merge tree —
+    Agarwal et al. 2012 — so with k >= 2/phi every true heavy item is a
+    candidate); (2) fact rows are semi-joined to the broadcast
+    candidate items BEFORE the window explosion, then exact-counted and
+    thresholded with the per-window cutoff floor(phi*n_w)+1 computed in
+    exact rational arithmetic. Output is exact and layout-independent —
+    gated by value hash against the naive DuckDB window explosion.
+
+    Reference anchor: tgdigest's per-metric top-k over digest windows
+    (/root/reference/src/post.rs:76-90); the sliding form makes the
+    window family incremental."""
+    from .api import sliding_guaranteed_heavy_hitters
+
+    ev = load(spark, sf_dir, "events")
+    res = sliding_guaranteed_heavy_hitters(
+        ev, "ts", "event_type", 6, 2, phi=0.2
+    )
+    out = res.select(
+        F.col("window_start").cast("string").alias("window_start_s"),
+        "item",
+        "exact_count",
+        "window_n",
+    )
+    # unpersist the candidate frame now: the returned plan stays valid
+    # (collect recomputes the bounded candidate stage), and the shared
+    # driver session accumulates no storage across the 50-query gate
+    res.release_cache()
+    return out
+
+
+@register(
     "bloom_prune_join_orders",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_join_rows,
@@ -4800,6 +4864,11 @@ _GATE_ORDER = [
     "sketch_cube_distinct",
     "bloom_prune_join_orders",
     "sliding_window_distinct",
+    # new in round 6 (session 4): exact sliding-window heavy hitters
+    # via pane-merged MG candidates + exact verify
+    # (incremental_dedup_batches, r5-driver-green and untouched this
+    # round, parks in exchange)
+    "sliding_heavy_hitters",
     "sketch_table_rollup",
     # new in round 6 (session 3): DDSketch relative-error quantiles —
     # global + grouped rows (embedding_neardup_lsh and text_stats, both
@@ -4825,8 +4894,8 @@ _GATE_ORDER = [
     "rebalance_sources_docs",
     "training_shuffle_digest",
     "weighted_sample_docs",
-    "incremental_dedup_batches",
     # --- driver window boundary (position 50) ---
+    "incremental_dedup_batches",
     "chunk_docs_digest",
     "budget_cutoff_docs",
     "embedding_neardup_lsh",
