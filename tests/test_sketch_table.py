@@ -174,3 +174,88 @@ def test_append_refuses_dtype_mismatch_and_crashed_leftovers(
     write_sketch_table(leaves, path, "hll", {"p": 13})
     back, _ = read_sketch_table(spark, path)
     assert back.count() == leaves.count()
+
+
+def test_sliding_windows_from_leaves_bit_exact(spark, sf001_dir, tmp_path):
+    """A 6d/2d sliding dashboard served from the persisted day-leaf
+    table must be BYTE-identical to the fact-scanning pane path —
+    window-for-window, including the window set."""
+    from tgdigest_spark.api import (
+        sliding_window_sketches,
+        sliding_windows_from_leaves,
+    )
+
+    ev = spark.read.parquet(
+        os.path.join(sf001_dir, "events.parquet")
+    ).withColumn("day", F.to_date("ts"))
+    uid = F.col("user_id").cast("string")
+    day_leaves = sketch_by_key(ev, ["day"], uid, lambda: HLL(13))
+    path = str(tmp_path / "dayleaves")
+    write_sketch_table(day_leaves, path, "hll", {"p": 13})
+    back, _ = read_sketch_table(spark, path, expect_kind="hll")
+
+    from_leaves = {
+        r["window_start"]: bytes(r["sketch"])
+        for r in sliding_windows_from_leaves(
+            back, "day", lambda: HLL(13), 6, 2
+        ).collect()
+    }
+    from_facts = {
+        r["window_start"]: bytes(r["sketch"])
+        for r in sliding_window_sketches(
+            ev, "ts", uid, lambda: HLL(13), 6, 2
+        ).collect()
+    }
+    assert from_leaves == from_facts and from_leaves
+
+
+def test_sliding_from_leaves_unaligned_grid(spark, sf001_dir, tmp_path):
+    """window_days NOT a multiple of slide_days — impossible on the
+    pane path, natural on day-grain leaves: each 5-day window's blob
+    must be byte-equal to a direct per-window build over exploded raw
+    rows, and a 1d/2d grid (window < slide) must drop the gap days
+    instead of exploding a descending sequence."""
+    from tgdigest_spark.api import sliding_windows_from_leaves
+
+    ev = spark.read.parquet(
+        os.path.join(sf001_dir, "events.parquet")
+    ).withColumn("day", F.to_date("ts"))
+    uid = F.col("user_id").cast("string")
+    day_leaves = sketch_by_key(ev, ["day"], uid, lambda: HLL(13))
+
+    got = {
+        r["window_start"]: bytes(r["sketch"])
+        for r in sliding_windows_from_leaves(
+            day_leaves, "day", lambda: HLL(13), 5, 2
+        ).collect()
+    }
+    # direct: explode facts by day membership in each 5-day window
+    d = F.unix_date(F.col("day"))
+    facts_w = ev.select(
+        F.explode(
+            F.sequence(F.floor((d - 5) / 2) + 1, F.floor(d / 2))
+        ).alias("w"),
+        uid.alias("u"),
+    )
+    direct = {
+        r["w"]: bytes(r["sketch"])
+        for r in sketch_by_key(
+            facts_w, ["w"], "u", lambda: HLL(13)
+        ).collect()
+    }
+    assert got and len(got) == len(direct)
+    epoch = 719163  # date(1970,1,1).toordinal()
+    for ws, blob in got.items():
+        assert direct[(ws.toordinal() - epoch) // 2] == blob
+
+    # window < slide: day leaves on odd days belong to no window
+    narrow = sliding_windows_from_leaves(
+        day_leaves, "day", lambda: HLL(13), 1, 2
+    )
+    rows = narrow.collect()
+    assert rows  # even-day windows still emitted
+    for r in rows:
+        assert (r["window_start"].toordinal() - epoch) % 2 == 0
+
+    with pytest.raises(ValueError):
+        sliding_windows_from_leaves(day_leaves, "day", lambda: HLL(13), 0, 2)

@@ -438,6 +438,66 @@ def sliding_window_sketches(
     )
 
 
+def sliding_windows_from_leaves(
+    leaves: DataFrame,
+    date_col: Column | str,
+    factory,
+    window_days: int,
+    slide_days: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sliding windows served ENTIRELY from persisted day-grain leaf
+    blobs — the fact table is never touched. ``leaves`` is a blob frame
+    [keys..., date_col date, sketch] as produced by a nightly
+    ``sketch_by_key(facts, [...,'day'], ...)`` job persisted via
+    :func:`tgdigest_spark.sources.sketch_table.write_sketch_table`;
+    each leaf is exploded to the sliding windows covering its day
+    (window w covers [w*slide_days, w*slide_days + window_days)) and
+    window blobs are ONE blob-merge shuffle away
+    (:func:`tgdigest_spark.agg.merge_blobs_by_key`).
+
+    For register sketches (HLL / CM / Bloom / KMV / DDSketch) the
+    merged window blob is BIT-IDENTICAL to a sketch built directly
+    from the window's raw rows — so a 7d/1d dashboard over 10^12 turns
+    costs one parquet scan of kilobyte blobs per refresh, with
+    partition pruning on the key/date columns selecting which leaves
+    are even read.
+
+    Unlike :func:`sliding_window_sketches` (pane grid), window_days
+    need NOT be a multiple of slide_days here: day-grain leaves belong
+    to whichever windows cover them. On the common aligned grid
+    (window % slide == 0) the two paths produce byte-identical window
+    blobs. Returns DataFrame[keys..., window_start date, sketch].
+    """
+    from .agg import merge_blobs_by_key
+
+    if window_days <= 0 or slide_days <= 0:
+        raise ValueError("window_days and slide_days must be positive")
+    keys = list(keys or [])
+    dcol = F.col(date_col) if isinstance(date_col, str) else date_col
+    d = F.unix_date(dcol.cast("date"))
+    # day d lies in window w  <=>  floor((d - window)/slide) < w <= floor(d/slide)
+    lo = F.floor((d - window_days) / slide_days) + 1
+    hi = F.floor(d / slide_days)
+    # window_days < slide_days leaves gap days covered by NO window:
+    # there lo > hi, and Spark's sequence(lo, hi) would count DOWN —
+    # drop those leaves instead of exploding a bogus descending range
+    exploded = leaves.where(lo <= hi).select(
+        *keys,
+        F.explode(F.sequence(lo, hi)).alias("_widx"),
+        "sketch",
+    )
+    merged = merge_blobs_by_key(exploded, keys + ["_widx"], factory)
+    return merged.select(
+        *keys,
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.col("_widx") * slide_days).cast("int"),
+        ).alias("window_start"),
+        "sketch",
+    )
+
+
 def sliding_distinct_counts(
     df: DataFrame,
     ts: Column | str,
