@@ -88,6 +88,9 @@ def test_gate_window_covers_priority_queries():
         "grouped_priority_sample_types",
         # new in round 6, session 4: exact sliding-window heavy hitters
         "sliding_heavy_hitters",
+        # new in round 6, session 5: unaligned sliding windows served
+        # from a persisted day-leaf sketch table
+        "sliding_from_leaves_distinct",
         # code changed in round 6 (derived KMV k, freq validation)
         "sketch_kmv_setops",
         "kmv_overlap_event_types",
@@ -121,6 +124,9 @@ def test_gate_window_covers_priority_queries():
         # parked for the sliding_heavy_hitters row (r5-driver-green,
         # untouched in r6)
         "incremental_dedup_batches",
+        # parked for the sliding_from_leaves_distinct row
+        # (r5-driver-green, untouched in r6)
+        "weighted_sample_docs",
         "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",

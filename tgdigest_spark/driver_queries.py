@@ -1157,6 +1157,119 @@ def sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_from_leaves_distinct",
+    """
+    WITH f AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+               user_id
+        FROM events
+    ), wins AS (
+        SELECT DISTINCT CAST(FLOOR((di - 5.0) / 2.0) AS BIGINT) + 1 + g
+                   AS widx
+        FROM f, generate_series(0, 2) t(g)
+        WHERE CAST(FLOOR((di - 5.0) / 2.0) AS BIGINT) + 1 + g
+              <= CAST(FLOOR(di / 2.0) AS BIGINT)
+    ), w AS (
+        SELECT widx, DATE '1970-01-01' + CAST(widx * 2 AS INTEGER) AS ws
+        FROM wins
+    )
+    SELECT CAST(w.ws AS VARCHAR) AS window_start_s,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS est_within_bound,
+           TRUE AS merge_equals_direct
+    FROM w
+    JOIN (SELECT CAST(ts AS DATE) AS d, user_id FROM events) e
+      ON e.d >= w.ws AND e.d < w.ws + 5
+    GROUP BY w.ws
+    ORDER BY w.ws
+    """,
+)
+def sliding_from_leaves_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows served from a PERSISTED day-leaf sketch table
+    (api.sliding_windows_from_leaves over sources/sketch_table.py):
+    5-day windows sliding every 2 days — an UNALIGNED grid
+    (window % slide != 0) the pane path cannot express, natural on
+    day-grain leaves (each leaf joins every window covering its day,
+    2 or 3 per day). The fact table is scanned ONCE, at leaf-build
+    time; every refresh reads kilobyte blobs with partition pruning.
+    Gated per window as the exact range-predicate distinct count (SQL
+    anchor), a 6-sigma accuracy flag, and merge_equals_direct — the
+    leaf-merged estimate must equal an independent HLL built from the
+    window's exploded raw rows bit-for-bit (register max is
+    associative/lossless; drift = merge or coverage bug). The oracle
+    derives the window SET independently (per-day coverage range
+    [floor((d-5)/2)+1, floor(d/2)]), so a dropped or phantom window
+    hash-fails, not just a wrong count.
+
+    Reference anchor: /root/reference/src/cache.rs persists per-chat
+    caches re-read per digest; day leaves generalize the cache to
+    mergeable aggregates serving arbitrary window grids."""
+    import os
+    import tempfile
+
+    from .agg import sketch_by_key
+    from .api import (
+        _hll_estimates,
+        grouped_distinct_count,
+        sliding_windows_from_leaves,
+    )
+    from .sketches import HLL
+    from .sources.sketch_table import read_sketch_table, write_sketch_table
+
+    p, window, slide = 14, 5, 2
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    uid = F.col("user_id").cast("string")
+    leaves = sketch_by_key(ev, ["day"], uid, lambda: HLL(p))
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "dayleaves")
+        write_sketch_table(leaves, path, "hll", {"p": p})
+        back, _meta = read_sketch_table(
+            spark, path, expect_kind="hll", expect_params={"p": p}
+        )
+        served = _hll_estimates(
+            sliding_windows_from_leaves(
+                back, "day", lambda: HLL(p), window, slide
+            )
+        ).withColumn(
+            "_widx", (F.unix_date("window_start") / slide).cast("long")
+        )
+        # independent direct build + exact anchor over facts exploded
+        # by the same coverage rule (the oracle re-derives it in SQL)
+        d = F.unix_date(F.to_date("ts"))
+        lo = F.floor((d - window) / slide) + 1
+        hi = F.floor(d / slide)
+        facts_w = ev.select(
+            F.explode(F.sequence(lo, hi)).alias("_widx"), uid.alias("u")
+        )
+        exact = facts_w.groupBy("_widx").agg(
+            F.countDistinct("u").alias("exact_distinct")
+        )
+        direct = grouped_distinct_count(facts_w, ["_widx"], "u", p=p).select(
+            "_widx", F.col("distinct_est").alias("direct_est")
+        )
+        out = (
+            served.join(exact, "_widx", "full")
+            .join(direct, "_widx", "full")
+            .select(
+                F.col("window_start").cast("string").alias("window_start_s"),
+                "exact_distinct",
+                (
+                    F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                    <= F.lit(_HLL_TOL) * F.col("exact_distinct")
+                ).alias("est_within_bound"),
+                (F.col("direct_est") == F.col("distinct_est")).alias(
+                    "merge_equals_direct"
+                ),
+            )
+            .orderBy("window_start_s")
+        )
+        # materialize before the TemporaryDirectory vanishes (bounded:
+        # one row per window; collect-then-release is the repo gate
+        # convention for temp-backed inputs)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
     "sliding_heavy_hitters",
     """
     WITH f AS (
@@ -4870,6 +4983,10 @@ _GATE_ORDER = [
     # round, parks in exchange)
     "sliding_heavy_hitters",
     "sketch_table_rollup",
+    # new in round 6 (session 5): unaligned sliding windows served
+    # from a persisted day-leaf sketch table (weighted_sample_docs,
+    # r5-driver-green and untouched this round, parks in exchange)
+    "sliding_from_leaves_distinct",
     # new in round 6 (session 3): DDSketch relative-error quantiles —
     # global + grouped rows (embedding_neardup_lsh and text_stats, both
     # r5-driver-green and untouched this round, park in exchange)
@@ -4893,8 +5010,8 @@ _GATE_ORDER = [
     "sketch_grouped_cm",
     "rebalance_sources_docs",
     "training_shuffle_digest",
-    "weighted_sample_docs",
     # --- driver window boundary (position 50) ---
+    "weighted_sample_docs",
     "incremental_dedup_batches",
     "chunk_docs_digest",
     "budget_cutoff_docs",
