@@ -89,8 +89,10 @@ def test_gate_window_covers_priority_queries():
         # new in round 6, session 4: exact sliding-window heavy hitters
         "sliding_heavy_hitters",
         # new in round 6, session 5: unaligned sliding windows served
-        # from a persisted day-leaf sketch table
+        # from a persisted day-leaf sketch table + the SQL sketch
+        # surface (registered UDAFs incl. blob re-aggregation)
         "sliding_from_leaves_distinct",
+        "sql_sketch_api",
         # code changed in round 6 (derived KMV k, freq validation)
         "sketch_kmv_setops",
         "kmv_overlap_event_types",
@@ -127,6 +129,9 @@ def test_gate_window_covers_priority_queries():
         # parked for the sliding_from_leaves_distinct row
         # (r5-driver-green, untouched in r6)
         "weighted_sample_docs",
+        # parked for the sql_sketch_api row (r5-driver-green,
+        # untouched in r6)
+        "training_shuffle_digest",
         "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",

@@ -1270,6 +1270,95 @@ def sliding_from_leaves_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_sketch_api",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS est_within_bound,
+           TRUE AS merge_equals_value_path,
+           TRUE AS p95_rank_within_tol
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sql_sketch_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch library driven ENTIRELY through spark.sql
+    (sqlfns.register_sketch_sql): per-type HLL distinct estimates and
+    t-digest p95 via registered grouped-agg pandas UDFs, plus the
+    blob re-aggregation verbs — per-(type, day) leaf blobs built with
+    tg_hll_sketch, merged with the tg_merge aggregate, read with
+    tg_blob_distinct. Gated per type as the exact COUNT(DISTINCT)
+    anchor plus: a 6-sigma accuracy flag, merge_equals_value_path —
+    the leaf-merged estimate must EQUAL the one-shot value-path
+    estimate (register max is lossless; drift = merge bug) — and a
+    tie-robust p95 rank-interval flag ([#(v<est), #(v<=est)] covers
+    0.95*n ± tol*n). SQL-first callers get the same engine, same
+    bit-level contracts, as the DataFrame API.
+
+    Reference anchor: /root/reference/src/digest.rs exposes one typed
+    query API; the SQL registration is that surface for SQL callers."""
+    from .sqlfns import register_sketch_sql
+
+    register_sketch_sql(spark)
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("sqlfns_gate_events")
+    est = spark.sql(
+        """
+        SELECT event_type,
+               tg_hll_estimate(CAST(user_id AS STRING)) AS d_est,
+               tg_quantile(value, 0.95) AS p95_est
+        FROM sqlfns_gate_events GROUP BY event_type
+        """
+    )
+    blob = spark.sql(
+        """
+        WITH leaves AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   tg_hll_sketch(CAST(user_id AS STRING)) AS sketch
+            FROM sqlfns_gate_events GROUP BY event_type, CAST(ts AS DATE)
+        )
+        SELECT event_type, tg_blob_distinct(tg_merge(sketch)) AS d_blob
+        FROM leaves GROUP BY event_type
+        """
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.count("value").alias("n"),
+    )
+    ranks = (
+        ev.join(F.broadcast(est.select("event_type", "p95_est")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") < F.col("p95_est")).cast("long")).alias("lt"),
+            F.sum((F.col("value") <= F.col("p95_est")).cast("long")).alias("le"),
+        )
+    )
+    q = 0.95
+    return (
+        est.join(blob, "event_type")
+        .join(exact, "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(F.col("d_est") - F.col("exact_distinct"))
+                <= F.lit(_HLL_TOL) * F.col("exact_distinct")
+            ).alias("est_within_bound"),
+            (F.col("d_est") == F.col("d_blob")).alias(
+                "merge_equals_value_path"
+            ),
+            (
+                (F.lit(q) * F.col("n") >= F.col("lt") - F.lit(_RANK_TOL) * F.col("n"))
+                & (F.lit(q) * F.col("n") <= F.col("le") + F.lit(_RANK_TOL) * F.col("n"))
+            ).alias("p95_rank_within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "sliding_heavy_hitters",
     """
     WITH f AS (
@@ -4987,6 +5076,11 @@ _GATE_ORDER = [
     # from a persisted day-leaf sketch table (weighted_sample_docs,
     # r5-driver-green and untouched this round, parks in exchange)
     "sliding_from_leaves_distinct",
+    # new in round 6 (session 5): the sketch library via spark.sql —
+    # registered UDAFs incl. blob re-aggregation
+    # (training_shuffle_digest, r5-driver-green and untouched this
+    # round, parks in exchange)
+    "sql_sketch_api",
     # new in round 6 (session 3): DDSketch relative-error quantiles —
     # global + grouped rows (embedding_neardup_lsh and text_stats, both
     # r5-driver-green and untouched this round, park in exchange)
@@ -5009,8 +5103,8 @@ _GATE_ORDER = [
     "sketch_grouped_hll",
     "sketch_grouped_cm",
     "rebalance_sources_docs",
-    "training_shuffle_digest",
     # --- driver window boundary (position 50) ---
+    "training_shuffle_digest",
     "weighted_sample_docs",
     "incremental_dedup_batches",
     "chunk_docs_digest",
