@@ -259,3 +259,63 @@ def test_sliding_from_leaves_unaligned_grid(spark, sf001_dir, tmp_path):
 
     with pytest.raises(ValueError):
         sliding_windows_from_leaves(day_leaves, "day", lambda: HLL(13), 0, 2)
+
+
+def test_compact_merges_incremental_appends(spark, sf001_dir, tmp_path):
+    """Two appended deltas for the SAME days compact to one row per
+    key whose blob is BIT-identical to a single-shot build; readers
+    (rollup + sliding-from-leaves) return identical results before and
+    after compaction; a second compact is a no-op; the manifest
+    survives the rewrite."""
+    from tgdigest_spark.api import sliding_windows_from_leaves
+    from tgdigest_spark.sources.sketch_table import compact_sketch_table
+
+    ev = spark.read.parquet(
+        os.path.join(sf001_dir, "events.parquet")
+    ).withColumn("day", F.to_date("ts"))
+    uid = F.col("user_id").cast("string")
+    half_a = ev.where(F.col("user_id") % 2 == 0)
+    half_b = ev.where(F.col("user_id") % 2 == 1)
+    path = str(tmp_path / "incr")
+    write_sketch_table(
+        sketch_by_key(half_a, ["day"], uid, lambda: HLL(13)),
+        path, "hll", {"p": 13},
+    )
+    write_sketch_table(
+        sketch_by_key(half_b, ["day"], uid, lambda: HLL(13)),
+        path, "hll", {"p": 13}, mode="append",
+    )
+    back, meta = read_sketch_table(spark, path, expect_kind="hll")
+    dup_rows = back.count()
+    served_before = {
+        r["window_start"]: bytes(r["sketch"])
+        for r in sliding_windows_from_leaves(
+            back, "day", lambda: HLL(13), 6, 2
+        ).collect()
+    }
+
+    stats = compact_sketch_table(spark, path, lambda: HLL(13))
+    assert stats["compacted"] and stats["rows_before"] == dup_rows
+    back2, meta2 = read_sketch_table(spark, path, expect_kind="hll")
+    assert meta2 == meta  # manifest survives the rewrite
+    assert back2.count() == stats["rows_after"] < dup_rows
+
+    # compacted blobs == single-shot build, byte for byte
+    direct = {
+        r["day"]: bytes(r["sketch"])
+        for r in sketch_by_key(ev, ["day"], uid, lambda: HLL(13)).collect()
+    }
+    got = {r["day"]: bytes(r["sketch"]) for r in back2.collect()}
+    assert got == direct
+
+    served_after = {
+        r["window_start"]: bytes(r["sketch"])
+        for r in sliding_windows_from_leaves(
+            back2, "day", lambda: HLL(13), 6, 2
+        ).collect()
+    }
+    assert served_after == served_before and served_after
+
+    again = compact_sketch_table(spark, path, lambda: HLL(13))
+    assert not again["compacted"]
+    assert again["rows_after"] == stats["rows_after"]

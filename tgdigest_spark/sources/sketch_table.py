@@ -162,3 +162,60 @@ def read_sketch_table(
             f"{expect_params}"
         )
     return spark.read.parquet(path), meta
+
+
+def compact_sketch_table(spark: SparkSession, path: str, factory) -> dict:
+    """Merge duplicate-key blob rows and rewrite the table atomically.
+
+    Incremental producers (a streaming ``foreachBatch``, an hourly
+    delta job) APPEND one leaf row per key per delivery; readers stay
+    correct because every rollup path merges by key anyway
+    (:func:`tgdigest_spark.agg.merge_blobs_by_key`,
+    :func:`tgdigest_spark.api.sliding_windows_from_leaves`) — but each
+    append adds files and duplicate rows that every refresh re-merges.
+    Compaction folds them once: one row per key tuple, blob = merge of
+    the key's blobs. For register sketches (HLL/CM/Bloom/KMV/DDSketch)
+    the folded blob is BIT-identical to any other merge order; rank
+    sketches (t-digest/KLL) change bytes within their published bound —
+    the same contract as any merge topology.
+
+    ``factory`` must construct the manifest's kind/params (validated
+    per blob pair by the MAGIC headers at merge time; pass the same
+    factory the rollups use). No-op when every key tuple is already
+    unique. Crash contract: data is swapped in atomically, the manifest
+    is rewritten after the swap — a crash between the two leaves a
+    manifest-less directory that :func:`read_sketch_table` refuses
+    (rebuild is always legal; the table is a derived cache).
+
+    Returns {rows_before, rows_after, compacted}.
+    """
+    from ..agg import merge_blobs_by_key
+
+    df, meta = read_sketch_table(spark, path)
+    keys, blob_col = meta["keys"], meta["blob_col"]
+    rows_before = df.count()
+    n_keys = df.select(*keys).distinct().count()
+    if n_keys == rows_before:
+        return {
+            "rows_before": int(rows_before),
+            "rows_after": int(rows_before),
+            "compacted": False,
+        }
+    merged = merge_blobs_by_key(df, keys, factory, blob_col=blob_col)
+    import uuid
+
+    from .upsert import _atomic_swap
+
+    tmp = path.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
+    writer = merged.write.mode("overwrite")
+    if meta["partition_by"]:
+        writer = writer.partitionBy(*meta["partition_by"])
+    writer.parquet(tmp)
+    _atomic_swap(tmp, path)
+    with open(os.path.join(path, _META_NAME), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return {
+        "rows_before": int(rows_before),
+        "rows_after": int(n_keys),
+        "compacted": True,
+    }
