@@ -1115,6 +1115,143 @@ def run_cubestress(n_rows: int = 20_000_000) -> dict:
     return out
 
 
+def run_leafserve(n_rows: int = 20_000_000) -> dict:
+    """Leaf-served dashboards measured (round-6 session 5).
+
+    The 10^12-turn claim behind sources/sketch_table.py +
+    api.sliding_windows_from_leaves: a 7d/1d distinct-users dashboard
+    over 60 days of 2·10^7 facts, refreshed (a) from the fact table via
+    the pane path — the best fact-scanning form, already 5.2x the naive
+    explode (cubestress) — vs (b) from a PERSISTED day-leaf sketch
+    table, where a refresh reads kilobyte blobs and never touches
+    facts. Leg 1 is the nightly leaf build+write (paid once per day of
+    new data, amortized over every refresh); at cluster scale it is the
+    only leg whose cost grows with fact volume. Estimates of (a) and
+    (b) are asserted IDENTICAL (register max is lossless), so the
+    speedup is free of answer drift.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.agg import sketch_by_key
+    from tgdigest_spark.api import (
+        _hll_estimates,
+        sliding_distinct_counts,
+        sliding_windows_from_leaves,
+    )
+    from tgdigest_spark.session import get_spark
+    from tgdigest_spark.sketches import HLL
+    from tgdigest_spark.sources.sketch_table import (
+        read_sketch_table,
+        write_sketch_table,
+    )
+
+    spark = get_spark(
+        "tgdigest-leafserve",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf=_BENCH_CONF,
+    )
+    n_days, win, slide, p = 60, 7, 1, 12
+    facts = spark.range(n_rows).select(
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            F.pmod("id", F.lit(n_days)).cast("int"),
+        ).alias("d"),
+        F.pmod(F.xxhash64("id"), F.lit(5_000_000)).cast("string").alias("u"),
+    )
+    facts = facts.withColumn("ts", F.col("d").cast("timestamp"))
+    tmp = tempfile.mkdtemp(prefix="leafserve-")
+    table = os.path.join(tmp, "dayleaves")
+    state = {}
+
+    def q_build_leaves():
+        write_sketch_table(
+            sketch_by_key(facts, ["d"], "u", lambda: HLL(p)),
+            table,
+            "hll",
+            {"p": p},
+        )
+        return {"days": float(n_days)}
+
+    def q_refresh_from_facts():
+        est = sliding_distinct_counts(facts, "ts", "u", win, slide, p=p)
+        rows = est.collect()
+        state["facts"] = {r["window_start"]: r["distinct_est"] for r in rows}
+        return {"n_windows": float(len(rows))}
+
+    def q_refresh_from_leaves():
+        back, _meta = read_sketch_table(spark, table, expect_kind="hll")
+        served = _hll_estimates(
+            sliding_windows_from_leaves(back, "d", lambda: HLL(p), win, slide)
+        )
+        rows = served.collect()
+        state["leaves"] = {r["window_start"]: r["distinct_est"] for r in rows}
+        return {"n_windows": float(len(rows))}
+
+    legs: dict[str, dict] = {}
+    for name, fn, warm in (
+        # the build leg is NOT warmed with itself (it writes); warm the
+        # worker set with the fact-path refresh instead
+        ("build_day_leaves", q_build_leaves, q_refresh_from_facts),
+        ("refresh_from_facts", q_refresh_from_facts, q_refresh_from_facts),
+        ("refresh_from_leaves", q_refresh_from_leaves, q_refresh_from_leaves),
+    ):
+        warm()
+        pre_stages = _completed_stage_ids(spark)
+        s0 = _shuffle_totals(spark)
+        t0 = time.perf_counter()
+        row = fn()
+        wall = time.perf_counter() - t0
+        s1 = _shuffle_totals(spark)
+        new_stages = (
+            _completed_stage_ids(spark) - pre_stages if pre_stages else set()
+        )
+        legs[name] = {
+            "wall_s": round(wall, 3),
+            "shuffle_read_mb": round((s1[0] - s0[0]) / 1e6, 2)
+            if s0 and s1
+            else None,
+            "max_task_ms": _max_task_ms(spark, new_stages),
+            "result": {k: float(v) for k, v in row.items()},
+        }
+        print(f"{name}: {legs[name]}", flush=True)
+    identical = state["facts"] == state["leaves"] and bool(state["facts"])
+    table_mb = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(table)
+        for f in fns
+    ) / 1e6
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = {
+        "metric": "leafserve",
+        "value": round(sum(l["wall_s"] for l in legs.values()), 3),
+        "unit": "sec",
+        "queries": {n: l["wall_s"] for n, l in legs.items()},
+        "legs": legs,
+        "sf": SF,
+        "extra": {
+            "n_rows": n_rows,
+            "n_days": n_days,
+            "window_days": win,
+            "slide_days": slide,
+            "estimates_identical": bool(identical),
+            "leaf_table_mb": round(table_mb, 3),
+            "speedup_refresh": round(
+                legs["refresh_from_facts"]["wall_s"]
+                / max(legs["refresh_from_leaves"]["wall_s"], 1e-9),
+                2,
+            ),
+            "cpus": CPUS,
+        },
+    }
+    spark.stop()
+    return out
+
+
 def run_rehearse100x(target_rows: int = 100_000_000) -> dict:
     """One-command 100x rehearsal: replicate the sf transcripts to
     ~10^8 rows ON DISK (written once, cached), run the transcript
@@ -1435,6 +1572,8 @@ if __name__ == "__main__":
         print(json.dumps(run_overlapstress()))
     elif "--cubestress" in sys.argv:
         print(json.dumps(run_cubestress()))
+    elif "--leafserve" in sys.argv:
+        print(json.dumps(run_leafserve()))
     elif "--qerror" in sys.argv:
         print(json.dumps(run_qerror()))
     elif "--hllbias" in sys.argv:
