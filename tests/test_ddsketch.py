@@ -243,6 +243,10 @@ def test_cdf_matches_quantile_inverse():
         x = _rank_item(srt, q)
         est = float(sk.cdf([x])[0])
         assert abs(est - q) <= 0.005, (q, est)
+    # NaN probe propagates NaN (family parity with TDigest.cdf and
+    # DDSketch.quantile), never reads as "100% below threshold"
+    out = sk.cdf([np.nan, 1.0])
+    assert np.isnan(out[0]) and not np.isnan(out[1])
 
 
 # -- bulk hooks ---------------------------------------------------------

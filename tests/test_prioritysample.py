@@ -153,6 +153,12 @@ def test_validation_and_null_policy():
     assert sk.n == 1 and list(sk.ids) == ["a"]
     with pytest.raises(ValueError):
         sk.subset_sum(np.array([True, False]))
+    # a negative weight raises even when its id is null — the defect
+    # must not hide behind a failed upstream join
+    with pytest.raises(ValueError):
+        PrioritySample(8).update(
+            pd.Series([None, "x"]), pd.Series([-5.0, 1.0])
+        )
 
 
 def test_grouped_priority_sample_bitexact_and_rows(spark, transcripts):

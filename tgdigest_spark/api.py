@@ -427,6 +427,17 @@ def sliding_window_sketches(
         ).alias("_widx"),
         "sketch",
     )
+    return _windows_from_exploded(exploded, keys, factory, slide_days)
+
+
+def _windows_from_exploded(
+    exploded: DataFrame, keys: list[str], factory, slide_days: int
+) -> DataFrame:
+    """Shared tail of the two sliding-window builders: merge pane/leaf
+    blobs per (keys, _widx) and map the slide-grid index back to a
+    window_start date."""
+    from .agg import merge_blobs_by_key
+
     merged = merge_blobs_by_key(exploded, keys + ["_widx"], factory)
     return merged.select(
         *keys,
@@ -469,11 +480,13 @@ def sliding_windows_from_leaves(
     (window % slide == 0) the two paths produce byte-identical window
     blobs. Returns DataFrame[keys..., window_start date, sketch].
     """
-    from .agg import merge_blobs_by_key
-
     if window_days <= 0 or slide_days <= 0:
         raise ValueError("window_days and slide_days must be positive")
     keys = list(keys or [])
+    reserved = {"_widx", "sketch", "window_start"}
+    bad = [k for k in keys if k in reserved]
+    if bad:
+        raise ValueError(f"keys may not use the reserved names {bad}")
     dcol = F.col(date_col) if isinstance(date_col, str) else date_col
     d = F.unix_date(dcol.cast("date"))
     # day d lies in window w  <=>  floor((d - window)/slide) < w <= floor(d/slide)
@@ -487,15 +500,7 @@ def sliding_windows_from_leaves(
         F.explode(F.sequence(lo, hi)).alias("_widx"),
         "sketch",
     )
-    merged = merge_blobs_by_key(exploded, keys + ["_widx"], factory)
-    return merged.select(
-        *keys,
-        F.date_add(
-            F.lit("1970-01-01").cast("date"),
-            (F.col("_widx") * slide_days).cast("int"),
-        ).alias("window_start"),
-        "sketch",
-    )
+    return _windows_from_exploded(exploded, keys, factory, slide_days)
 
 
 def sliding_distinct_counts(

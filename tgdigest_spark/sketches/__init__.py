@@ -13,8 +13,29 @@ from .kmv import KMV
 from .prioritysample import PrioritySample
 from .tdigest import TDigest
 
+# The ONE MAGIC→class map. MultiSketch child dispatch and the SQL
+# surface (sqlfns.sketch_from_blob / tg_merge) both dispatch through
+# this — a new sketch kind is registered here and nowhere else.
+BY_MAGIC = {
+    t.MAGIC: t
+    for t in (
+        Bloom,
+        CountMin,
+        CountSketch,
+        DDSketch,
+        FrequentItems,
+        HLL,
+        KLL,
+        KMV,
+        MultiSketch,
+        PrioritySample,
+        TDigest,
+    )
+}
+
 __all__ = [
     "Sketch",
+    "BY_MAGIC",
     "TDigest",
     "KLL",
     "HLL",

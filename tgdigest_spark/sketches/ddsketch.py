@@ -65,6 +65,29 @@ _EMPTY_I64 = np.empty(0, dtype=np.int64)
 _HEAD_FMT = "<4sHdqqddII"
 _HEAD_SIZE = struct.calcsize(_HEAD_FMT)
 
+
+def _parse_blob(b) -> tuple:
+    """Decode one serialized DDSketch blob into
+    ``(alpha, zero, n, mn, mx, pk, pc, nk, nc)`` — the single place
+    that knows the _HEAD_FMT offset arithmetic (deserialize and both
+    executor bulk hooks all route here, so a format change cannot
+    silently desynchronize them). The key/count arrays are zero-copy
+    views into ``b``; callers that retain them must ``.copy()``."""
+    (magic, ver, a, zero, n, mn, mx, n_pos, n_neg) = struct.unpack_from(
+        _HEAD_FMT, b, 0
+    )
+    if magic != DDSketch.MAGIC or ver != DDSketch.VERSION:
+        raise ValueError("bad DDSketch blob header")
+    off = _HEAD_SIZE
+    pk = np.frombuffer(b, np.int64, n_pos, off)
+    off += 8 * n_pos
+    pc = np.frombuffer(b, np.int64, n_pos, off)
+    off += 8 * n_pos
+    nk = np.frombuffer(b, np.int64, n_neg, off)
+    off += 8 * n_neg
+    nc = np.frombuffer(b, np.int64, n_neg, off)
+    return a, int(zero), int(n), mn, mx, pk, pc, nk, nc
+
 # reserved overflow bucket for +/-inf magnitudes: above every finite
 # bucket index (max finite key ~= 710/log(gamma) << 2^60 for any alpha
 # in (0,1)), and 4*_INF_KEY still fits int64 for the slot encodings.
@@ -123,6 +146,12 @@ class DDSketch(Sketch):
         self.n = 0
         self.min = np.inf
         self.max = -np.inf
+
+    @property
+    def count(self) -> float:
+        """Protocol-uniform row count (TDigest exposes .count; generic
+        consumers like streaming/stateful.py rely on it)."""
+        return float(self.n)
 
     # -- bucket math -----------------------------------------------------
     def _index(self, pos_vals: np.ndarray) -> np.ndarray:
@@ -257,18 +286,11 @@ class DDSketch(Sketch):
 
     @classmethod
     def deserialize(cls, data: bytes) -> "DDSketch":
-        (alpha, zero, n, mn, mx, n_pos, n_neg), off = cls._check_header(
-            data, "dqqddII"
-        )
+        alpha, zero, n, mn, mx, pk, pc, nk, nc = _parse_blob(data)
         sk = cls(alpha)
-        sk.zero, sk.n, sk.min, sk.max = int(zero), int(n), mn, mx
-        sk.pos_k = np.frombuffer(data, np.int64, n_pos, off).copy()
-        off += 8 * n_pos
-        sk.pos_c = np.frombuffer(data, np.int64, n_pos, off).copy()
-        off += 8 * n_pos
-        sk.neg_k = np.frombuffer(data, np.int64, n_neg, off).copy()
-        off += 8 * n_neg
-        sk.neg_c = np.frombuffer(data, np.int64, n_neg, off).copy()
+        sk.zero, sk.n, sk.min, sk.max = zero, n, mn, mx
+        sk.pos_k, sk.pos_c = pk.copy(), pc.copy()
+        sk.neg_k, sk.neg_c = nk.copy(), nc.copy()
         return sk
 
     # -- queries ---------------------------------------------------------
@@ -324,7 +346,8 @@ class DDSketch(Sketch):
         cum = np.cumsum(w)
         idx = np.searchsorted(v, vq, side="right")
         ranks = np.where(idx == 0, 0, cum[np.maximum(idx - 1, 0)])
-        return ranks.astype(np.float64) / float(self.n)
+        frac = ranks.astype(np.float64) / float(self.n)
+        return np.where(np.isnan(vq), np.nan, frac)
 
     # -- agg.py bulk hooks -------------------------------------------------
     def from_sorted_like(self, arr: np.ndarray) -> "DDSketch":
@@ -425,23 +448,11 @@ class DDSketch(Sketch):
         maxs = np.empty(n_blobs)
         ns = np.zeros(n_blobs, dtype=np.int64)
         for i, b in enumerate(blobs):
-            (magic, ver, a, zero, n, mn, mx, n_pos, n_neg) = struct.unpack_from(
-                _HEAD_FMT,
-                b, 0
-            )
-            if magic != self.MAGIC or ver != self.VERSION:
-                raise ValueError("bad DDSketch blob header")
+            a, zero, n, mn, mx, pk, pc, nk, nc = _parse_blob(b)
             if a != alpha:
                 raise ValueError("alpha mismatch")
             mins[i], maxs[i], ns[i] = mn, mx, n
-            off = _HEAD_SIZE
-            pk = np.frombuffer(b, np.int64, n_pos, off)
-            off += 8 * n_pos
-            pc = np.frombuffer(b, np.int64, n_pos, off)
-            off += 8 * n_pos
-            nk = np.frombuffer(b, np.int64, n_neg, off)
-            off += 8 * n_neg
-            nc = np.frombuffer(b, np.int64, n_neg, off)
+            n_pos, n_neg = pk.size, nk.size
             parts_s = []
             parts_c = []
             if n_neg:
@@ -553,24 +564,12 @@ class DDSketch(Sketch):
         item_counts = np.zeros(p, dtype=np.int64)
         proto_cache: dict[float, DDSketch] = {}
         for i, b in enumerate(blobs):
-            (magic, ver, a, zero, n, mn, mx, n_pos, n_neg) = struct.unpack_from(
-                _HEAD_FMT,
-                b, 0
-            )
-            if magic != cls.MAGIC or ver != cls.VERSION:
-                raise ValueError("bad DDSketch blob header")
+            a, zero, n, mn, mx, pk, pc, nk, nc = _parse_blob(b)
             mins[i], maxs[i], totals[i] = mn, mx, n
             proto = proto_cache.get(a)
             if proto is None:
                 proto = proto_cache[a] = cls(a)
-            off = _HEAD_SIZE
-            pk = np.frombuffer(b, np.int64, n_pos, off)
-            off += 8 * n_pos
-            pc = np.frombuffer(b, np.int64, n_pos, off)
-            off += 8 * n_pos
-            nk = np.frombuffer(b, np.int64, n_neg, off)
-            off += 8 * n_neg
-            nc = np.frombuffer(b, np.int64, n_neg, off)
+            n_pos, n_neg = pk.size, nk.size
             parts_v = []
             parts_w = []
             if n_neg:

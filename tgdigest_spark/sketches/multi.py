@@ -73,13 +73,7 @@ class MultiSketch(Sketch):
         lens = np.frombuffer(data, dtype=np.int64, count=n_children,
                              offset=off)
         off += 8 * n_children
-        from . import Bloom, CountMin, CountSketch, DDSketch, \
-            FrequentItems, HLL, KLL, KMV, PrioritySample, TDigest
-
-        registry = {t.MAGIC: t for t in
-                    (Bloom, CountMin, CountSketch, DDSketch,
-                     FrequentItems, HLL, KLL, KMV, PrioritySample,
-                     TDigest)}
+        from . import BY_MAGIC as registry  # deferred: avoids cycle
         children = []
         for ln in lens:
             blob = data[off: off + int(ln)]

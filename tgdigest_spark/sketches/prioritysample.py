@@ -103,13 +103,15 @@ class PrioritySample(Sketch):
         # int-typed id column and its cast-to-string form are the SAME
         # item; hashing the raw dtype would give them independent
         # uniforms and double-count subset sums on merge)
+        w_valid = ~np.isnan(w)
+        # validate BEFORE the id-null mask: a negative weight is a data
+        # defect even when its id is null (e.g. a failed upstream join)
+        if np.any(w[w_valid] < 0.0):
+            raise ValueError("weights must be >= 0")
         id_mask = s_ids.notna().to_numpy()
         s_str = s_ids.astype(str)  # nulls stringify but id_mask drops them
         h_all, _ = base_hash_full(s_str)
-        mask = id_mask & ~np.isnan(w)
-        if np.any(w[mask] < 0.0):
-            raise ValueError("weights must be >= 0")
-        mask = mask & (w > 0.0)
+        mask = id_mask & w_valid & (w > 0.0)
         if not np.any(mask):
             return self
         h = h_all[mask].astype(np.uint64)

@@ -37,6 +37,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _META_NAME = "_sketch_meta.json"
 FORMAT_VERSION = 1
@@ -193,8 +194,15 @@ def compact_sketch_table(spark: SparkSession, path: str, factory) -> dict:
 
     df, meta = read_sketch_table(spark, path)
     keys, blob_col = meta["keys"], meta["blob_col"]
-    rows_before = df.count()
-    n_keys = df.select(*keys).distinct().count()
+    # one pass for both the row count and the key cardinality — the
+    # common already-compact case pays a single scan, not two
+    stats = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        # struct-wrapped so a null key still counts as a group, same as
+        # the groupBy in merge_blobs_by_key
+        F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias("keys"),
+    ).collect()[0]
+    rows_before, n_keys = int(stats["rows"]), int(stats["keys"])
     if n_keys == rows_before:
         return {
             "rows_before": int(rows_before),

@@ -46,33 +46,16 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 
 from .sketches import (
+    BY_MAGIC as _BY_MAGIC,
+)
+from .sketches import (
     HLL,
     KLL,
-    KMV,
     Bloom,
     CountMin,
-    CountSketch,
     DDSketch,
-    FrequentItems,
-    MultiSketch,
-    PrioritySample,
     TDigest,
 )
-
-_KINDS = (
-    Bloom,
-    CountMin,
-    CountSketch,
-    DDSketch,
-    FrequentItems,
-    HLL,
-    KLL,
-    KMV,
-    MultiSketch,
-    PrioritySample,
-    TDigest,
-)
-_BY_MAGIC = {t.MAGIC: t for t in _KINDS}
 
 # Default parameters for the value-level SQL builders. SQL functions
 # cannot carry Python constructor args; callers needing other settings

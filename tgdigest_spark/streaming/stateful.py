@@ -61,11 +61,7 @@ def _make_update_fn(factory: Callable, value_col: str):
             sk.update(pdf[value_col])
         state.update((bytearray(sk.serialize()),))
         est = sk.quantile([0.5, 0.95])
-        # row-count attribute differs per sketch family (TDigest.count
-        # is float weight; KLL/DDSketch carry integer .n)
-        n = getattr(sk, "count", None)
-        if n is None:
-            n = sk.n
+        n = sk.count  # protocol-uniform across TDigest/KLL/DDSketch
         yield pd.DataFrame(
             {
                 "key": [key[0]],
