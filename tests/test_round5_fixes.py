@@ -93,6 +93,8 @@ def test_gate_window_covers_priority_queries():
         # surface (registered UDAFs incl. blob re-aggregation)
         "sliding_from_leaves_distinct",
         "sql_sketch_api",
+        # new in round 6, session 6: sketch-advised salted equi-join
+        "smart_join_salted_agg",
         # code changed in round 6 (derived KMV k, freq validation)
         "sketch_kmv_setops",
         "kmv_overlap_event_types",
@@ -132,6 +134,9 @@ def test_gate_window_covers_priority_queries():
         # parked for the sql_sketch_api row (r5-driver-green,
         # untouched in r6)
         "training_shuffle_digest",
+        # parked for the smart_join_salted_agg row (r5-driver-green,
+        # untouched in r6)
+        "rebalance_sources_docs",
         "ann_lsh_recall", "neardup_rescore_exact", "ann_cosine_topk",
         "ann_ivf_recall", "checkpointed_quantiles",
         "passage_overlap_summary", "training_prep_pipeline",

@@ -1,0 +1,127 @@
+"""Sketch-advised equi-join: strategy selection + exact result parity.
+
+The PLAN is approximate (HLL / MG / AGMS bounds); the RESULT must be
+row-for-row identical to the plain join under every strategy — that is
+the contract the driver gate (smart_join_agg) also checks against its
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tgdigest_spark.operators.smart_join import plan_equijoin, smart_equijoin
+
+
+@pytest.fixture(scope="module")
+def skewed_pair(spark):
+    """200k-row fact with one key holding ~30% of rows + a 5k-row dim
+    too big to broadcast under the test threshold."""
+    n, n_dim = 200_000, 5_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit(7))
+        .otherwise((F.col("id") * 2654435761 % n_dim).cast("long"))
+        .alias("fk"),
+        (F.col("id") % 97).alias("fval"),
+    )
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("dk"), (F.col("id") % 13).alias("dval")
+    )
+    return fact, dim
+
+
+def _plain(fact, dim):
+    return fact.join(dim, fact["fk"] == dim["dk"], "inner")
+
+
+def _digest(df):
+    """Order-free exact fingerprint of the join output."""
+    return df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("fval") * F.col("dval")).alias("dot"),
+        F.sum(
+            F.xxhash64("fk", "fval", "dk", "dval").cast("decimal(38,0)")
+        ).alias("hash"),
+    ).collect()[0]
+
+
+def test_plan_broadcast_small_dim(spark, sf001_dir):
+    orders = spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf001_dir}/customer.parquet")
+    plan = plan_equijoin(orders, "o_custkey", customer, "c_custkey")
+    assert plan["strategy"] == "broadcast_b"
+    true_out = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).count()
+    assert abs(plan["est_output_rows"] - true_out) <= max(
+        50, 0.15 * true_out
+    )
+    joined = smart_equijoin(orders, "o_custkey", customer, "c_custkey",
+                            plan=plan)
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+    assert joined.count() == true_out
+
+
+def test_plan_salted_detects_hot_key(skewed_pair):
+    fact, dim = skewed_pair
+    plan = plan_equijoin(
+        fact, "fk", dim, "dk", broadcast_rows=1_000, partitions=32
+    )
+    assert plan["strategy"] == "salted"
+    assert "7" in plan["hot_keys"]
+    # ~30% share vs 1/32 uniform -> ratio ~9.6; replication follows it
+    assert 2 <= plan["replication"] <= 64
+    est = plan["est_output_rows"]
+    true_out = _plain(fact, dim).count()
+    assert abs(est - true_out) <= 0.2 * true_out
+
+
+def test_salted_parity_with_plain_join(skewed_pair):
+    fact, dim = skewed_pair
+    plan = plan_equijoin(
+        fact, "fk", dim, "dk", broadcast_rows=1_000, partitions=32
+    )
+    assert plan["strategy"] == "salted"
+    got = _digest(smart_equijoin(fact, "fk", dim, "dk", plan=plan))
+    want = _digest(_plain(fact, dim))
+    assert tuple(got) == tuple(want)
+
+
+def test_plan_shuffle_when_uniform_and_big(spark):
+    a = spark.range(50_000).select((F.col("id") % 40_000).alias("ka"))
+    b = spark.range(50_000).select((F.col("id") % 40_000).alias("kb"))
+    plan = plan_equijoin(a, "ka", b, "kb", broadcast_rows=1_000,
+                         partitions=8)
+    assert plan["strategy"] == "shuffle"
+    assert plan["hot_keys"] == []
+    got = smart_equijoin(a, "ka", b, "kb", plan=plan).count()
+    assert got == a.join(b, a["ka"] == b["kb"]).count()
+
+
+def test_null_keys_never_match(spark):
+    a = spark.createDataFrame(
+        [(None, 1), (7, 2), (8, 3)], "ka int, va int"
+    )
+    b = spark.createDataFrame(
+        [(None, 10), (7, 20)], "kb int, vb int"
+    )
+    # force the salted path so null handling crosses the hot/cold split
+    plan = {
+        "strategy": "salted", "hot_keys": ["7"], "replication": 3,
+        "est_output_rows": 1, "partitions": 4, "reasons": [],
+    }
+    rows = smart_equijoin(a, "ka", b, "kb", plan=plan).collect()
+    assert [(r["ka"], r["vb"]) for r in rows] == [(7, 20)]
+
+
+def test_validation(spark):
+    a = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+    b = spark.range(5).select(F.col("id").alias("j"), F.lit(2).alias("x"))
+    with pytest.raises(ValueError, match="disjoint"):
+        smart_equijoin(a, "k", b, "j")
+    c = spark.range(5).select(
+        F.col("id").alias("j"), F.lit(2).alias("_tg_salt")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        smart_equijoin(a, "k", c, "j")

@@ -1834,6 +1834,26 @@ def key_profile(
 
     All children keep their published bounds; the profile is one scan
     regardless of how many questions it answers."""
+    return profile_from_sketch(
+        key_profile_sketch(df, value, p, depth, width, mg_k, where)
+    )
+
+
+def key_profile_sketch(
+    df: DataFrame,
+    value: Column | str,
+    p: int = 14,
+    depth: int = 5,
+    width: int = 8192,
+    mg_k: int = 256,
+    where: Column | None = None,
+) -> "MultiSketch":
+    """The raw [HLL, CountSketch, FrequentItems] MultiSketch behind
+    :func:`key_profile` — exposed so a caller profiling BOTH sides of a
+    prospective join (:func:`tgdigest_spark.operators.smart_join.
+    plan_equijoin`) can also take the cross-side Count-Sketch inner
+    product (AGMS join size) from the SAME two scans, instead of
+    paying two more."""
     from .sketches.countsketch import CountSketch
     from .sketches.freq import FrequentItems
     from .sketches.multi import MultiSketch
@@ -1841,13 +1861,18 @@ def key_profile(
     if where is not None:
         df = df.where(where)
     col = F.col(value) if isinstance(value, str) else value
-    sk = sketch_column(
+    return sketch_column(
         df.select(col.cast("string").alias("v")),
         "v",
         lambda: MultiSketch(
             [HLL(p), CountSketch(depth, width), FrequentItems(mg_k)]
         ),
     )
+
+
+def profile_from_sketch(sk: "MultiSketch") -> dict:
+    """Format a :func:`key_profile_sketch` result into the
+    :func:`key_profile` answer dict (driver-side, no Spark work)."""
     hll, cs, mg = sk.children
     n = sk.n
     distinct = hll.estimate()

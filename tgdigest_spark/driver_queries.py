@@ -2140,6 +2140,76 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "smart_join_salted_agg",
+    """
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+                    ELSE l_partkey END AS jk,
+               l_quantity
+        FROM lineitem
+    )
+    SELECT 'salted' AS strategy,
+           p.p_brand AS brand,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_qty
+    FROM fact f JOIN part p ON f.jk = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+)
+def smart_join_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-ADVISED skewed equi-join, executed end-to-end
+    (operators/smart_join.py): a derived fact key funnels ~30% of
+    lineitem rows onto jk=1 (scale-invariant share, so the decision is
+    the same at every sf), plan_equijoin profiles both sides in one
+    map-side scan each (MultiSketch: HLL + Count-Sketch + MG), detects
+    the hot key from the MG one-sided upper bound vs the uniform
+    reducer share, and smart_equijoin executes the hot/cold split —
+    hot rows salted over ~10 sub-keys with the dim's hot rows
+    replicated across the salt space, cold rows joined plain, results
+    unioned. The oracle is the PLAIN SQL join: every strategy must
+    produce identical rows — the plan is approximate, the result is
+    exact. The strategy column is asserted at 'salted' (30% share vs
+    the 2x/32-partition threshold holds at any scale; broadcast_rows
+    =100 < the smallest part table).
+
+    Reference anchor: the reference joins cached frames by key before
+    ranking (/root/reference/src/post.rs:63-90); at 10^12 turns the
+    conversation-length skew this round's BENCH legs measure makes the
+    unsalted form straggle — this row gates the mitigated topology."""
+    from .operators.smart_join import plan_equijoin, smart_equijoin
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(1).cast("long"))
+        .otherwise(F.col("l_partkey"))
+        .alias("jk"),
+        "l_quantity",
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    plan = plan_equijoin(
+        li, "jk", part, "p_partkey", broadcast_rows=100, partitions=32
+    )
+    joined = smart_equijoin(li, "jk", part, "p_partkey", plan=plan)
+    return (
+        joined.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.lit(plan["strategy"]).alias("strategy"),
+            "brand",
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
     "sketch_mg_heavy_hitters",
     """
     SELECT CAST(user_id AS VARCHAR) AS item,
@@ -5102,8 +5172,13 @@ _GATE_ORDER = [
     "sketch_grouped_kll",
     "sketch_grouped_hll",
     "sketch_grouped_cm",
-    "rebalance_sources_docs",
+    # new in round 6 (session 6): sketch-advised skewed equi-join —
+    # plan from the MultiSketch profiles, hot/cold salted execution
+    # (rebalance_sources_docs, r5-driver-green and untouched this
+    # round, parks in exchange)
+    "smart_join_salted_agg",
     # --- driver window boundary (position 50) ---
+    "rebalance_sources_docs",
     "training_shuffle_digest",
     "weighted_sample_docs",
     "incremental_dedup_batches",
