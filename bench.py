@@ -901,6 +901,162 @@ def run_skewstress(target_rows: int = 10_000_000) -> dict:
     return out
 
 
+def run_joinstress(target_rows: int = 40_000_000, n_dim: int = 20_000_000) -> dict:
+    """Skewed EQUI-join stress for smart_equijoin (round 6): one key
+    holds ~20% of a 4*10^7-row fact joined to a 20M-row dim — big
+    enough that Spark genuinely cannot auto-broadcast it (a first cut
+    with a 2M-row dim compressed under the 10 MB threshold: every leg
+    ran as BroadcastHashJoin, 0.0 MB shuffled, nothing stressed).
+    Legs:
+
+    - ``plain@...``           df.join, AQE on (incl. its skew-join
+                              splitter — the honest competitor)
+    - ``plain_noskewfix@...`` df.join, AQE's skewJoin disabled — what
+                              the unmitigated shuffle costs
+    - ``smart@...``           plan_equijoin decision + salted hot/cold
+                              execution (plan time reported separately
+                              as ``plan_s`` — two map-side profile
+                              scans)
+
+    A uniform-key baseline of identical size calibrates the skew
+    penalty. Wall + shuffle bytes + max single-task ms per leg; the
+    result of every leg is the same one-row aggregate (count + exact
+    dot), asserted equal across legs — topology changes, rows don't.
+    """
+    from pyspark.sql import functions as F
+
+    from tgdigest_spark.operators.smart_join import (
+        plan_equijoin,
+        smart_equijoin,
+    )
+    from tgdigest_spark.session import get_spark
+
+    spark = get_spark(
+        "tgdigest-joinstress",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf=_BENCH_CONF,
+    )
+
+    def build(tag: str, skew: bool):
+        fpath = os.path.join(
+            DATA_DIR, "bench_cache", f"joinstress_fact_{tag}_{target_rows}"
+        )
+        if not os.path.exists(os.path.join(fpath, "_SUCCESS")):
+            key = (
+                F.when(F.col("id") % 5 == 0, F.lit(7)).otherwise(
+                    (F.col("id") * 2654435761) % n_dim
+                )
+                if skew
+                else (F.col("id") * 2654435761) % n_dim
+            )
+            (
+                spark.range(target_rows)
+                .select(
+                    key.cast("long").alias("fk"),
+                    (F.col("id") % 97).alias("fval"),
+                )
+                .repartition(CPUS * 2)
+                .write.mode("overwrite")
+                .parquet(fpath)
+            )
+        dpath = os.path.join(
+            DATA_DIR, "bench_cache", f"joinstress_dim_{n_dim}"
+        )
+        if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
+            (
+                spark.range(n_dim)
+                .select(
+                    F.col("id").alias("dk"), (F.col("id") % 13).alias("dval")
+                )
+                .repartition(max(CPUS // 2, 4))
+                .write.mode("overwrite")
+                .parquet(dpath)
+            )
+        return spark.read.parquet(fpath), spark.read.parquet(dpath)
+
+    def consume(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("fval") * F.col("dval")).alias("dot"),
+        ).collect()[0]
+        return (int(row["n"]), int(row["dot"]))
+
+    legs: dict[str, dict] = {}
+    answers: dict[str, tuple] = {}
+    for tag, skew in (("uniform", False), ("hot20", True)):
+        fact, dim = build(tag, skew)
+        t0 = time.perf_counter()
+        plan = plan_equijoin(fact, "fk", dim, "dk", sample_fraction=0.1)
+        plan_s = round(time.perf_counter() - t0, 3)
+
+        def q_plain():
+            return consume(fact.join(dim, fact["fk"] == dim["dk"], "inner"))
+
+        def q_plain_noskewfix():
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            try:
+                return q_plain()
+            finally:
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+        def q_smart():
+            return consume(
+                smart_equijoin(fact, "fk", dim, "dk", plan=plan)
+            )
+
+        for name, fn in (
+            ("plain", q_plain),
+            ("plain_noskewfix", q_plain_noskewfix),
+            ("smart", q_smart),
+        ):
+            fn()  # warmup
+            pre_stages = _completed_stage_ids(spark)
+            s0 = _shuffle_totals(spark)
+            t0 = time.perf_counter()
+            ans = fn()
+            wall = time.perf_counter() - t0
+            s1 = _shuffle_totals(spark)
+            new_stages = (
+                _completed_stage_ids(spark) - pre_stages
+                if pre_stages
+                else set()
+            )
+            answers[f"{name}@{tag}"] = ans
+            legs[f"{name}@{tag}"] = {
+                "wall_s": round(wall, 3),
+                "shuffle_read_mb": round((s1[0] - s0[0]) / 1e6, 2)
+                if s0 and s1
+                else None,
+                "max_task_ms": _max_task_ms(spark, new_stages),
+            }
+            print(f"{name}@{tag}: {legs[f'{name}@{tag}']}", flush=True)
+        legs[f"smart@{tag}"]["plan_s"] = plan_s
+        legs[f"smart@{tag}"]["strategy"] = plan["strategy"]
+        legs[f"smart@{tag}"]["replication"] = plan["replication"]
+        # every topology must produce the same rows
+        uniq = {answers[f"{n}@{tag}"] for n in
+                ("plain", "plain_noskewfix", "smart")}
+        if len(uniq) != 1:
+            raise AssertionError(f"leg results diverged at {tag}: {answers}")
+
+    out = {
+        "metric": "joinstress_equijoin",
+        "value": round(sum(l["wall_s"] for l in legs.values()), 3),
+        "unit": "sec",
+        "queries": {k: v["wall_s"] for k, v in legs.items()},
+        "legs": legs,
+        "sf": SF,
+        "extra": {
+            "fact_rows": target_rows,
+            "dim_rows": n_dim,
+            "hot_share": 0.2,
+        },
+    }
+    spark.stop()
+    return out
+
+
 def run_overlapstress(
     n_rows: int = 10_000_000, n_groups: int = 5_000
 ) -> dict:
@@ -1568,6 +1724,8 @@ if __name__ == "__main__":
         print(json.dumps(run_rehearse100x()))
     elif "--skewstress" in sys.argv:
         print(json.dumps(run_skewstress()))
+    elif "--joinstress" in sys.argv:
+        print(json.dumps(run_joinstress()))
     elif "--overlapstress" in sys.argv:
         print(json.dumps(run_overlapstress()))
     elif "--cubestress" in sys.argv:

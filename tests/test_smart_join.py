@@ -66,7 +66,8 @@ def test_plan_broadcast_small_dim(spark, sf001_dir):
 def test_plan_salted_detects_hot_key(skewed_pair):
     fact, dim = skewed_pair
     plan = plan_equijoin(
-        fact, "fk", dim, "dk", broadcast_rows=1_000, partitions=32
+        fact, "fk", dim, "dk", broadcast_rows=1_000, broadcast_bytes=0,
+        partitions=32,
     )
     assert plan["strategy"] == "salted"
     assert "7" in plan["hot_keys"]
@@ -80,7 +81,8 @@ def test_plan_salted_detects_hot_key(skewed_pair):
 def test_salted_parity_with_plain_join(skewed_pair):
     fact, dim = skewed_pair
     plan = plan_equijoin(
-        fact, "fk", dim, "dk", broadcast_rows=1_000, partitions=32
+        fact, "fk", dim, "dk", broadcast_rows=1_000, broadcast_bytes=0,
+        partitions=32,
     )
     assert plan["strategy"] == "salted"
     got = _digest(smart_equijoin(fact, "fk", dim, "dk", plan=plan))
@@ -88,11 +90,43 @@ def test_salted_parity_with_plain_join(skewed_pair):
     assert tuple(got) == tuple(want)
 
 
+def test_plan_sampled_profile_same_decision(skewed_pair):
+    """A 20% deterministic sample reaches the same salted decision
+    (the hot-share ratio is scale-free under sampling) and the scaled
+    AGMS output estimate stays in tolerance."""
+    fact, dim = skewed_pair
+    plan = plan_equijoin(
+        fact, "fk", dim, "dk", broadcast_rows=1_000, broadcast_bytes=0,
+        partitions=32, sample_fraction=0.2,
+    )
+    assert plan["strategy"] == "salted"
+    assert "7" in plan["hot_keys"]
+    true_out = _plain(fact, dim).count()
+    assert abs(plan["est_output_rows"] - true_out) <= 0.3 * true_out
+    # the decision parameterizes the SAME exact execution
+    got = _digest(smart_equijoin(fact, "fk", dim, "dk", plan=plan))
+    want = _digest(_plain(fact, dim))
+    assert tuple(got) == tuple(want)
+
+
+def test_plan_broadcast_by_catalyst_bytes(skewed_pair):
+    """Even with the row threshold forced to 0, a dim whose Catalyst
+    size estimate fits under autoBroadcastJoinThreshold is broadcast —
+    the planner must never salt a join Catalyst would broadcast (the
+    first joinstress run measured that mistake: BHJ on every branch,
+    salting pure overhead)."""
+    fact, dim = skewed_pair
+    plan = plan_equijoin(fact, "fk", dim, "dk", broadcast_rows=0,
+                         partitions=32)
+    assert plan["strategy"] == "broadcast_b", plan["reasons"]
+    assert "Catalyst stats" in " ".join(plan["reasons"])
+
+
 def test_plan_shuffle_when_uniform_and_big(spark):
     a = spark.range(50_000).select((F.col("id") % 40_000).alias("ka"))
     b = spark.range(50_000).select((F.col("id") % 40_000).alias("kb"))
     plan = plan_equijoin(a, "ka", b, "kb", broadcast_rows=1_000,
-                         partitions=8)
+                         broadcast_bytes=0, partitions=8)
     assert plan["strategy"] == "shuffle"
     assert plan["hot_keys"] == []
     got = smart_equijoin(a, "ka", b, "kb", plan=plan).count()

@@ -2187,8 +2187,13 @@ def smart_join_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # broadcast_rows/bytes pinned below every test sf so the SALTED
+    # path is what this row gates (at production scale a 20M+-row dim
+    # qualifies on its own; the strategy column would read broadcast_b
+    # and the oracle would still match — the result is plan-invariant)
     plan = plan_equijoin(
-        li, "jk", part, "p_partkey", broadcast_rows=100, partitions=32
+        li, "jk", part, "p_partkey",
+        broadcast_rows=100, broadcast_bytes=0, partitions=32,
     )
     joined = smart_equijoin(li, "jk", part, "p_partkey", plan=plan)
     return (
