@@ -149,6 +149,24 @@ def test_null_keys_never_match(spark):
     assert [(r["ka"], r["vb"]) for r in rows] == [(7, 20)]
 
 
+def test_transcripts_conv_join_plan(transcripts):
+    """North-star payload shape: joining turns to a per-conversation
+    dim on conv_id. At test scale the dim qualifies for broadcast —
+    the planner must say so (either signal), and the executed join
+    must match the plain one."""
+    spark = transcripts.sparkSession
+    turns = transcripts.select("conv_id", "turn_idx", "role")
+    conv_dim = (
+        transcripts.groupBy(F.col("conv_id").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    plan = plan_equijoin(turns, "conv_id", conv_dim, "cid")
+    assert plan["strategy"] == "broadcast_b", plan["reasons"]
+    got = smart_equijoin(turns, "conv_id", conv_dim, "cid", plan=plan)
+    want = turns.join(conv_dim, turns["conv_id"] == conv_dim["cid"])
+    assert got.count() == want.count() == turns.count()
+
+
 def test_validation(spark):
     a = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("x"))
     b = spark.range(5).select(F.col("id").alias("j"), F.lit(2).alias("x"))
