@@ -167,6 +167,62 @@ def test_transcripts_conv_join_plan(transcripts):
     assert got.count() == want.count() == turns.count()
 
 
+def test_plan_from_persisted_profile_table(skewed_pair, tmp_path):
+    """The amortization path: day-grain profile MultiSketch leaves
+    persisted in a sketch table, merged back to ONE profile, handed to
+    plan_equijoin as a precomputed sketch — same salted decision, zero
+    profile scans at plan time. The profile value domain must match
+    key_profile_sketch's (cast to string)."""
+    from tgdigest_spark.agg import merge_blob_rows, sketch_by_key
+    from tgdigest_spark.sketches import HLL, CountSketch, FrequentItems
+    from tgdigest_spark.sketches.multi import MultiSketch
+    from tgdigest_spark.sources.sketch_table import (
+        read_sketch_table,
+        write_sketch_table,
+    )
+
+    fact, dim = skewed_pair
+    spark = fact.sparkSession
+
+    def prof_factory():
+        return MultiSketch(
+            [HLL(14), CountSketch(5, 8192), FrequentItems(256)]
+        )
+
+    # nightly job shape: one leaf per synthetic "day"
+    leaves = sketch_by_key(
+        fact.select(
+            (F.col("fval") % 4).alias("day"),
+            F.col("fk").cast("string").alias("_v"),
+        ),
+        ["day"],
+        "_v",
+        prof_factory,
+    )
+    path = str(tmp_path / "profile_tbl")
+    write_sketch_table(leaves, path, "multi", {"profile": "fk"})
+    blobs, _ = read_sketch_table(spark, path)
+    merged = merge_blob_rows(blobs, prof_factory)
+
+    plan = plan_equijoin(
+        fact, "fk", dim, "dk", broadcast_rows=1_000, broadcast_bytes=0,
+        partitions=32, sketch_a=merged,
+    )
+    assert plan["strategy"] == "salted"
+    assert "7" in plan["hot_keys"]
+    direct = plan_equijoin(
+        fact, "fk", dim, "dk", broadcast_rows=1_000, broadcast_bytes=0,
+        partitions=32,
+    )
+    assert plan["hot_keys"] == direct["hot_keys"]
+    # HLL/CS children merge losslessly -> identical estimates; MG is
+    # merge-order-bounded, so compare the decision, not the counters
+    assert plan["profile_a"]["distinct_est"] == \
+        direct["profile_a"]["distinct_est"]
+    assert plan["profile_a"]["selfjoin_size_est"] == \
+        direct["profile_a"]["selfjoin_size_est"]
+
+
 def test_validation(spark):
     a = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("x"))
     b = spark.range(5).select(F.col("id").alias("j"), F.lit(2).alias("x"))

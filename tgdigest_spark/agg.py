@@ -585,10 +585,33 @@ def merge_blobs_by_key(
     )
 
 
+def merge_blob_rows(
+    blobs: DataFrame, factory: SketchFactory, blob_col: str = "sketch"
+) -> Sketch:
+    """Fold EVERY blob row of a frame into ONE driver-side sketch —
+    the read path from a persisted sketch table to a single global
+    object (e.g. a key-profile MultiSketch handed to
+    ``plan_equijoin(sketch_a=...)``, or a whole-history quantile
+    sketch). Executors pre-merge per partition and per constant key
+    (the :func:`merge_blobs_by_key` two-stage shape), so the driver
+    receives exactly one blob regardless of table size."""
+    merged = merge_blobs_by_key(
+        blobs.select(F.lit(1).alias("_g"), blob_col),
+        ["_g"],
+        factory,
+        blob_col=blob_col,
+    )
+    rows = merged.collect()
+    if not rows:
+        return factory()
+    return type(factory()).deserialize(bytes(rows[0][blob_col]))
+
+
 __all__ = [
     "sketch_column",
     "sketch_by_key",
     "with_quantiles",
     "merge_blob_tree",
     "merge_blobs_by_key",
+    "merge_blob_rows",
 ]

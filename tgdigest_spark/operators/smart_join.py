@@ -90,6 +90,8 @@ def plan_equijoin(
     max_replication: int = 64,
     partitions: int | None = None,
     sample_fraction: float = 1.0,
+    sketch_a=None,
+    sketch_b=None,
     p: int = 14,
     depth: int = 5,
     width: int = 8192,
@@ -144,7 +146,16 @@ def plan_equijoin(
     are rescaled by 1/f. Keep the fraction >= ~0.05 so a 2x-uniform
     hot key's sampling error stays negligible. The returned profile
     dicts are of what was scanned (raw, unscaled); decision fields are
-    scaled."""
+    scaled.
+
+    ``sketch_a`` / ``sketch_b``: a PRECOMPUTED profile MultiSketch for
+    that side (the :func:`tgdigest_spark.api.key_profile_sketch`
+    shape), e.g. merged from a persisted day-grain profile table
+    maintained by the leaf-stream/nightly jobs — planning then costs
+    ZERO scans of that input. The two Count-Sketch children must share
+    (depth, width) or the AGMS inner product raises. A precomputed
+    sketch is never sampled or rescaled: it is trusted as a full-input
+    profile."""
     from ..api import key_profile_sketch, profile_from_sketch
 
     if partitions is None:
@@ -163,14 +174,34 @@ def plan_equijoin(
             and bytes_b is not None
             and bytes_b > bytes_a
         )
-        if sample_b:
+        if sample_b and sketch_b is None:
             prof_in_b = df_b.sample(sample_fraction, seed=9173)
             scale_b = 1.0 / sample_fraction
-        else:
+        elif sketch_a is None:
             prof_in_a = df_a.sample(sample_fraction, seed=9173)
             scale_a = 1.0 / sample_fraction
-    sk_a = key_profile_sketch(prof_in_a, key_a, p, depth, width, mg_k)
-    sk_b = key_profile_sketch(prof_in_b, key_b, p, depth, width, mg_k)
+    sk_a = (
+        sketch_a
+        if sketch_a is not None
+        else key_profile_sketch(prof_in_a, key_a, p, depth, width, mg_k)
+    )
+    sk_b = (
+        sketch_b
+        if sketch_b is not None
+        else key_profile_sketch(prof_in_b, key_b, p, depth, width, mg_k)
+    )
+    if sketch_a is not None:
+        scale_a = 1.0
+    if sketch_b is not None:
+        scale_b = 1.0
+    from ..sketches.multi import MultiSketch
+
+    for sk, tag in ((sk_a, "a"), (sk_b, "b")):
+        if not isinstance(sk, MultiSketch) or len(sk.children) != 3:
+            raise ValueError(
+                f"sketch_{tag} must be a key_profile_sketch-shaped "
+                f"MultiSketch (HLL, CountSketch, FrequentItems)"
+            )
     prof_a = profile_from_sketch(sk_a)
     prof_b = profile_from_sketch(sk_b)
     cs_a, cs_b = sk_a.children[1], sk_b.children[1]
