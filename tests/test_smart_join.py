@@ -223,6 +223,29 @@ def test_plan_from_persisted_profile_table(skewed_pair, tmp_path):
         direct["profile_a"]["selfjoin_size_est"]
 
 
+def test_salted_plan_shape(skewed_pair):
+    """Pin the PLANS.md topology: Union of two joins, the hot branch
+    keyed on (key, _tg_salt) with the dim side exploded BELOW its
+    exchange, and the hot/cold predicates pushed into the scans (here:
+    into the project over the in-memory range — no filter survives
+    above the join)."""
+    fact, dim = skewed_pair
+    plan = {
+        "strategy": "salted", "hot_keys": ["7"], "replication": 3,
+        "est_output_rows": 0, "partitions": 8, "reasons": [],
+    }
+    joined = smart_equijoin(fact, "fk", dim, "dk", plan=plan)
+    phys = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in phys
+    assert "_tg_salt" in phys
+    assert "explode" in phys.lower()
+    # exactly two joins: cold (key only) + hot (key, salt)
+    n_joins = sum(phys.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin",
+                   "ShuffledHashJoin"))
+    assert n_joins == 2, phys
+
+
 def test_validation(spark):
     a = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("x"))
     b = spark.range(5).select(F.col("id").alias("j"), F.lit(2).alias("x"))
