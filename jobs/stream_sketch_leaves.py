@@ -70,8 +70,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         p = int(args.p)
 
         # the stream needs a schema: infer it from the already-landed
-        # files (a file-source stream over parquet requires one)
-        schema = spark.read.parquet(args.input_dir).schema
+        # files (a file-source stream over parquet requires one). An
+        # empty/absent arrivals dir is a NORMAL state for a scheduled
+        # catch-up job — report nothing-new instead of crashing
+        try:
+            schema = spark.read.parquet(args.input_dir).schema
+        except Exception:
+            print(json.dumps({
+                "epochs_seen": 0, "appended_epochs": 0,
+                "replayed_epochs": 0, "table": args.table,
+                "note": f"no readable input at {args.input_dir}",
+            }))
+            return 0
         fn = leaf_epoch_appender(
             args.table, args.ts_col, args.value,
             lambda: HLL(p), "hll", {"p": p},

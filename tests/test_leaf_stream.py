@@ -114,5 +114,9 @@ def test_manifest_mismatch_refused(spark, transcripts, tmp_path):
         table, "ts", "conv_id", lambda: HLL(14), "hll", {"p": 14},
         run_id="b",
     )
+    before = sorted(os.listdir(table))
     with pytest.raises(ValueError, match="mismatch"):
         bad(transcripts.limit(100), 0)
+    # the refused append must leave NOTHING behind: an injected blob
+    # file's marker would block a corrected rerun from replacing it
+    assert sorted(os.listdir(table)) == before

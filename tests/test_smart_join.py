@@ -109,6 +109,23 @@ def test_plan_sampled_profile_same_decision(skewed_pair):
     assert tuple(got) == tuple(want)
 
 
+def test_salt_side_follows_the_hot_mass(skewed_pair):
+    """When the hot rows live on side B (inputs swapped), the plan
+    must salt B and replicate A — salting the light side would leave
+    the heavy reducer input unchanged while multiplying shuffle by R.
+    Output parity must hold either way."""
+    fact, dim = skewed_pair
+    plan = plan_equijoin(
+        dim, "dk", fact, "fk", broadcast_rows=1_000, broadcast_bytes=0,
+        partitions=32,
+    )
+    assert plan["strategy"] == "salted"
+    assert plan["salt_side"] == "b"
+    got = _digest(smart_equijoin(dim, "dk", fact, "fk", plan=plan))
+    want = _digest(_plain(fact, dim))
+    assert tuple(got) == tuple(want)
+
+
 def test_plan_broadcast_by_catalyst_bytes(skewed_pair):
     """Even with the row threshold forced to 0, a dim whose Catalyst
     size estimate fits under autoBroadcastJoinThreshold is broadcast —

@@ -169,14 +169,19 @@ def plan_equijoin(
     scale_a = scale_b = 1.0
     prof_in_a, prof_in_b = df_a, df_b
     if sample_fraction < 1.0:
+        # sample ONLY the larger side; if that side is precomputed,
+        # sample nothing — falling through to the smaller side would
+        # reintroduce the dominant-key estimate collapse one-sided
+        # sampling exists to avoid, for zero cost benefit
         sample_b = (
             bytes_a is not None
             and bytes_b is not None
             and bytes_b > bytes_a
         )
-        if sample_b and sketch_b is None:
-            prof_in_b = df_b.sample(sample_fraction, seed=9173)
-            scale_b = 1.0 / sample_fraction
+        if sample_b:
+            if sketch_b is None:
+                prof_in_b = df_b.sample(sample_fraction, seed=9173)
+                scale_b = 1.0 / sample_fraction
         elif sketch_a is None:
             prof_in_a = df_a.sample(sample_fraction, seed=9173)
             scale_a = 1.0 / sample_fraction
@@ -222,12 +227,17 @@ def plan_equijoin(
         if broadcast_bytes is None
         else broadcast_bytes
     )
-    small_n, small_tag, small_bytes = min(
-        (n_a, "a", bytes_a), (n_b, "b", bytes_b)
-    )
-    fits_rows = small_n <= broadcast_rows
-    fits_bytes = small_bytes is not None and 0 < small_bytes <= auto_bc
-    if fits_rows or fits_bytes:
+    # test BOTH sides on both signals (a row-smaller side can be
+    # byte-bigger and vice versa — wide vs narrow rows); among the
+    # qualifying sides broadcast the row-smaller one
+    fitting = []
+    for n, tag, by in ((n_a, "a", bytes_a), (n_b, "b", bytes_b)):
+        fits_rows = n <= broadcast_rows
+        fits_bytes = by is not None and 0 < by <= auto_bc
+        if fits_rows or fits_bytes:
+            fitting.append((n, tag, by, fits_rows))
+    if fitting:
+        small_n, small_tag, small_bytes, fits_rows = min(fitting)
         why = (
             f"~{small_n} rows <= broadcast_rows={broadcast_rows}"
             if fits_rows
@@ -254,6 +264,7 @@ def plan_equijoin(
     # the fraction, so the test is identical to the full-input one)
     hot: dict[str, float] = {}
     worst_ratio = 1.0
+    hot_mass = {"a": 0.0, "b": 0.0}  # scaled hot-row upper bounds
     for mg, prof, sc, tag in (
         (mg_a, prof_a, scale_a, "a"),
         (mg_b, prof_b, scale_b, "b"),
@@ -267,6 +278,7 @@ def plan_equijoin(
             if ub > hot_factor * share:
                 hot[item] = max(hot.get(item, 0.0), ub / share)
                 worst_ratio = max(worst_ratio, ub / share)
+                hot_mass[tag] += ub * sc
                 reasons.append(
                     f"key {item!r} on side {tag}: <= {int(ub * sc)} "
                     f"rows is {ub / share:.1f}x the uniform reducer "
@@ -274,8 +286,15 @@ def plan_equijoin(
                 )
     if hot:
         repl = min(max_replication, max(2, math.ceil(worst_ratio)))
+        # salt the side that actually CARRIES the hot rows (its rows
+        # spread over the sub-keys; the other side's hot rows are
+        # replicated) — salting the light side would leave the heavy
+        # side's per-reducer input unchanged while multiplying it by R
+        salt_side = "a" if hot_mass["a"] >= hot_mass["b"] else "b"
         reasons.append(
-            f"salting {len(hot)} hot key(s) over {repl} sub-keys; "
+            f"salting {len(hot)} hot key(s) on side {salt_side} "
+            f"(hot mass a~{int(hot_mass['a'])} vs "
+            f"b~{int(hot_mass['b'])}) over {repl} sub-keys; "
             f"cold remainder joins plain"
         )
         return {
@@ -285,6 +304,7 @@ def plan_equijoin(
             "profile_b": prof_b,
             "hot_keys": sorted(hot),
             "replication": repl,
+            "salt_side": salt_side,
             "partitions": partitions,
             "reasons": reasons,
         }
@@ -367,22 +387,29 @@ def smart_equijoin(
     b_cold = df_b.where(~kb_s.isin(hot))
     cold = a_cold.join(b_cold, a_cold[key_a] == b_cold[key_b], "inner")
 
-    # salt the A side's hot rows, replicate the B side's across the
-    # salt space: every (a, b) hot pair meets at exactly one sub-key
+    # salt the hot-mass-carrying side's rows, replicate the other
+    # side's across the salt space: every hot pair meets at exactly
+    # one sub-key (plan["salt_side"], default "a" for hand-built plans)
     a_hot = df_a.where(ka_s.isin(hot))
     b_hot = df_b.where(kb_s.isin(hot))
-    a_salted = a_hot.withColumn(_SALT, _salt_expr(a_hot, repl))
-    b_repl = b_hot.withColumn(
+    if plan.get("salt_side", "a") == "a":
+        salted, salted_key = a_hot, key_a
+        repl_df, repl_key = b_hot, key_b
+    else:
+        salted, salted_key = b_hot, key_b
+        repl_df, repl_key = a_hot, key_a
+    salted = salted.withColumn(_SALT, _salt_expr(salted, repl))
+    replicated = repl_df.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(repl - 1)))
     )
     hot_join = (
-        a_salted.join(
-            b_repl,
-            (a_salted[key_a] == b_repl[key_b])
-            & (a_salted[_SALT] == b_repl[_SALT]),
+        salted.join(
+            replicated,
+            (salted[salted_key] == replicated[repl_key])
+            & (salted[_SALT] == replicated[_SALT]),
             "inner",
         )
-        .drop(a_salted[_SALT])
-        .drop(b_repl[_SALT])
+        .drop(salted[_SALT])
+        .drop(replicated[_SALT])
     )
     return cold.unionByName(hot_join)

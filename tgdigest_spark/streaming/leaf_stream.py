@@ -58,12 +58,11 @@ from ..agg import sketch_by_key
 from ..sources.sketch_table import _META_NAME, FORMAT_VERSION
 
 
-def _ensure_manifest(
-    table: str, sketch_kind: str, params: dict, keys: list[str],
-    key_types: dict, blob_col: str,
-) -> None:
-    meta_path = os.path.join(table, _META_NAME)
-    meta = {
+def _meta_dict(
+    sketch_kind: str, params: dict, keys: list[str], key_types: dict,
+    blob_col: str,
+) -> dict:
+    return {
         "format_version": FORMAT_VERSION,
         "sketch_kind": str(sketch_kind),
         "params": dict(params),
@@ -72,21 +71,33 @@ def _ensure_manifest(
         "blob_col": blob_col,
         "partition_by": [],
     }
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            existing = json.load(fh)
-        mismatched = {
-            k: (existing.get(k), meta[k])
-            for k in meta
-            if k in existing and existing[k] != meta[k]
-        }
-        if mismatched:
-            raise ValueError(
-                f"leaf stream refused: manifest mismatch {mismatched}"
-            )
-        return
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh, indent=1)
+
+
+def _check_manifest(table: str, meta: dict) -> bool:
+    """True when a manifest exists and matches; raises on mismatch.
+    Called BEFORE any data lands — a mismatched appender must never
+    get a blob file (and its skip-forever marker) into the table."""
+    meta_path = os.path.join(table, _META_NAME)
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as fh:
+        existing = json.load(fh)
+    mismatched = {
+        k: (existing.get(k), meta[k])
+        for k in meta
+        if k in existing and existing[k] != meta[k]
+    }
+    if mismatched:
+        raise ValueError(
+            f"leaf stream refused: manifest mismatch {mismatched}"
+        )
+    return True
+
+
+def _ensure_manifest(table: str, meta: dict) -> None:
+    if not _check_manifest(table, meta):
+        with open(os.path.join(table, _META_NAME), "w") as fh:
+            json.dump(meta, fh, indent=1)
 
 
 def leaf_epoch_appender(
@@ -136,18 +147,25 @@ def leaf_epoch_appender(
             k: leaves.schema[k].dataType.simpleString()
             for k in keys + [day_col]
         }
-        if os.path.exists(final):
-            # replayed epoch after a successful rename: skip the data,
-            # still heal a missing manifest (crash-after-file window)
-            _ensure_manifest(table, sketch_kind, params, keys + [day_col],
-                             key_types, blob_col)
-            stats.append({"epoch": int(epoch_id), "appended": False})
-            return
+        meta = _meta_dict(sketch_kind, params, keys + [day_col],
+                          key_types, blob_col)
+        # validate compatibility BEFORE any data can land: a mismatched
+        # appender must not inject an incompatible blob file whose
+        # marker then blocks a corrected rerun from replacing it
+        _check_manifest(table, meta)
         staging = os.path.join(
             os.path.dirname(table.rstrip("/")) or ".",
             f".leafstage-{os.path.basename(table.rstrip('/'))}"
             f"-{run_id}-e{int(epoch_id)}",
         )
+        if os.path.exists(final):
+            # replayed epoch after a successful rename: skip the data,
+            # heal a missing manifest (crash-after-file window) and a
+            # stale staging dir (crash-after-rename-before-rmtree)
+            shutil.rmtree(staging, ignore_errors=True)
+            _ensure_manifest(table, meta)
+            stats.append({"epoch": int(epoch_id), "appended": False})
+            return
         leaves.coalesce(1).write.mode("overwrite").parquet(staging)
         parts = glob.glob(os.path.join(staging, "part-*.parquet"))
         if len(parts) != 1:  # coalesce(1) guarantees one part
@@ -155,8 +173,7 @@ def leaf_epoch_appender(
         os.makedirs(table, exist_ok=True)
         os.replace(parts[0], final)  # atomic: THE exactly-once point
         shutil.rmtree(staging, ignore_errors=True)
-        _ensure_manifest(table, sketch_kind, params, keys + [day_col],
-                         key_types, blob_col)
+        _ensure_manifest(table, meta)
         stats.append({"epoch": int(epoch_id), "appended": True})
 
     append_epoch.stats = stats
