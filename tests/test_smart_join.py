@@ -146,6 +146,14 @@ def test_plan_shuffle_when_uniform_and_big(spark):
                          broadcast_bytes=0, partitions=8)
     assert plan["strategy"] == "shuffle"
     assert plan["hot_keys"] == []
+    # ~all rows match (est_out ~ 62.5k > half the bigger input): no
+    # bloom-prune hint on a non-selective join
+    assert plan["hints"]["bloom_prune"] is False
+    # a selective join (dim holds 1% of the key domain) hints pruning
+    sel = spark.range(400).select((F.col("id") % 400).alias("kb"))
+    plan2 = plan_equijoin(a, "ka", sel, "kb", broadcast_rows=0,
+                          broadcast_bytes=0, partitions=8)
+    assert plan2["hints"]["bloom_prune"] is True
     got = smart_equijoin(a, "ka", b, "kb", plan=plan).count()
     assert got == a.join(b, a["ka"] == b["kb"]).count()
 

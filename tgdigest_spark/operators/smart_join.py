@@ -307,6 +307,7 @@ def plan_equijoin(
             "salt_side": salt_side,
             "partitions": partitions,
             "reasons": reasons,
+            "hints": _prune_hint(est_out, n_a, n_b, reasons),
         }
 
     reasons.append(
@@ -322,7 +323,27 @@ def plan_equijoin(
         "replication": 1,
         "partitions": partitions,
         "reasons": reasons,
+        "hints": _prune_hint(est_out, n_a, n_b, reasons),
     }
+
+
+def _prune_hint(est_out: int, n_a: int, n_b: int,
+                reasons: list[str]) -> dict:
+    """Selective-join hint for the two SHUFFLING strategies: when the
+    AGMS output estimate is far below the bigger input, most of that
+    input's rows have no match and a dim-side Bloom below the shuffle
+    (:func:`tgdigest_spark.api.bloom_prune_join`) removes them before
+    they move — the runtime-filter rule, driven by the same profile
+    scans. Broadcast plans never shuffle the fact, so no hint there."""
+    big = max(n_a, n_b)
+    selective = big > 0 and est_out < 0.5 * big
+    if selective:
+        reasons.append(
+            f"est output {est_out} << bigger input {big}: a dim-side "
+            f"Bloom below the shuffle prunes non-matching fact rows "
+            f"(api.bloom_prune_join)"
+        )
+    return {"bloom_prune": selective}
 
 
 def _salt_expr(df: DataFrame, repl: int) -> Column:
