@@ -271,6 +271,48 @@ def test_salted_plan_shape(skewed_pair):
     assert n_joins == 2, phys
 
 
+def test_left_semi_paths(skewed_pair, spark):
+    """Semi join (decontamination shape): right side deduped to
+    distinct keys before any shuffle; salted and broadcast paths both
+    match the plain semi join row-for-row; same-named keys allowed."""
+    fact, dim = skewed_pair
+    # duplicate + null-polluted right side: dedup must neutralize it
+    probes = (
+        dim.where(F.col("dk") % 50 == 0)
+        .select(F.col("dk").alias("fk"))  # SAME name as the left key
+        .unionAll(dim.limit(3).select(F.lit(None).cast("long").alias("fk")))
+    )
+    probes = probes.unionAll(probes)  # duplicates
+    want = fact.join(
+        probes.select(F.col("fk").alias("pk")).distinct(),
+        fact["fk"] == F.col("pk"), "left_semi",
+    ).groupBy().agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("fval").alias("s")).collect()[0]
+
+    # forced salted path (hot key 7 is NOT in the probe set -> it
+    # lands in the cold branch; 0 and 50... are)
+    plan = {
+        "strategy": "salted", "hot_keys": ["0", "7"], "replication": 3,
+        "est_output_rows": 0, "partitions": 8, "reasons": [],
+    }
+    got = smart_equijoin(fact, "fk", probes, "fk", plan=plan,
+                         how="left_semi")
+    row = got.groupBy().agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("fval").alias("s")).collect()[0]
+    assert (row["n"], row["s"]) == (want["n"], want["s"])
+    assert got.columns == fact.columns  # left columns only
+
+    # planned path: deduped probe side is tiny -> broadcast_b
+    auto = smart_equijoin(fact, "fk", probes, "fk", how="left_semi",
+                          broadcast_rows=1_000)
+    r2 = auto.groupBy().agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("fval").alias("s")).collect()[0]
+    assert (r2["n"], r2["s"]) == (want["n"], want["s"])
+
+    with pytest.raises(ValueError, match="unsupported"):
+        smart_equijoin(fact, "fk", probes, "fk", how="left_outer")
+
+
 def test_validation(spark):
     a = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("x"))
     b = spark.range(5).select(F.col("id").alias("j"), F.lit(2).alias("x"))

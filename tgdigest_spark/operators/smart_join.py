@@ -362,39 +362,71 @@ def smart_equijoin(
     df_b: DataFrame,
     key_b: str,
     plan: dict | None = None,
+    how: str = "inner",
     **plan_kwargs,
 ) -> DataFrame:
-    """INNER equi-join executed under the :func:`plan_equijoin`
-    decision. Output rows are exactly ``df_a JOIN df_b ON key_a =
-    key_b`` under every strategy; only the physical topology differs.
+    """Equi-join executed under the :func:`plan_equijoin` decision.
+    Output rows are exactly ``df_a JOIN df_b ON key_a = key_b`` with
+    the given ``how`` under every strategy; only the physical topology
+    differs.
 
     Pass a precomputed ``plan`` to reuse the profile scans (and to log
     or assert on the decision); otherwise one is computed here.
 
-    Inner joins only: the salted path partitions the key space into
-    hot/cold by value, and null keys — which never equi-match — fall
-    out of both branches, which would silently drop outer-side rows if
-    outer semantics were allowed. Column names must be disjoint across
-    the two inputs (the hot/cold union would otherwise produce
-    ambiguous columns); rename before joining."""
-    overlap = set(df_a.columns) & set(df_b.columns)
-    if overlap:
+    ``how`` ∈ {"inner", "left_semi"}. Outer joins are rejected: the
+    salted path partitions the key space into hot/cold by value, and
+    null keys — which never equi-match — fall out of both branches,
+    which would silently drop outer-side rows. (Inner drops them by
+    definition; semi keeps a left row only when a match EXISTS, so
+    null-key rows are correctly dropped too.)
+
+    ``left_semi`` (the decontamination-join shape: keep fact rows
+    whose key appears in a benchmark/active set) first shrinks
+    ``df_b`` to its DISTINCT NON-NULL KEYS — semi only needs key
+    existence on the right, so duplicates never reach a shuffle, the
+    deduped side is usually broadcastable, and any surviving skew can
+    only live on the left (a fresh plan is computed over the deduped
+    side unless the caller supplies one built the same way). A
+    ``broadcast_a`` decision is executed as a plain semi join —
+    Spark's LeftSemi broadcast builds on the right side only.
+
+    For ``inner``, column names must be disjoint across the two inputs
+    (the hot/cold union would otherwise produce ambiguous columns);
+    rename before joining. ``left_semi`` output carries only the left
+    side's columns, so same-named keys (the common decontamination
+    shape) are fine."""
+    if how not in ("inner", "left_semi"):
         raise ValueError(
-            f"column names must be disjoint across the join inputs; "
-            f"shared: {sorted(overlap)} — rename before joining"
+            f"how={how!r} unsupported (inner / left_semi only — outer "
+            f"joins would drop null-key rows across the hot/cold split)"
         )
+    if how == "inner":  # semi output carries no right-side columns
+        overlap = set(df_a.columns) & set(df_b.columns)
+        if overlap:
+            raise ValueError(
+                f"column names must be disjoint across the join inputs; "
+                f"shared: {sorted(overlap)} — rename before joining"
+            )
     if _SALT in df_a.columns or _SALT in df_b.columns:
         raise ValueError(f"{_SALT!r} is reserved")
+    if how == "left_semi":
+        df_b = (
+            df_b.select(key_b)
+            .where(F.col(key_b).isNotNull())
+            .distinct()
+        )
     if plan is None:
         plan = plan_equijoin(df_a, key_a, df_b, key_b, **plan_kwargs)
     cond = df_a[key_a] == df_b[key_b]
     strat = plan["strategy"]
     if strat == "broadcast_a":
-        return F.broadcast(df_a).join(df_b, cond, "inner")
+        if how == "left_semi":  # LeftSemi BHJ builds right-side only
+            return df_a.join(df_b, cond, how)
+        return F.broadcast(df_a).join(df_b, cond, how)
     if strat == "broadcast_b":
-        return df_a.join(F.broadcast(df_b), cond, "inner")
+        return df_a.join(F.broadcast(df_b), cond, how)
     if strat == "shuffle":
-        return df_a.join(df_b, cond, "inner")
+        return df_a.join(df_b, cond, how)
     if strat != "salted":
         raise ValueError(f"unknown strategy {strat!r}")
 
@@ -406,14 +438,17 @@ def smart_equijoin(
     kb_s = F.col(key_b).cast("string")
     a_cold = df_a.where(~ka_s.isin(hot))
     b_cold = df_b.where(~kb_s.isin(hot))
-    cold = a_cold.join(b_cold, a_cold[key_a] == b_cold[key_b], "inner")
+    cold = a_cold.join(b_cold, a_cold[key_a] == b_cold[key_b], how)
 
     # salt the hot-mass-carrying side's rows, replicate the other
     # side's across the salt space: every hot pair meets at exactly
-    # one sub-key (plan["salt_side"], default "a" for hand-built plans)
+    # one sub-key (plan["salt_side"], default "a" for hand-built
+    # plans). A semi join keeps LEFT rows, so side a is always the
+    # salted left there — with the right side deduped to distinct
+    # keys, it is also the only side that can carry hot mass.
     a_hot = df_a.where(ka_s.isin(hot))
     b_hot = df_b.where(kb_s.isin(hot))
-    if plan.get("salt_side", "a") == "a":
+    if how == "left_semi" or plan.get("salt_side", "a") == "a":
         salted, salted_key = a_hot, key_a
         repl_df, repl_key = b_hot, key_b
     else:
@@ -423,14 +458,12 @@ def smart_equijoin(
     replicated = repl_df.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(repl - 1)))
     )
-    hot_join = (
-        salted.join(
-            replicated,
-            (salted[salted_key] == replicated[repl_key])
-            & (salted[_SALT] == replicated[_SALT]),
-            "inner",
-        )
-        .drop(salted[_SALT])
-        .drop(replicated[_SALT])
-    )
-    return cold.unionByName(hot_join)
+    joined = salted.join(
+        replicated,
+        (salted[salted_key] == replicated[repl_key])
+        & (salted[_SALT] == replicated[_SALT]),
+        how,
+    ).drop(salted[_SALT])
+    if how != "left_semi":  # semi output carries left columns only
+        joined = joined.drop(replicated[_SALT])
+    return cold.unionByName(joined)
