@@ -32,6 +32,15 @@ Estimates vs guarantees: the PLAN is approximate (HLL ±1 %, MG one-sided
 bounds, AGMS median-of-rows); the JOIN RESULT is exact under every
 strategy — the driver gate checks the result against a plain-SQL oracle
 while pytest pins the strategy selection and the hot/cold parity.
+
+Known limitation — two-sided hot keys: salting spreads the SALTED
+side's hot rows over R reducers, but the replicated side's hot rows
+still arrive whole at every sub-key, so a key hot on BOTH sides keeps
+the lighter side's mass per reducer. That case is output-dominated
+anyway (|A_k|·|B_k| pairs — ``est_output_rows`` exposes the blowup
+before execution); the escalation is a 2-D block grid (split both
+sides, join block pairs), the same topology ``api.py`` already uses
+for the KMV overlap matrix, at the cost of R_a·R_b replication.
 """
 
 from __future__ import annotations
