@@ -51,6 +51,7 @@ def test_plan_broadcast_small_dim(spark, sf001_dir):
     customer = spark.read.parquet(f"{sf001_dir}/customer.parquet")
     plan = plan_equijoin(orders, "o_custkey", customer, "c_custkey")
     assert plan["strategy"] == "broadcast_b"
+    assert plan["hints"] == {"bloom_prune": False}  # uniform schema
     true_out = orders.join(
         customer, orders["o_custkey"] == customer["c_custkey"]
     ).count()
@@ -308,6 +309,11 @@ def test_left_semi_paths(skewed_pair, spark):
     r2 = auto.groupBy().agg(F.count(F.lit(1)).alias("n"),
                             F.sum("fval").alias("s")).collect()[0]
     assert (r2["n"], r2["s"]) == (want["n"], want["s"])
+
+    # Spark's own aliases accepted, same as bloom_prune_join
+    alias = smart_equijoin(fact, "fk", probes, "fk", plan=plan,
+                           how="semi")
+    assert alias.count() == want["n"]
 
     with pytest.raises(ValueError, match="unsupported"):
         smart_equijoin(fact, "fk", probes, "fk", how="left_outer")

@@ -113,7 +113,9 @@ def plan_equijoin(
          est_output_rows,              # AGMS inner product
          profile_a, profile_b,         # key_profile dicts
          hot_keys, replication,        # salted-path parameters
-         partitions, reasons}
+         salt_side,                    # salted plans only: "a"|"b"
+         partitions, reasons,
+         hints: {bloom_prune: bool}}   # always present
 
     Broadcast eligibility uses TWO signals, either qualifies:
     ``broadcast_rows`` (profiled row count; default 1M rows ~ a
@@ -266,6 +268,9 @@ def plan_equijoin(
             "replication": 1,
             "partitions": partitions,
             "reasons": reasons,
+            # known-False, not absent: broadcast never shuffles the
+            # fact, so there is nothing for a runtime filter to save
+            "hints": {"bloom_prune": False},
         }
 
     # -- hot keys: MG upper bounds vs the uniform reducer share ----------
@@ -397,13 +402,20 @@ def smart_equijoin(
     only live on the left (a fresh plan is computed over the deduped
     side unless the caller supplies one built the same way). A
     ``broadcast_a`` decision is executed as a plain semi join —
-    Spark's LeftSemi broadcast builds on the right side only.
+    Spark's LeftSemi broadcast builds on the right side only. Cost
+    note: the dedup is a hash aggregate whose shuffle is bounded by
+    the distinct keys per partition (map-side partial dedup), and when
+    the plan is computed internally it executes once for the profile
+    scan and once in the join — pre-dedupe and persist the right side
+    (or pass ``sketch_b``) to pay it once.
 
     For ``inner``, column names must be disjoint across the two inputs
     (the hot/cold union would otherwise produce ambiguous columns);
     rename before joining. ``left_semi`` output carries only the left
     side's columns, so same-named keys (the common decontamination
     shape) are fine."""
+    if how in ("leftsemi", "semi"):  # same aliases bloom_prune_join takes
+        how = "left_semi"
     if how not in ("inner", "left_semi"):
         raise ValueError(
             f"how={how!r} unsupported (inner / left_semi only — outer "
