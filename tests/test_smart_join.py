@@ -319,6 +319,41 @@ def test_left_semi_paths(skewed_pair, spark):
         smart_equijoin(fact, "fk", probes, "fk", how="left_outer")
 
 
+def test_left_anti_keeps_null_keys(spark):
+    """Anti (the keep-what's-NOT-in-the-benchmark half): null-key left
+    rows match nothing and must SURVIVE, including through the forced
+    salted split; parity with the plain anti join."""
+    a = spark.createDataFrame(
+        [(None, 1), (7, 2), (7, 3), (8, 4), (9, 5)], "fk int, fv int"
+    )
+    b = spark.createDataFrame([(7,), (9,), (None,)], "bk int")
+    want = sorted(
+        ((r["fk"], r["fv"])
+         for r in a.join(b, a["fk"] == b["bk"], "left_anti").collect()),
+        key=lambda t: t[1],
+    )
+    assert want == [(None, 1), (8, 4)]
+    plan = {
+        "strategy": "salted", "hot_keys": ["7"], "replication": 3,
+        "est_output_rows": 0, "partitions": 4, "reasons": [],
+    }
+    got = sorted(
+        ((r["fk"], r["fv"])
+         for r in smart_equijoin(a, "fk", b, "bk", plan=plan,
+                                 how="anti").collect()),
+        key=lambda t: t[1],
+    )
+    assert got == want
+    # planned path (tiny deduped right -> broadcast_b)
+    got2 = sorted(
+        ((r["fk"], r["fv"])
+         for r in smart_equijoin(a, "fk", b, "bk",
+                                 how="left_anti").collect()),
+        key=lambda t: t[1],
+    )
+    assert got2 == want
+
+
 def test_validation(spark):
     a = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("x"))
     b = spark.range(5).select(F.col("id").alias("j"), F.lit(2).alias("x"))

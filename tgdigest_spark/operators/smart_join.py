@@ -387,15 +387,19 @@ def smart_equijoin(
     Pass a precomputed ``plan`` to reuse the profile scans (and to log
     or assert on the decision); otherwise one is computed here.
 
-    ``how`` ∈ {"inner", "left_semi"}. Outer joins are rejected: the
-    salted path partitions the key space into hot/cold by value, and
-    null keys — which never equi-match — fall out of both branches,
-    which would silently drop outer-side rows. (Inner drops them by
-    definition; semi keeps a left row only when a match EXISTS, so
-    null-key rows are correctly dropped too.)
+    ``how`` ∈ {"inner", "left_semi", "left_anti"} (Spark's
+    leftsemi/semi/leftanti/anti aliases accepted). Outer joins are
+    rejected: the salted path partitions the key space into hot/cold
+    by value, and null keys — which never equi-match — fall out of
+    both branches, which would silently drop outer-side rows. (Inner
+    drops them by definition; semi keeps a left row only when a match
+    EXISTS, so null-key rows are correctly dropped too; ANTI must keep
+    them, so the anti cold branch routes null keys with a null-safe
+    predicate.)
 
-    ``left_semi`` (the decontamination-join shape: keep fact rows
-    whose key appears in a benchmark/active set) first shrinks
+    ``left_semi`` / ``left_anti`` (the two decontamination-join
+    shapes: keep fact rows whose key appears / does NOT appear in a
+    benchmark set) first shrink
     ``df_b`` to its DISTINCT NON-NULL KEYS — semi only needs key
     existence on the right, so duplicates never reach a shuffle, the
     deduped side is usually broadcastable, and any surviving skew can
@@ -414,14 +418,16 @@ def smart_equijoin(
     rename before joining. ``left_semi`` output carries only the left
     side's columns, so same-named keys (the common decontamination
     shape) are fine."""
-    if how in ("leftsemi", "semi"):  # same aliases bloom_prune_join takes
-        how = "left_semi"
-    if how not in ("inner", "left_semi"):
+    aliases = {"leftsemi": "left_semi", "semi": "left_semi",
+               "leftanti": "left_anti", "anti": "left_anti"}
+    how = aliases.get(how, how)
+    if how not in ("inner", "left_semi", "left_anti"):
         raise ValueError(
-            f"how={how!r} unsupported (inner / left_semi only — outer "
-            f"joins would drop null-key rows across the hot/cold split)"
+            f"how={how!r} unsupported (inner / left_semi / left_anti "
+            f"only — outer joins would drop null-key rows across the "
+            f"hot/cold split)"
         )
-    if how == "inner":  # semi output carries no right-side columns
+    if how == "inner":  # semi/anti output carries no right-side columns
         overlap = set(df_a.columns) & set(df_b.columns)
         if overlap:
             raise ValueError(
@@ -430,7 +436,9 @@ def smart_equijoin(
             )
     if _SALT in df_a.columns or _SALT in df_b.columns:
         raise ValueError(f"{_SALT!r} is reserved")
-    if how == "left_semi":
+    if how in ("left_semi", "left_anti"):
+        # existence joins only need the right side's distinct non-null
+        # keys: duplicates never reach a shuffle
         df_b = (
             df_b.select(key_b)
             .where(F.col(key_b).isNotNull())
@@ -441,7 +449,7 @@ def smart_equijoin(
     cond = df_a[key_a] == df_b[key_b]
     strat = plan["strategy"]
     if strat == "broadcast_a":
-        if how == "left_semi":  # LeftSemi BHJ builds right-side only
+        if how != "inner":  # LeftSemi/LeftAnti BHJ build right-side only
             return df_a.join(df_b, cond, how)
         return F.broadcast(df_a).join(df_b, cond, how)
     if strat == "broadcast_b":
@@ -457,19 +465,30 @@ def smart_equijoin(
     # the string domain so the membership test matches the profile
     ka_s = F.col(key_a).cast("string")
     kb_s = F.col(key_b).cast("string")
-    a_cold = df_a.where(~ka_s.isin(hot))
+    # ANTI keeps null-key left rows (they match nothing): route them
+    # through the cold branch with a null-safe predicate — inner/semi
+    # drop them anyway, so the plain ~isin (null -> filtered) is right
+    a_cold_pred = (
+        ~F.coalesce(ka_s.isin(hot), F.lit(False))
+        if how == "left_anti"
+        else ~ka_s.isin(hot)
+    )
+    a_cold = df_a.where(a_cold_pred)
     b_cold = df_b.where(~kb_s.isin(hot))
     cold = a_cold.join(b_cold, a_cold[key_a] == b_cold[key_b], how)
 
     # salt the hot-mass-carrying side's rows, replicate the other
     # side's across the salt space: every hot pair meets at exactly
     # one sub-key (plan["salt_side"], default "a" for hand-built
-    # plans). A semi join keeps LEFT rows, so side a is always the
+    # plans). Semi/anti joins keep LEFT rows, so side a is always the
     # salted left there — with the right side deduped to distinct
-    # keys, it is also the only side that can carry hot mass.
+    # keys, it is also the only side that can carry hot mass. Anti
+    # correctness under the split: a hot left row is dropped iff its
+    # key exists in the replicated right, which holds at its own salt
+    # exactly when the key exists at all.
     a_hot = df_a.where(ka_s.isin(hot))
     b_hot = df_b.where(kb_s.isin(hot))
-    if how == "left_semi" or plan.get("salt_side", "a") == "a":
+    if how in ("left_semi", "left_anti") or plan.get("salt_side", "a") == "a":
         salted, salted_key = a_hot, key_a
         repl_df, repl_key = b_hot, key_b
     else:
@@ -485,6 +504,6 @@ def smart_equijoin(
         & (salted[_SALT] == replicated[_SALT]),
         how,
     ).drop(salted[_SALT])
-    if how != "left_semi":  # semi output carries left columns only
+    if how == "inner":  # semi/anti output carries left columns only
         joined = joined.drop(replicated[_SALT])
     return cold.unionByName(joined)
