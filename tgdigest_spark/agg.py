@@ -190,18 +190,42 @@ def sketch_by_key(
     salt_partitions: int = 16,
     salt_col: Column | None = None,
     out_col: str = "sketch",
+    post: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    post_fields: list | None = None,
 ) -> DataFrame:
     """One serialized sketch per distinct ``keys`` tuple.
 
     Returns DataFrame[keys..., out_col binary]. See module docstring for
     the three shuffle topologies (``combine`` / ``salted`` /
     ``clustered``).
+
+    ``post`` (with ``post_fields``, the StructFields it appends after
+    dropping ``out_col``): estimate-extraction fused INTO the final
+    merge pass. Without it, callers run a second mapInPandas over the
+    merged blob frame (e.g. ``with_quantiles``), which ships every blob
+    row JVM→Python→JVM a second time — pure Arrow-boundary overhead at
+    10^6-group cardinalities (round-7 profile: the merge stage of the
+    per-conversation digest query spent 22 of 27 core-seconds outside
+    the JVM CPU, i.e. in the boundary). The fused form yields the SAME
+    rows: ``post`` is applied to each merged pandas frame in the same
+    task that produced it.
     """
     vnames, proj = _value_projection(df, value, keys)
     multi = len(vnames) > 1
     out_schema = StructType(
         [proj.schema[k] for k in keys] + [StructField(out_col, BinaryType(), False)]
     )
+    final_schema = out_schema
+    if post is not None:
+        if post_fields is None:
+            raise ValueError("post requires post_fields")
+        final_schema = StructType(
+            [proj.schema[k] for k in keys] + list(post_fields)
+        )
+
+    def _apply_post(gen):
+        for pdf in gen:
+            yield post(pdf)
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = factory().update(*[pdf[n] for n in vnames])
@@ -422,17 +446,26 @@ def sketch_by_key(
                 out.append(merged.reset_index()[[*keys, out_col]])
             yield pd.concat(out, ignore_index=True)
 
-        partials = proj.mapInPandas(combine_partition, schema=out_schema)
         if method == "clustered":
             # input partitions already hold every row of their keys
             # (bucketed read / upstream repartition): the map-side
             # combine is complete — no blob shuffle, no merge stage.
-            return partials
+            if post is None:
+                return proj.mapInPandas(combine_partition, schema=out_schema)
+            return proj.mapInPandas(
+                lambda batches: _apply_post(combine_partition(batches)),
+                schema=final_schema,
+            )
+        partials = proj.mapInPandas(combine_partition, schema=out_schema)
         # hash-repartition by key at spark.sql.shuffle.partitions (AQE
         # coalesces the tiny-blob exchange); probing .rdd for a count
         # here would materialize the plan and break under Spark Connect.
-        return partials.repartition(*keys).mapInPandas(
-            merge_partition, schema=out_schema
+        shuffled = partials.repartition(*keys)
+        if post is None:
+            return shuffled.mapInPandas(merge_partition, schema=out_schema)
+        return shuffled.mapInPandas(
+            lambda batches: _apply_post(merge_partition(batches)),
+            schema=final_schema,
         )
 
     if method == "salted":
@@ -446,7 +479,13 @@ def sketch_by_key(
             lambda pdf: build_group(pdf.drop(columns=["_salt"])),
             schema=out_schema,
         )
-        return partials.groupBy(*keys).applyInPandas(merge_group, schema=out_schema)
+        if post is None:
+            return partials.groupBy(*keys).applyInPandas(
+                merge_group, schema=out_schema
+            )
+        return partials.groupBy(*keys).applyInPandas(
+            lambda pdf: post(merge_group(pdf)), schema=final_schema
+        )
 
     raise ValueError(f"unknown method {method!r}")
 
@@ -454,6 +493,43 @@ def sketch_by_key(
 # ---------------------------------------------------------------------------
 # estimate extraction
 # ---------------------------------------------------------------------------
+
+def _quantile_names(qs: list[float], prefix: str = "p") -> list[str]:
+    return [
+        f"{prefix}{int(q * 100) if (q * 100).is_integer() else q}" for q in qs
+    ]
+
+
+def _quantile_extractor(
+    factory: SketchFactory,
+    qs: list[float],
+    blob_col: str = "sketch",
+    prefix: str = "p",
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Per-frame quantile extraction shared by :func:`with_quantiles`
+    and the fused ``post`` hook of :func:`sketch_by_key` — ONE
+    definition so the fused and two-stage paths are the same code."""
+    deser = _deser(factory)
+    bulk = getattr(type(factory()), "quantile_blobs", None)
+    names = _quantile_names(qs, prefix)
+
+    def extract_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.drop(columns=[blob_col])
+        if bulk is not None:
+            # mass extraction: one vectorized pass over the whole
+            # Arrow batch (10^6-group extractions spend more time in
+            # per-blob Python than arithmetic otherwise)
+            ests = bulk(list(pdf[blob_col]), qs)
+            for i, n in enumerate(names):
+                out[n] = ests[:, i]
+        else:
+            per = [deser(b).quantile(qs) for b in pdf[blob_col]]
+            for i, n in enumerate(names):
+                out[n] = [e[i] for e in per]
+        return out
+
+    return extract_pdf
+
 
 def with_quantiles(
     blob_df: DataFrame,
@@ -463,30 +539,43 @@ def with_quantiles(
     prefix: str = "p",
 ) -> DataFrame:
     """blob column → one double column per requested quantile."""
-    deser = _deser(factory)
-    bulk = getattr(type(factory()), "quantile_blobs", None)
-    names = [f"{prefix}{int(q * 100) if (q * 100).is_integer() else q}" for q in qs]
-
+    names = _quantile_names(qs, prefix)
     fields = [f for f in blob_df.schema.fields if f.name != blob_col]
     out_schema = StructType(fields + [StructField(n, _double(), True) for n in names])
+    extract_pdf = _quantile_extractor(factory, qs, blob_col, prefix)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf.drop(columns=[blob_col])
-            if bulk is not None:
-                # mass extraction: one vectorized pass over the whole
-                # Arrow batch (10^6-group extractions spend more time in
-                # per-blob Python than arithmetic otherwise)
-                ests = bulk(list(pdf[blob_col]), qs)
-                for i, n in enumerate(names):
-                    out[n] = ests[:, i]
-            else:
-                per = [deser(b).quantile(qs) for b in pdf[blob_col]]
-                for i, n in enumerate(names):
-                    out[n] = [e[i] for e in per]
-            yield out
+            yield extract_pdf(pdf)
 
     return blob_df.mapInPandas(extract, schema=out_schema)
+
+
+def sketch_quantiles_by_key(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    factory: SketchFactory,
+    qs: list[float],
+    method: str = "combine",
+    prefix: str = "p",
+) -> DataFrame:
+    """Fused ``sketch_by_key`` + ``with_quantiles``: per-group quantile
+    columns extracted in the SAME pass that finishes the per-key merge
+    (sketch_by_key's ``post`` hook), saving one full JVM↔Python round
+    trip of the merged blob frame. Row-for-row identical to the
+    two-stage form — same merge, same extraction kernel."""
+    names = _quantile_names(qs, prefix)
+    post_fields = [StructField(n, _double(), True) for n in names]
+    return sketch_by_key(
+        df,
+        keys,
+        value,
+        factory,
+        method=method,
+        post=_quantile_extractor(factory, qs, prefix=prefix),
+        post_fields=post_fields,
+    )
 
 
 def _double():
@@ -610,6 +699,7 @@ def merge_blob_rows(
 __all__ = [
     "sketch_column",
     "sketch_by_key",
+    "sketch_quantiles_by_key",
     "with_quantiles",
     "merge_blob_tree",
     "merge_blobs_by_key",

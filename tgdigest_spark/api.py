@@ -12,7 +12,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .agg import sketch_by_key, sketch_column, with_quantiles
+from .agg import (
+    sketch_by_key,
+    sketch_column,
+    sketch_quantiles_by_key,
+    with_quantiles,
+)
 from .sketches.bloom import Bloom
 from .sketches.countmin import CountMin
 from .sketches.ddsketch import DDSketch
@@ -49,9 +54,15 @@ def grouped_quantiles(
     delta: int = 200,
     method: str = "combine",
 ) -> DataFrame:
-    """Per-group approximate quantiles; one row per group."""
-    blobs = sketch_by_key(df, keys, value, lambda: TDigest(delta), method=method)
-    return with_quantiles(blobs, lambda: TDigest(delta), qs)
+    """Per-group approximate quantiles; one row per group.
+
+    Merge + quantile extraction run FUSED in one pass
+    (agg.sketch_quantiles_by_key): same rows as the two-stage
+    sketch_by_key → with_quantiles form, one fewer JVM↔Python round
+    trip of the merged blob frame (round-7 optimization, guide §4)."""
+    return sketch_quantiles_by_key(
+        df, keys, value, lambda: TDigest(delta), qs, method=method
+    )
 
 
 def text_length_quantiles(
@@ -113,8 +124,9 @@ def grouped_latency_quantiles(
     tiny-group bulk builder; conversations with < min_turns turns have
     no deltas and are absent."""
     lat = interturn_latency_seconds(transcripts)
-    blobs = sketch_by_key(lat, ["conv_id"], "latency_s", lambda: TDigest(delta))
-    return with_quantiles(blobs, lambda: TDigest(delta), list(qs))
+    return sketch_quantiles_by_key(
+        lat, ["conv_id"], "latency_s", lambda: TDigest(delta), list(qs)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -174,23 +186,27 @@ def _grouped_key_sketch(
     from pyspark.sql.types import StructType
 
     col = F.col(value) if isinstance(value, str) else value
-    blobs = sketch_by_key(df, keys, col.cast("string"), factory)
     if multi_row:
+        blobs = sketch_by_key(df, keys, col.cast("string"), factory)
         return _blob_multirow(blobs, deserialize, out_fields, per_sketch)
-    fields = [f for f in blobs.schema.fields if f.name != "sketch"]
-    out_schema = StructType(fields + list(out_fields))
 
-    def extract(batches):
-        for pdf in batches:
-            out = pdf.drop(columns=["sketch"])
-            vals = [
-                per_sketch(deserialize(bytes(b))) for b in pdf["sketch"]
-            ]
-            for i, f in enumerate(out_fields):
-                out[f.name] = [v[i] for v in vals]
-            yield out
+    def extract_pdf(pdf):
+        # fused into sketch_by_key's merge pass (round-7: one Python
+        # crossing of the blob frame instead of two, same rows)
+        out = pdf.drop(columns=["sketch"])
+        vals = [per_sketch(deserialize(bytes(b))) for b in pdf["sketch"]]
+        for i, f in enumerate(out_fields):
+            out[f.name] = [v[i] for v in vals]
+        return out
 
-    return blobs.mapInPandas(extract, schema=out_schema)
+    return sketch_by_key(
+        df,
+        keys,
+        col.cast("string"),
+        factory,
+        post=extract_pdf,
+        post_fields=list(out_fields),
+    )
 
 
 def grouped_distinct_count(
@@ -1009,7 +1025,21 @@ def heavy_hitters(
     ests = cm.estimate(np.array(cand))
     order = np.argsort(-ests, kind="stable")[:k]
     rows = [(cand[i], int(ests[i])) for i in order]
-    return df.sparkSession.createDataFrame(rows, "item string, est_count long")
+    # k local rows: a plain createDataFrame(list) scatters them over
+    # defaultParallelism slices — measured as a 32-task Python job
+    # (~0.3 s wall) that does nothing. Arrow-path via pandas yields a
+    # single-partition frame; rows and schema are identical.
+    pdf = pd.DataFrame(
+        {
+            "item": pd.array([r[0] for r in rows], dtype=object),
+            "est_count": pd.array(
+                [r[1] for r in rows], dtype="int64"
+            ),
+        }
+    )
+    return df.sparkSession.createDataFrame(
+        pdf, "item string, est_count long"
+    ).coalesce(1)
 
 
 # ---------------------------------------------------------------------------
@@ -1139,9 +1169,11 @@ def grouped_quantiles_kll(
     method: str = "combine",
 ) -> DataFrame:
     """Per-group KLL quantiles (rank-error flavor of grouped_quantiles);
-    mass extraction is vectorized via KLL.quantile_blobs."""
-    blobs = sketch_by_key(df, keys, value, lambda: KLL(k), method=method)
-    return with_quantiles(blobs, lambda: KLL(k), qs)
+    mass extraction is vectorized via KLL.quantile_blobs and fused into
+    the merge pass (one Python crossing, same rows)."""
+    return sketch_quantiles_by_key(
+        df, keys, value, lambda: KLL(k), qs, method=method
+    )
 
 
 def quantiles_kll(
@@ -1202,9 +1234,11 @@ def grouped_quantiles_dd(
     grouped_quantiles). Because the merge is bit-exact, every topology
     (combine / salted / clustered) yields byte-identical blobs — the
     strongest form of the north-rule associativity contract; mass
-    extraction is vectorized via DDSketch.quantile_blobs."""
-    blobs = sketch_by_key(df, keys, value, lambda: DDSketch(alpha), method=method)
-    return with_quantiles(blobs, lambda: DDSketch(alpha), qs)
+    extraction is vectorized via DDSketch.quantile_blobs and fused into
+    the merge pass (one Python crossing, same rows)."""
+    return sketch_quantiles_by_key(
+        df, keys, value, lambda: DDSketch(alpha), qs, method=method
+    )
 
 
 def cdf(

@@ -211,6 +211,7 @@ def lsh_candidate_pairs(
     shingle_k: int = 3,
     max_bucket: int = 1000,
     precomputed_sigs: DataFrame | None = None,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """→ DataFrame[id_a, id_b, est_jaccard] — near-dup candidates.
 
@@ -223,6 +224,20 @@ def lsh_candidate_pairs(
     hashing stage — the incremental path computes signatures once and
     reuses them here. The caller then owns that frame's lifecycle
     (``release_cache`` becomes a no-op).
+
+    ``broadcast_pairs`` (round-7 optimization, guide §3.1): the rescore
+    join attaches both signatures to each candidate pair. With the
+    default shuffled join, Catalyst plans SortMergeJoin and ships the
+    WHOLE signature table (num_perm longs per doc) through TWO
+    exchanges before AQE can see that the pair side is tiny — measured
+    at sf1.0: 2 x 52 MB signature shuffles for a 0.7 MB pair frame.
+    Broadcasting the pair side streams the persisted signatures in
+    place: zero signature shuffle, identical rows (inner equi-join).
+    The candidate set after banding + the ``max_bucket`` cap +
+    distinct() is the near-duplicate frontier, orders of magnitude
+    smaller than the corpus; callers whose candidate volume exceeds
+    broadcast capacity (~100M pairs) pass False to fall back to the
+    shuffled join.
     """
     if bands * rows > num_perm:
         bands = num_perm // rows  # fit banding to the signature length
@@ -278,7 +293,14 @@ def lsh_candidate_pairs(
     sig_b = sigs.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
     )
-    joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    if broadcast_pairs:
+        # pair side broadcast: signatures are streamed from the persisted
+        # frame on both joins — no signature exchange, no SMJ sort. The
+        # second broadcast carries (pair, sig_a): still |pairs|-bounded.
+        enriched = sig_a.join(F.broadcast(pairs), "id_a")
+        joined = sig_b.join(F.broadcast(enriched), "id_b")
+    else:
+        joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
 
     est = minhash_agreement_expr()
     out = joined.select("id_a", "id_b", est.cast("double").alias("est_jaccard"))

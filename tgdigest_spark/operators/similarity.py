@@ -64,6 +64,35 @@ def _scores_schema() -> StructType:
     )
 
 
+def _list_matrix(lc) -> np.ndarray:
+    """(n, d) float64 matrix straight from an Arrow ``list<float>``
+    array: one contiguous values-buffer reshape instead of a Python
+    list object per row (round-7, guide §4.2 — the ``.tolist()`` object
+    path dominated every embedding stage's profile). Falls back to the
+    object path for ragged or null rows; float32→float64 widening is
+    exact either way, so downstream scores are bit-identical."""
+    widths = np.diff(lc.offsets.to_numpy(zero_copy_only=False))
+    if (
+        lc.null_count == 0
+        and widths.size
+        and (widths == widths[0]).all()
+        and widths[0] > 0
+    ):
+        flat = lc.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(widths), int(widths[0])).astype(
+            np.float64, copy=False
+        )
+    return np.array(lc.to_pylist(), dtype=np.float64)
+
+
+def _local_frame(spark, pdf: pd.DataFrame, schema: str):
+    """Small driver-local frame via the Arrow pandas path: a plain
+    ``createDataFrame(list_of_rows)`` scatters k rows over
+    defaultParallelism Python-RDD slices (measured: a 32-task no-op
+    Python job); the Arrow path yields a handful of JVM-only tasks."""
+    return spark.createDataFrame(pdf, schema).coalesce(1)
+
+
 def cosine_scores(
     embeddings: DataFrame,
     queries: np.ndarray,
@@ -71,28 +100,41 @@ def cosine_scores(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All (query, vector) cosine scores — one matmul per Arrow batch."""
+    """All (query, vector) cosine scores — one matmul per Arrow batch.
+
+    ``mapInArrow`` (round-7, guide §4.2): the embedding column arrives
+    as one contiguous Arrow list<float> buffer, reshaped straight into
+    the (batch, dim) matrix — the previous pandas form materialized a
+    Python list object per row (``.tolist()``) before the matmul, which
+    dominated the stage (profile: 8.3 core-s run, 0.6 core-s JVM CPU).
+    float32→float64 widening and the matmul are unchanged, so scores
+    are bit-identical."""
+    import pyarrow as pa
+
     q = np.asarray(queries, dtype=np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     qids = np.asarray(query_ids, dtype=np.int64)
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def score(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            m = _list_matrix(rb.column(1))
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             sims = mn @ qn.T  # (batch, n_queries)
-            n, nq = sims.shape
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(qids, n),
-                    "vec_id": np.repeat(pdf[id_col].to_numpy(), nq),
-                    "cosine": sims.reshape(-1),
-                }
+            nq = sims.shape[1]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(qids, n), type=pa.int64()),
+                    pa.array(np.repeat(ids, nq), type=pa.int64()),
+                    pa.array(sims.reshape(-1), type=pa.float64()),
+                ],
+                names=["query_id", "vec_id", "cosine"],
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    return embeddings.select(id_col, vec_col).mapInArrow(
         score, schema=_scores_schema()
     )
 
@@ -161,24 +203,72 @@ def hyperplane_buckets(
             cache[d] = _planes(d, n_bits, n_tables, seed)
         return cache[d]
 
-    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    import pyarrow as pa
+
+    def bucketize(batches) -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            m = _list_matrix(rb.column(1))
             bucket = _pack_buckets(m, planes_for(m.shape[1]), n_bits, n_tables)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
-                    "bucket": bucket.reshape(-1),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, n_tables), type=pa.int64()),
+                    pa.array(bucket.reshape(-1), type=pa.int64()),
+                ],
+                names=[id_col, "bucket"],
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(bucketize, schema=schema)
+    return embeddings.select(id_col, vec_col).mapInArrow(bucketize, schema=schema)
 
 
 def _flip_neighbors(bucket: int, n_bits: int) -> list[int]:
     return [bucket] + [bucket ^ (1 << b) for b in range(n_bits)]
+
+
+def _rescore_topk(
+    emb_cand: DataFrame,
+    query_ids: np.ndarray,
+    qn: np.ndarray,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank of a (query_id, id, vec) candidate frame +
+    window top-k — the shared tail of the LSH and IVF tiers (previously
+    two identical inline copies). Arrow-native batch decode
+    (:func:`_list_matrix`); scores bit-identical to the pandas form."""
+    import pyarrow as pa
+
+    qid_to_row = {int(qid): i for i, qid in enumerate(query_ids)}
+
+    def rescore(batches) -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            qid = rb.column(0).to_numpy(zero_copy_only=False)
+            ids = rb.column(1).to_numpy(zero_copy_only=False)
+            m = _list_matrix(rb.column(2))
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            qrows = np.array([qid_to_row[int(x)] for x in qid])
+            sims = np.einsum("ij,ij->i", mn, qn[qrows])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid, type=pa.int64()),
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(sims, type=pa.float64()),
+                ],
+                names=["query_id", "vec_id", "cosine"],
+            )
+
+    scores = emb_cand.mapInArrow(rescore, schema=_scores_schema())
+    scores = scores.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -236,18 +326,22 @@ def ivf_assign(
     )
     cent = centroids
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    import pyarrow as pa
+
+    def assign(batches) -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            m = _list_matrix(rb.column(1))
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             lists = (mn @ cent.T).argmax(axis=1).astype(np.int64)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "list_id": lists}
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(lists, type=pa.int64())],
+                names=[id_col, "list_id"],
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+    return embeddings.select(id_col, vec_col).mapInArrow(assign, schema=schema)
 
 
 def ann_ivf_topk(
@@ -276,12 +370,18 @@ def ann_ivf_topk(
     probe = np.argsort(-sims, axis=1)[:, : min(n_probe, centroids.shape[0])]
 
     spark = embeddings.sparkSession
-    probe_rows = [
-        (int(qid), int(lst))
-        for qid, row in zip(np.asarray(query_ids, dtype=np.int64), probe)
-        for lst in row
-    ]
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long")
+    probes = _local_frame(
+        spark,
+        pd.DataFrame(
+            {
+                "query_id": np.repeat(
+                    np.asarray(query_ids, dtype=np.int64), probe.shape[1]
+                ),
+                "list_id": probe.reshape(-1).astype(np.int64),
+            }
+        ),
+        "query_id long, list_id long",
+    )
 
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     cand = (
@@ -290,33 +390,7 @@ def ann_ivf_topk(
         .distinct()
     )
     emb_cand = embeddings.join(cand, id_col).select("query_id", id_col, vec_col)
-
-    qid_to_row = {int(qid): i for i, qid in enumerate(query_ids)}
-
-    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            qrows = np.array([qid_to_row[int(x)] for x in pdf["query_id"]])
-            s = np.einsum("ij,ij->i", mn, qn[qrows])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "cosine": s,
-                }
-            )
-
-    scores = emb_cand.mapInPandas(rescore, schema=_scores_schema())
-    scores = scores.where(F.col("query_id") != F.col("vec_id"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    return _rescore_topk(emb_cand, query_ids, qn, k, id_col)
 
 
 def ann_lsh_topk(
@@ -351,7 +425,11 @@ def ann_lsh_topk(
             base, offset = qb & table_mask, qb & ~table_mask
             locals_ = _flip_neighbors(base, n_bits) if multiprobe else [base]
             probe_rows.extend((int(qid), offset | b) for b in locals_)
-    probes = spark.createDataFrame(probe_rows, "query_id long, bucket long")
+    probes = _local_frame(
+        spark,
+        pd.DataFrame(probe_rows, columns=["query_id", "bucket"]),
+        "query_id long, bucket long",
+    )
 
     buckets_df = hyperplane_buckets(
         embeddings,
@@ -371,29 +449,4 @@ def ann_lsh_topk(
     )
 
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    qid_to_row = {int(qid): i for i, qid in enumerate(query_ids)}
-
-    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            qrows = np.array([qid_to_row[int(x)] for x in pdf["query_id"]])
-            sims = np.einsum("ij,ij->i", mn, qn[qrows])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "cosine": sims,
-                }
-            )
-
-    scores = emb_cand.mapInPandas(rescore, schema=_scores_schema())
-    scores = scores.where(F.col("query_id") != F.col("vec_id"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    return _rescore_topk(emb_cand, query_ids, qn, k, id_col)
