@@ -117,7 +117,15 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """→ DataFrame[id_col, sig: array<long>] (uint64 minhashes viewed as
-    int64; empty docs get an empty signature and never pair)."""
+    int64; empty docs get an empty signature and never pair).
+
+    Output assembles straight into an Arrow ListArray (offsets + one
+    flat int64 buffer) via ``mapInArrow`` — the previous pandas form
+    built a Python list of ``num_perm`` ints per doc (round-7, guide
+    §4.2). Hash values are unchanged, so signatures are bit-identical.
+    """
+    import pyarrow as pa
+
     schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -125,13 +133,16 @@ def minhash_signatures(
         ]
     )
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def build(batches) -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            h, off, cnt = _token_hashes(pdf[text_col])
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            h, off, cnt = _token_hashes(rb.column(1).to_pandas())
             sh, soff, scnt = _shingle_hashes(h, off, cnt, shingle_k)
-            out_sigs: list[list[int]] = [[] for _ in range(len(pdf))]
+            sig_lens = np.where(scnt > 0, num_perm, 0).astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(sig_lens)))
             if sh.size:
                 # reduceat ONLY over non-empty docs' offsets (all strictly
                 # < sh.size; the last segment extends to the array end),
@@ -141,11 +152,18 @@ def minhash_signatures(
                 # signature depend on its batch neighbors.
                 nz = np.flatnonzero(scnt > 0)
                 sig = _minhash_matrix(sh, soff[nz], num_perm).astype(np.int64)
-                for j, i in enumerate(nz):
-                    out_sigs[i] = sig[:, j].tolist()
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": out_sigs})
+                values = np.ascontiguousarray(sig.T).reshape(-1)
+            else:
+                values = np.empty(0, dtype=np.int64)
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(values, type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), arr], names=[id_col, "sig"]
+            )
 
-    return df.select(id_col, text_col).mapInPandas(build, schema=schema)
+    return df.select(id_col, text_col).mapInArrow(build, schema=schema)
 
 
 def lsh_bands(
@@ -161,32 +179,58 @@ def lsh_bands(
         ]
     )
 
-    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            keep = pdf["sig"].str.len() >= bands * rows
-            pdf = pdf[keep]
-            if not len(pdf):
+    import pyarrow as pa
+
+    def explode(batches) -> "Iterator[pa.RecordBatch]":
+        # Arrow-native: gather each kept doc's first bands*rows minhash
+        # components straight from the ListArray's flat values buffer
+        # (round-7 — the pandas form re-built a Python list per doc).
+        # Band hashes are the same mix over the same values.
+        for rb in batches:
+            if not rb.num_rows:
                 continue
+            ids_all = rb.column(0).to_numpy(zero_copy_only=False)
+            lc = rb.column(1)
+            if lc.null_count:  # defensive: sigs are never null upstream
+                pl = lc.to_pylist()
+                lc = pa.array(
+                    [x if x is not None else [] for x in pl],
+                    type=pa.list_(pa.int64()),
+                )
+            widths = np.diff(lc.offsets.to_numpy(zero_copy_only=False))
+            keep = widths >= bands * rows
+            if not keep.any():
+                continue
+            flat = lc.flatten().to_numpy(zero_copy_only=False)
+            starts = np.concatenate(([0], np.cumsum(widths)))[:-1]
+            kidx = np.flatnonzero(keep)
+            take = (
+                starts[kidx][:, None] + np.arange(bands * rows)[None, :]
+            ).reshape(-1)
             sig = (
-                np.array(pdf["sig"].tolist(), dtype=np.int64)
-                .astype(np.uint64)[:, : bands * rows]
-                .reshape(len(pdf), bands, rows)
+                flat[take]
+                .astype(np.uint64)
+                .reshape(kidx.size, bands, rows)
             )
             acc = sig[:, :, 0]
             with np.errstate(over="ignore"):
                 for r in range(1, rows):
                     acc = splitmix64(acc ^ sig[:, :, r])
-            ids = np.repeat(pdf[id_col].to_numpy(), bands)
-            band_idx = np.tile(np.arange(bands), len(pdf))
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "band": band_idx,
-                    "band_hash": acc.reshape(-1).astype(np.int64),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids_all[kidx], bands), type=pa.int64()),
+                    pa.array(
+                        np.tile(np.arange(bands, dtype=np.int64), kidx.size),
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        acc.reshape(-1).astype(np.int64), type=pa.int64()
+                    ),
+                ],
+                names=[id_col, "band", "band_hash"],
             )
 
-    return sigs.mapInPandas(explode, schema=schema)
+    return sigs.mapInArrow(explode, schema=schema)
 
 
 def minhash_agreement_expr(sig_a: str = "sig_a", sig_b: str = "sig_b"):
