@@ -187,8 +187,28 @@ def _grouped_key_sketch(
 
     col = F.col(value) if isinstance(value, str) else value
     if multi_row:
-        blobs = sketch_by_key(df, keys, col.cast("string"), factory)
-        return _blob_multirow(blobs, deserialize, out_fields, per_sketch)
+        # fused like the single-row form: the explode runs in the same
+        # Python call as the per-key merge (the post hook has no
+        # cardinality constraint), saving the second blob crossing
+        key_names = list(keys)
+
+        def explode_pdf(pdf):
+            out = _blob_multirow_pdf(pdf, key_names, deserialize, per_sketch)
+            if out is not None:
+                return out
+            empty = {k: pdf[k][:0] for k in key_names}
+            for f in out_fields:
+                empty[f.name] = []
+            return pd.DataFrame(empty)
+
+        return sketch_by_key(
+            df,
+            keys,
+            col.cast("string"),
+            factory,
+            post=explode_pdf,
+            post_fields=list(out_fields),
+        )
 
     def extract_pdf(pdf):
         # fused into sketch_by_key's merge pass (round-7: one Python
@@ -595,25 +615,35 @@ def _blob_multirow(
 
     fields = [f for f in blob_df.schema.fields if f.name != "sketch"]
     out_schema = StructType(fields + list(out_fields))
+    names = [f.name for f in fields]
 
     def extract(batches):
         for pdf in batches:
-            outs = []
-            for i in range(len(pdf)):
-                cols = per_sketch(deserialize(bytes(pdf["sketch"].iloc[i])))
-                n = len(next(iter(cols.values())))
-                if n == 0:
-                    continue
-                row = {
-                    kf.name: np.repeat(pdf[kf.name].iloc[i], n)
-                    for kf in fields
-                }
-                row.update(cols)
-                outs.append(pd.DataFrame(row))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            out = _blob_multirow_pdf(pdf, names, deserialize, per_sketch)
+            if out is not None:
+                yield out
 
     return blob_df.mapInPandas(extract, schema=out_schema)
+
+
+def _blob_multirow_pdf(
+    pdf: pd.DataFrame, key_names: list[str], deserialize, per_sketch
+) -> pd.DataFrame | None:
+    """One frame of the multi-row blob explode (shared by the fused
+    sketch_by_key post hook and :func:`_blob_multirow`); None when no
+    blob produced rows."""
+    outs = []
+    for i in range(len(pdf)):
+        cols = per_sketch(deserialize(bytes(pdf["sketch"].iloc[i])))
+        n = len(next(iter(cols.values())))
+        if n == 0:
+            continue
+        row = {k: np.repeat(pdf[k].iloc[i], n) for k in key_names}
+        row.update(cols)
+        outs.append(pd.DataFrame(row))
+    if not outs:
+        return None
+    return pd.concat(outs, ignore_index=True)
 
 
 def sliding_frequent_items(
