@@ -1,0 +1,209 @@
+"""Round-7 optimization pins: the fused extraction, broadcast rescore,
+and Arrow-native embedding/signature paths must be ROW-IDENTICAL to the
+two-stage / shuffled / pandas forms they replaced, and the fused plan
+must actually drop a Python evaluation node."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df, order_cols):
+    return df.orderBy(*order_cols).collect()
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/events.parquet")
+
+
+class TestFusedExtraction:
+    def test_grouped_quantiles_matches_two_stage(self, spark, events):
+        from tgdigest_spark.agg import sketch_by_key, with_quantiles
+        from tgdigest_spark.api import grouped_quantiles
+        from tgdigest_spark.sketches.tdigest import TDigest
+
+        for method in ("combine", "salted"):
+            two_stage = with_quantiles(
+                sketch_by_key(
+                    events, ["event_type"], "value",
+                    lambda: TDigest(200), method=method,
+                ),
+                lambda: TDigest(200),
+                [0.5, 0.95],
+            )
+            fused = grouped_quantiles(
+                events, ["event_type"], "value", [0.5, 0.95], method=method
+            )
+            assert _rows(fused, ["event_type"]) == _rows(
+                two_stage, ["event_type"]
+            ), method
+
+    def test_clustered_matches_two_stage(self, spark, events):
+        from tgdigest_spark.agg import sketch_by_key, with_quantiles
+        from tgdigest_spark.api import grouped_quantiles
+        from tgdigest_spark.sketches.kll import KLL
+
+        co = events.repartition(4, "event_type")
+        two_stage = with_quantiles(
+            sketch_by_key(
+                co, ["event_type"], "value", lambda: KLL(200),
+                method="clustered",
+            ),
+            lambda: KLL(200),
+            [0.5],
+        )
+        from tgdigest_spark.api import grouped_quantiles_kll
+
+        fused = grouped_quantiles_kll(
+            co, ["event_type"], "value", [0.5], method="clustered"
+        )
+        assert _rows(fused, ["event_type"]) == _rows(two_stage, ["event_type"])
+
+    def test_fused_plan_has_one_fewer_python_eval(self, spark, events):
+        from tgdigest_spark.agg import sketch_by_key, with_quantiles
+        from tgdigest_spark.api import grouped_quantiles
+        from tgdigest_spark.sketches.tdigest import TDigest
+
+        fused = grouped_quantiles(events, ["event_type"], "value", [0.5])
+        two_stage = with_quantiles(
+            sketch_by_key(events, ["event_type"], "value", lambda: TDigest(200)),
+            lambda: TDigest(200),
+            [0.5],
+        )
+        n_fused = fused._jdf.queryExecution().executedPlan().toString().count(
+            "MapInPandas"
+        )
+        n_two = two_stage._jdf.queryExecution().executedPlan().toString().count(
+            "MapInPandas"
+        )
+        assert n_fused == n_two - 1 == 2
+
+    def test_multirow_explode_fused_matches_standalone(self, spark, events):
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        from tgdigest_spark.agg import sketch_by_key
+        from tgdigest_spark.api import _blob_multirow, grouped_cm_counts
+        from tgdigest_spark.sketches.countmin import CountMin
+
+        probes = ["1", "2", "3"]
+        fused = grouped_cm_counts(
+            events, ["event_type"], "user_id", probes
+        )
+        probe_arr = np.array(probes, dtype=object)
+        blobs = sketch_by_key(
+            events,
+            ["event_type"],
+            F.col("user_id").cast("string"),
+            lambda: CountMin.from_error(0.001, 0.01),
+        )
+        standalone = _blob_multirow(
+            blobs,
+            CountMin.deserialize,
+            [
+                StructField("item", StringType(), False),
+                StructField("est_count", LongType(), False),
+            ],
+            lambda cm: {
+                "item": probe_arr,
+                "est_count": cm.estimate(probe_arr).astype(np.int64),
+            },
+        )
+        order = ["event_type", "item"]
+        assert _rows(fused, order) == _rows(standalone, order)
+
+
+class TestBroadcastRescore:
+    def test_lsh_pairs_identical_both_join_strategies(self, spark, sf01_dir):
+        from tgdigest_spark.operators.dedup_text import lsh_candidate_pairs
+
+        docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+        a = lsh_candidate_pairs(docs, num_perm=64, broadcast_pairs=True)
+        rows_a = _rows(a, ["id_a", "id_b"])
+        a.release_cache()
+        b = lsh_candidate_pairs(docs, num_perm=64, broadcast_pairs=False)
+        rows_b = _rows(b, ["id_a", "id_b"])
+        b.release_cache()
+        assert rows_a == rows_b
+        assert len(rows_a) > 0
+
+    def test_broadcast_plan_has_no_signature_exchange(self, spark, sf01_dir):
+        from tgdigest_spark.operators.dedup_text import lsh_candidate_pairs
+
+        docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+        out = lsh_candidate_pairs(docs, num_perm=64, broadcast_pairs=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        out.release_cache()
+
+
+class TestArrowEmbeddingPaths:
+    def test_cosine_topk_matches_numpy_oracle(self, spark, sf01_dir):
+        from tgdigest_spark.operators.similarity import cosine_topk
+
+        emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+        pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        qidx = [0, 1, 2]
+        qn = mn[qidx]
+        sims = mn @ qn.T  # (n, nq)
+        got = cosine_topk(
+            emb,
+            m[qidx],
+            pdf["vec_id"].to_numpy()[qidx],
+            k=5,
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        ids = pdf["vec_id"].to_numpy()
+        for j, qi in enumerate(qidx):
+            qid = int(ids[qi])
+            want = sorted(
+                ((float(sims[i, j]), int(ids[i])) for i in range(len(ids))
+                 if int(ids[i]) != qid),
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+            rows = sorted(by_q[qid], key=lambda r: r["rank"])
+            for rank, (w_cos, w_id) in enumerate(want, start=1):
+                assert rows[rank - 1]["vec_id"] == w_id
+                assert rows[rank - 1]["cosine"] == pytest.approx(
+                    w_cos, abs=1e-12
+                )
+
+    def test_list_matrix_ragged_fallback(self):
+        import pyarrow as pa
+
+        from tgdigest_spark.operators.similarity import _list_matrix
+
+        ragged = pa.array([[1.0, 2.0], [3.0], [4.0, 5.0]],
+                          type=pa.list_(pa.float32()))
+        with pytest.raises(Exception):
+            # ragged rows cannot form a matrix — object path raises the
+            # same numpy error the pandas form did
+            _list_matrix(ragged)
+
+    def test_minhash_signatures_roundtrip_empty_docs(self, spark):
+        import pandas as pd
+
+        from tgdigest_spark.operators.dedup_text import minhash_signatures
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["alpha beta gamma delta", "", "alpha beta gamma delta", "x"],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        rows = {
+            r["doc_id"]: list(r["sig"])
+            for r in minhash_signatures(df, num_perm=32).collect()
+        }
+        assert rows[2] == []              # empty doc → empty signature
+        assert rows[1] == rows[3]          # identical docs → identical sigs
+        assert len(rows[1]) == 32
+        assert len(rows[4]) == 32          # short doc still signed
