@@ -85,6 +85,48 @@ def _list_matrix(lc) -> np.ndarray:
     return np.array(lc.to_pylist(), dtype=np.float64)
 
 
+def _maybe_coalesce_small(
+    df: DataFrame, target: int | None = None, threshold_bytes: int = 64 << 20
+) -> DataFrame:
+    """Bound the task count for SMALL scans feeding a Python stage.
+
+    Each mapInArrow/mapInPandas evaluation costs a fixed per-task
+    runner setup (measured ~5–8 ms serialized, §4 of the round-7
+    notes); a few-MB embedding table split into 32+ files pays 32
+    launches to do microseconds of matmul each. When the plan is a
+    plain file scan whose TOTAL size is under ``threshold_bytes`` (and
+    only then — remote/unstatable files or big inputs pass through
+    untouched), coalesce to ``target`` read groups. Row content and
+    downstream results are unchanged; this only merges scan splits.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover — Connect / non-scan plans
+        return df
+    if target is None:
+        try:
+            target = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
+        except Exception:  # pragma: no cover
+            target = 8
+    if not files or len(files) <= target:
+        return df
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return df
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return df
+        if total >= threshold_bytes:
+            return df
+    return df.coalesce(target)
+
+
 def _local_frame(spark, pdf: pd.DataFrame, schema: str):
     """Small driver-local frame via the Arrow pandas path: a plain
     ``createDataFrame(list_of_rows)`` scatters k rows over
@@ -134,9 +176,9 @@ def cosine_scores(
                 names=["query_id", "vec_id", "cosine"],
             )
 
-    return embeddings.select(id_col, vec_col).mapInArrow(
-        score, schema=_scores_schema()
-    )
+    return _maybe_coalesce_small(
+        embeddings.select(id_col, vec_col)
+    ).mapInArrow(score, schema=_scores_schema())
 
 
 def cosine_topk(
@@ -220,7 +262,9 @@ def hyperplane_buckets(
                 names=[id_col, "bucket"],
             )
 
-    return embeddings.select(id_col, vec_col).mapInArrow(bucketize, schema=schema)
+    return _maybe_coalesce_small(
+        embeddings.select(id_col, vec_col)
+    ).mapInArrow(bucketize, schema=schema)
 
 
 def _flip_neighbors(bucket: int, n_bits: int) -> list[int]:
@@ -341,7 +385,9 @@ def ivf_assign(
                 names=[id_col, "list_id"],
             )
 
-    return embeddings.select(id_col, vec_col).mapInArrow(assign, schema=schema)
+    return _maybe_coalesce_small(
+        embeddings.select(id_col, vec_col)
+    ).mapInArrow(assign, schema=schema)
 
 
 def ann_ivf_topk(
