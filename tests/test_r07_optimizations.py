@@ -187,6 +187,32 @@ class TestArrowEmbeddingPaths:
             # same numpy error the pandas form did
             _list_matrix(ragged)
 
+    def test_segments_pairs_matches_per_bucket_reference(self):
+        from tgdigest_spark.operators.dedup_text import _segments_pairs
+
+        rng = np.random.default_rng(7)
+        for _ in range(200):
+            n_seg = int(rng.integers(0, 25))
+            lists = [
+                rng.integers(0, 15, size=int(rng.integers(0, 10))).tolist()
+                for _ in range(n_seg)
+            ]
+            flat = np.array(
+                [x for l in lists for x in l], dtype=np.int64
+            )
+            offsets = np.concatenate(
+                ([0], np.cumsum([len(l) for l in lists]))
+            ).astype(np.int64)
+            ga, gb = _segments_pairs(flat, offsets)
+            want = []
+            for ids in lists:
+                arr = np.unique(np.asarray(ids, dtype=np.int64))
+                if arr.size < 2:
+                    continue
+                iu = np.triu_indices(arr.size, k=1)
+                want += list(zip(arr[iu[0]].tolist(), arr[iu[1]].tolist()))
+            assert sorted(zip(ga.tolist(), gb.tolist())) == sorted(want)
+
     def test_minhash_signatures_roundtrip_empty_docs(self, spark):
         import pandas as pd
 

@@ -245,6 +245,48 @@ def minhash_agreement_expr(sig_a: str = "sig_a", sig_b: str = "sig_b"):
     ).otherwise(F.lit(0.0))
 
 
+def _segments_pairs(
+    flat: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment unique + upper-triangle pair generation, vectorized
+    across every segment at once (round-7; the LSH bucket-pair hot
+    path). ``flat`` holds all segments' int64 ids concatenated;
+    ``offsets`` (len = n_segments + 1) bounds them. Returns
+    (id_a, id_b) with id_a < id_b — elementwise the same pair multiset
+    as per-segment ``np.unique`` + ``np.triu_indices`` (property-pinned
+    in tests against that reference).
+
+    One lexsort orders (segment, id); consecutive-duplicate masking
+    dedups within segments; pair generation batches segments by their
+    deduped SIZE so each distinct size pays a single (k, s) gather +
+    one ``triu_indices`` — no per-bucket Python."""
+    n_seg = offsets.size - 1
+    if flat.size == 0 or n_seg == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    seg = np.repeat(np.arange(n_seg, dtype=np.int64), np.diff(offsets))
+    order = np.lexsort((flat, seg))
+    s_seg, s_ids = seg[order], flat[order]
+    keep = np.r_[True, (s_seg[1:] != s_seg[:-1]) | (s_ids[1:] != s_ids[:-1])]
+    d_seg, d_ids = s_seg[keep], s_ids[keep]
+    sizes = np.bincount(d_seg, minlength=n_seg)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    live = sizes >= 2
+    if not live.any():
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s in np.unique(sizes[live]):
+        idx = np.flatnonzero(sizes == s)
+        gat = (starts[idx][:, None] + np.arange(s)[None, :]).reshape(-1)
+        mat = d_ids[gat].reshape(idx.size, s)
+        iu = np.triu_indices(s, k=1)
+        out_a.append(mat[:, iu[0]].reshape(-1))
+        out_b.append(mat[:, iu[1]].reshape(-1))
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -310,26 +352,46 @@ def lsh_candidate_pairs(
         ]
     )
 
-    def bucket_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            outs_a: list[np.ndarray] = []
-            outs_b: list[np.ndarray] = []
-            for ids in pdf["ids"]:
-                arr = np.unique(np.asarray(ids, dtype=np.int64))
-                if arr.size < 2:
-                    continue
-                iu = np.triu_indices(arr.size, k=1)
-                outs_a.append(arr[iu[0]])
-                outs_b.append(arr[iu[1]])
-            if outs_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(outs_a),
-                        "id_b": np.concatenate(outs_b),
-                    }
+    import pyarrow as pa
+
+    def bucket_pairs(batches) -> "Iterator[pa.RecordBatch]":
+        # vectorized across ALL buckets of the batch (round-7): the
+        # previous form looped bucket-by-bucket in Python doing one
+        # np.unique + triu per bucket; _segments_pairs does one lexsort
+        # + a per-distinct-size gather over the ListArray's flat buffer
+        # (measured 8x on 300k small buckets). Same pair set.
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            lc = rb.column(0)
+            if lc.null_count:  # defensive: collect_list never yields null
+                pl = lc.to_pylist()
+                lc = pa.array(
+                    [x if x is not None else [] for x in pl],
+                    type=pa.list_(pa.int64()),
+                )
+            offsets = lc.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            offsets = offsets - offsets[0]
+            flat = lc.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            id_a, id_b = _segments_pairs(flat, offsets)
+            if id_a.size:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(id_a, type=pa.int64()),
+                        pa.array(id_b, type=pa.int64()),
+                    ],
+                    names=["id_a", "id_b"],
                 )
 
-    pairs = buckets.mapInPandas(bucket_pairs, schema=pair_schema).distinct()
+    pairs = (
+        buckets.select("ids")  # band/band_hash are dead past this point
+        .mapInArrow(bucket_pairs, schema=pair_schema)
+        .distinct()
+    )
 
     sig_a = sigs.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
