@@ -181,6 +181,115 @@ def _tree_merge(partials: DataFrame, factory: SketchFactory, fanout: int) -> Ske
 # per-key sketches
 # ---------------------------------------------------------------------------
 
+# 'auto' topology dispatch (round-7, guide §2.3/§2.4): choose between
+# the blob-shuffle 'combine' and the raw-row 'repartition' topologies
+# from a cheap sample of the key column. Tiny groups (the
+# per-conversation regime: a few rows per key) make map-side combine a
+# net loss — nearly every (partition, key) cell holds 1-4 rows, so the
+# "partial" is a per-row digest and the blob shuffle carries MORE bytes
+# than the raw rows would, plus a second build+merge pass and a second
+# Python crossing (measured at sf1.0: combine 4.1 s vs
+# repartition+clustered 3.0 s for 10^6 conv groups; crossover near
+# 10^3 rows/group). Both branches compute one sketch per group from
+# exactly the group's values, so the dispatch affects speed only.
+_AUTO_SAMPLE_ROWS = 65536
+_AUTO_MAX_ROWS_PER_GROUP = 256
+_AUTO_MIN_GROUPS_PER_SLOT = 4
+
+
+def _scan_files_for_keys(df: DataFrame, keys: list[str]) -> list[str] | None:
+    """The parquet files behind ``df`` IF its optimized plan is a pure
+    scan chain (Project/Filter/Repartition over one file relation) and
+    every key is a physical column of the files — else None. Used to
+    gate the 'auto' probe so it never re-executes derived upstream
+    compute (joins, aggregates, Python stages) just to pick a topology.
+    """
+    try:
+        root = df._jdf.queryExecution().optimizedPlan()
+        allowed = {
+            "Project",
+            "Filter",
+            "Repartition",
+            "RepartitionByExpression",
+        }
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            ch = node.children()
+            n_ch = ch.size()
+            if n_ch == 0:
+                if node.nodeName() != "LogicalRelation":
+                    return None
+                continue
+            if node.nodeName() not in allowed:
+                return None
+            for i in range(n_ch):
+                stack.append(ch.apply(i))
+        files = sorted(df.inputFiles())
+    except Exception:  # pragma: no cover — Connect / exotic plans
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    paths = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", "") or not u.path.endswith(".parquet"):
+            return None
+        paths.append(unquote(u.path))
+    try:
+        import pyarrow.parquet as pq
+
+        names = set(pq.ParquetFile(paths[0]).schema_arrow.names)
+    except Exception:
+        return None
+    if not all(k in names for k in keys):
+        return None
+    return paths
+
+
+def _auto_method(df: DataFrame, keys: list[str]) -> str:
+    """'repartition' when a first-batch sample of the key column shows
+    the tiny-group regime (few rows per key, enough keys to fill the
+    cluster), else 'combine'. Reads ONE Arrow batch of the key columns
+    straight from the first input file (~tens of ms, independent of
+    row-group size); any doubt — derived input, remote files, missing
+    stats — falls back to 'combine', the safe-everywhere topology.
+    Correctness does not ride on the choice: both branches emit one
+    sketch per group built from exactly that group's values.
+    """
+    paths = _scan_files_for_keys(df, keys)
+    if paths is None:
+        return "combine"
+    try:
+        import pyarrow.parquet as pq
+
+        batch = next(
+            pq.ParquetFile(paths[0]).iter_batches(
+                batch_size=_AUTO_SAMPLE_ROWS, columns=list(keys)
+            )
+        )
+        sample = batch.to_pandas()
+    except Exception:  # includes StopIteration (empty file)
+        return "combine"
+    n_s = len(sample)
+    if n_s < 4096:
+        # sample too small to trust; at this size either branch is fast
+        return "combine"
+    d_s = len(sample.drop_duplicates())
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover
+        par = 8
+    if (
+        n_s <= d_s * _AUTO_MAX_ROWS_PER_GROUP
+        and d_s >= _AUTO_MIN_GROUPS_PER_SLOT * par
+    ):
+        return "repartition"
+    return "combine"
+
+
 def sketch_by_key(
     df: DataFrame,
     keys: list[str],
@@ -196,8 +305,11 @@ def sketch_by_key(
     """One serialized sketch per distinct ``keys`` tuple.
 
     Returns DataFrame[keys..., out_col binary]. See module docstring for
-    the three shuffle topologies (``combine`` / ``salted`` /
-    ``clustered``).
+    the shuffle topologies (``combine`` / ``salted`` / ``clustered`` /
+    ``repartition`` — an explicit hash-repartition by ``keys`` followed
+    by the clustered single pass, correct on ANY input — and ``auto``,
+    which picks combine vs repartition from a first-batch key sample,
+    see :func:`_auto_method`).
 
     ``post`` (with ``post_fields``, the StructFields it appends after
     dropping ``out_col``): estimate-extraction fused INTO the final
@@ -210,7 +322,25 @@ def sketch_by_key(
     rows: ``post`` is applied to each merged pandas frame in the same
     task that produced it.
     """
+    if method == "auto":
+        method = _auto_method(df, list(keys))
     vnames, proj = _value_projection(df, value, keys)
+    if method == "repartition":
+        # co-locate every key's rows, then the clustered single pass:
+        # ONE shuffle of the narrow (keys, value) projection, ONE
+        # Python crossing, ONE sketch build per group — vs combine's
+        # blob shuffle + double build, which loses in the tiny-group
+        # regime (see _auto_method). Explicit partition count: the
+        # post-shuffle build stage is Python-compute-heavy, and AQE's
+        # byte-based coalescing (1 MB floor) would serialize a few-MB
+        # shuffle onto 2-3 tasks (measured: 3 tasks / 0.65 s serial at
+        # sf0.1); the session's shuffle-partition setting is already
+        # the deploy-parameterized answer for "how many reduce slots".
+        n_part = int(
+            proj.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        proj = proj.repartition(n_part, *keys)
+        method = "clustered"
     multi = len(vnames) > 1
     out_schema = StructType(
         [proj.schema[k] for k in keys] + [StructField(out_col, BinaryType(), False)]
