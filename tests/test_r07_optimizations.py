@@ -323,3 +323,20 @@ class TestRepartitionTopology:
             events, ["event_type"], "value", [0.5], method="combine"
         ).count()
         assert n_auto == n_com
+
+
+class TestHeavyHittersTierSkip:
+    def test_direct_collect_matches_tier_path(self, spark, events):
+        """Narrow scans (≤ fanout partials) skip the final reduce tier;
+        the result must be bit-identical to the tiered path (CM merge
+        is order-independent, candidates are a superset)."""
+        from tgdigest_spark.api import heavy_hitters
+
+        ev = events.repartition(6)  # pin >1 partials so fanout=1 tiers
+        direct = heavy_hitters(ev, "event_type", k=5).collect()
+        # fanout=1 can never satisfy n_est <= fanout on a multi-partial
+        # input, forcing the reduce-tier branch over the SAME partials
+        tiered = heavy_hitters(ev, "event_type", k=5, fanout=1).collect()
+        assert [(r["item"], r["est_count"]) for r in direct] == [
+            (r["item"], r["est_count"]) for r in tiered
+        ]

@@ -924,11 +924,15 @@ def heavy_hitters(
     head truncation is a further approximation in the same direction).
 
     Everything after the scan is DISTRIBUTED and partition-count
-    independent: a Spark-side reduction tier merges CM blobs and
-    pre-sums candidate counts, so the driver inbox is at most
-    ``(fanout/8) x (candidate_cap + 1)`` rows whether the scan ran 32
-    tasks or 800k. Candidates then get their CM estimates (guaranteed
-    >= true count) and the global top-k by estimate is returned.
+    independent: when the scan ran more than ``fanout`` tasks, a
+    Spark-side reduction tier merges CM blobs and pre-sums candidate
+    counts, so the driver inbox is bounded at
+    ``fanout x (candidates_per_partition + 1)`` rows whether the scan
+    ran 32 tasks or 800k; narrow scans (≤ fanout partials) collect the
+    partials directly — the same inbox bound without paying a reduce
+    round that exists only for width independence (round-7). Candidates
+    then get their CM estimates (guaranteed >= true count) and the
+    global top-k by estimate is returned.
     """
     from pyspark.sql.types import (
         BinaryType,
@@ -1042,11 +1046,22 @@ def heavy_hitters(
             reduce_tier, schema=fused_schema
         )
         n_est = width
-    rows = (
-        partials.repartition(tier)
-        .mapInPandas(reduce_tier, schema=fused_schema)
-        .collect()
-    )
+    if n_est <= max(fanout, 1):
+        # ≤ fanout partials: collect them as-is. The final reduce tier
+        # would spend a whole extra Python stage + shuffle round
+        # (round-7 profile: 8 tasks, ~1 s executor time, <60 ms JVM CPU
+        # — pure runner overhead) pre-merging a driver inbox that is
+        # already bounded at fanout x (m+1) tiny rows + fanout CM
+        # blobs. Wide scans (n_est > fanout after the loop's
+        # fanout x tier bound) still reduce through the tier so the
+        # driver inbox stays scan-width-independent.
+        rows = partials.collect()
+    else:
+        rows = (
+            partials.repartition(tier)
+            .mapInPandas(reduce_tier, schema=fused_schema)
+            .collect()
+        )
     blobs = [bytes(r["blob"]) for r in rows if r["blob"] is not None]
     cand_counts: dict[str, int] = {}
     for r in rows:
