@@ -103,12 +103,11 @@ def _maybe_coalesce_small(
         files = df.inputFiles()
     except Exception:  # pragma: no cover — Connect / non-scan plans
         return df
-    if target is None:
-        try:
-            target = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
-        except Exception:  # pragma: no cover
-            target = 8
-    if not files or len(files) <= target:
+    try:
+        cap = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
+    except Exception:  # pragma: no cover
+        cap = 8
+    if not files or len(files) <= 2:
         return df
     import os
     from urllib.parse import unquote, urlparse
@@ -124,6 +123,14 @@ def _maybe_coalesce_small(
             return df
         if total >= threshold_bytes:
             return df
+    if target is None:
+        # size-derived read groups (~4 MB of parquet each): a 5 MB
+        # table gets 2 tasks instead of cores/4 — measured 0.43→0.30 s
+        # on the ANN rescore, the difference being pure per-task runner
+        # setup; bigger (but still <64 MB) inputs keep cores/4
+        target = max(2, min(cap, -(-total // (4 << 20))))
+    if len(files) <= target:
+        return df
     return df.coalesce(target)
 
 
